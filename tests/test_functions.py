@@ -1,0 +1,153 @@
+"""Unit tests for the scalar function library (SURVEY.md §2.2 / §2.8)."""
+
+from decimal import Decimal
+
+from agentic_document_extraction_pdf_ray.functions import codes, currency, dates, patterns, text
+
+
+class TestText:
+    def test_normalize_whitespace(self):
+        assert text.normalize_whitespace("Hello   World\n\n") == "Hello World"
+        assert text.normalize_whitespace("") == ""
+        assert text.normalize_whitespace(None) == ""
+
+    def test_clean_text(self):
+        assert text.clean_text("a\x00b\x1fc") == "abc"
+        assert text.clean_text("“q” ‘s’") == "\"q\" 's'"
+        assert text.clean_text("a​b﻿c") == "abc"
+        assert text.clean_text("keep\ttabs\nand\nnewlines") == "keep\ttabs\nand\nnewlines"
+
+    def test_normalize_name(self):
+        assert text.normalize_name("John Smith") == "SMITH, JOHN"
+        assert text.normalize_name("Smith, John A") == "SMITH, JOHN A"
+        assert text.normalize_name("DR. JOHN SMITH MD") == "SMITH, JOHN"
+        assert text.normalize_name("Cher") == "CHER"
+        assert text.normalize_name("") == ""
+
+    def test_remove_diacritics(self):
+        assert text.remove_diacritics("José García") == "Jose Garcia"
+
+    def test_levenshtein(self):
+        assert text.levenshtein_distance("kitten", "sitting") == 3
+        assert text.levenshtein_distance("", "abc") == 3
+        assert text.similarity_ratio("abc", "abc") == 1.0
+        assert text.similarity_ratio("", "") == 1.0
+        assert text.similarity_ratio("a", "") == 0.0
+        assert text.fuzzy_match("Smith", "Smyth", threshold=0.8)
+        assert not text.fuzzy_match("John", "Jane", threshold=0.8)
+
+    def test_truncate(self):
+        assert text.truncate_text("Hello World", 8) == "Hello..."
+        assert text.truncate_text("Hi", 8) == "Hi"
+
+    def test_extract_numbers(self):
+        assert text.extract_numbers("3 visits, total $150.00") == ["3", "150.00"]
+        assert text.extract_integers("a -5 b 7") == [-5, 7]
+
+    def test_extract_between(self):
+        assert text.extract_between("Name: John, Age:", "Name: ", ", Age:") == "John"
+        assert text.extract_between("x", "a", "b") is None
+
+    def test_norm_key(self):
+        assert text.norm_key("  Hello   WORLD ") == "hello world"
+
+
+class TestDates:
+    def test_parse_formats(self):
+        d = dates.parse_date
+        import datetime
+        expect = datetime.date(2024, 1, 15)
+        for s in ["01/15/2024", "2024-01-15", "January 15, 2024", "Jan 15, 2024",
+                  "15 January 2024", "1-15-2024", "01/15/24", "01152024"]:
+            assert d(s) == expect, s
+        assert d("not a date") is None
+        assert d("") is None
+
+    def test_normalize(self):
+        assert dates.normalize_date("01/15/2024") == "2024-01-15"
+
+    def test_implausible(self):
+        import datetime
+        assert dates.is_implausible_date(datetime.date(1899, 5, 1))
+        assert dates.is_implausible_date(datetime.date(2031, 1, 1))
+        assert dates.is_implausible_date(datetime.date(1970, 1, 1))
+        assert not dates.is_implausible_date(datetime.date(2024, 6, 15))
+
+    def test_scan(self):
+        got = dates.scan_dates("visit on 01/15/2024 then 2024-02-01 end")
+        assert [iso for _, iso in got] == ["2024-01-15", "2024-02-01"]
+
+
+class TestCurrency:
+    def test_clean(self):
+        assert currency.clean_currency("$1,234.56") == Decimal("1234.56")
+        assert currency.clean_currency("(500.00)") == Decimal("-500.00")
+        assert currency.clean_currency("100-") == Decimal("-100")
+        assert currency.clean_currency("250 CR".replace(" ", "")) == Decimal("-250")
+        assert currency.clean_currency("junk") is None
+
+    def test_canonical_string(self):
+        assert currency.clean_currency_str("$1,234.5") == "1234.50"
+        assert currency.clean_currency_str("(500.00)") == "-500.00"
+
+    def test_scan(self):
+        got = currency.scan_currency("pay $1,234.56 or (500.00) now")
+        assert [c for _, c in got] == ["1234.56", "-500.00"]
+
+
+class TestCodes:
+    def test_npi(self):
+        assert codes.validate_npi("1234567893").valid
+        assert not codes.validate_npi("1234567890").valid      # bad check digit
+        assert not codes.validate_npi("3234567893").valid      # bad prefix
+        assert not codes.validate_npi("123").valid
+
+    def test_cpt(self):
+        r = codes.validate_cpt_code("99213")
+        assert r.valid and r.detail == "E&M"
+        r = codes.validate_cpt_code("99213-25")
+        assert r.valid and r.normalized == "99213-25"
+        assert not codes.validate_cpt_code("00000").valid      # out of range
+        assert not codes.validate_cpt_code("abc").valid
+
+    def test_icd10(self):
+        r = codes.validate_icd10_code("E11.9")
+        assert r.valid and r.normalized == "E11.9"
+        r = codes.validate_icd10_code("E119")
+        assert r.valid and r.normalized == "E11.9"             # decimal normalization
+        assert codes.validate_icd10_code("0BJ08ZZ").kind == "icd10pcs"
+        assert not codes.validate_icd10_code("U!").valid
+
+    def test_hcpcs(self):
+        assert codes.validate_hcpcs_code("J1234").valid
+        assert not codes.validate_hcpcs_code("W1234").valid
+
+    def test_phone(self):
+        assert codes.validate_phone("(555) 123-4567").normalized == "555-123-4567"
+
+
+class TestPatterns:
+    def test_placeholder(self):
+        for v in ["N/A", "na", "TBD", "XXXX", "[empty]", "<none>", "___", "..."]:
+            assert patterns.F_PLACEHOLDER in patterns.flag_value(v), v
+
+    def test_ids(self):
+        assert patterns.F_SEQUENTIAL_ID in patterns.flag_value("12345")
+        assert patterns.F_REPEATED_DIGITS in patterns.flag_value("1111111")
+        assert patterns.F_ALL_ZERO_ID in patterns.flag_value("000000")
+
+    def test_generic(self):
+        assert patterns.F_GENERIC_NAME in patterns.flag_value("John Doe")
+        assert patterns.F_GENERIC_ADDRESS in patterns.flag_value("123 Main St")
+
+    def test_turn_text(self):
+        flags = patterns.flag_turn_text("John Doe lives at 123 Main St since 01/01/1900 ...")
+        assert patterns.F_GENERIC_NAME in flags
+        assert patterns.F_GENERIC_ADDRESS in flags
+        assert patterns.F_IMPLAUSIBLE_DATE in flags
+        assert patterns.F_TRUNCATED in flags
+        assert patterns.flag_turn_text("  ") == [patterns.F_EMPTY]
+
+    def test_repeating_substring(self):
+        assert patterns.has_repeating_substring("abcabcabc")
+        assert not patterns.has_repeating_substring("hello world")

@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` carries the DuckDB-equivalent SQL for every
+deterministically SQL-expressible one (same column NAMES and value
+semantics — integer-cents money, fixed-point scores, float64 ratios of
+ints). Approximate / extraction pipelines are rows-only by design.
 """
 
 from __future__ import annotations
@@ -18,27 +15,228 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import agentic_document_extraction_pdf_ray  # noqa: F401  (exports PYTHONPATH for Ray workers)
+
+TURNS_PER_DOC = 20   # transcript-table sizing per sf dir (deterministic)
+
+
+def _transcripts_for(sf_dir: str) -> str:
+    """Deterministic synthetic transcript table sized to the sf dir."""
+    import pyarrow.parquet as pq
+
+    from agentic_document_extraction_pdf_ray.sources.transcripts import transcripts_path
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return transcripts_path(n_docs * TURNS_PER_DOC, seed=42)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline over the sf0.001-scaled transcript table."""
+    from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
+    return extract_pipeline(_transcripts_for("/root/testdata/sf0.001"))
+
+
+# --------------------------------------------------------------------------
+
+def _q_extract_turns(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
+
+    ds = extract_pipeline(_transcripts_for(sf_dir))
+    # project to scalar columns for the driver's rows-only check
+    import pyarrow as pa
+
+    def flat(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "extracted_text": batch["extracted_text"],
+            "n_spans": pc.list_value_length(batch["spans"]),
+            "n_flags": pc.list_value_length(batch["flags"]),
+            "confidence": batch["confidence"],
+            "segment_id": batch["segment_id"],
+        })
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
+def _q_conv_summaries(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_summaries
+    return conv_summaries(_transcripts_for(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from agentic_document_extraction_pdf_ray.pipelines import (
+        dedup, documents, events, relational, similarity,
+    )
+    return {
+        # --- documents text analysis (SQL-matched) ---
+        "doc_normalize": documents.doc_normalize,
+        "doc_token_stats": documents.doc_token_stats,
+        "doc_quality": documents.doc_quality,
+        "doc_lang_id": documents.doc_lang_id,
+        "doc_fingerprint": documents.doc_fingerprint,
+        # --- dedup family ---
+        "dedup_exact_prefix": dedup.dedup_exact_prefix,          # SQL-matched
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,            # rows-only (approx)
+        "simhash_signatures": dedup.simhash_signatures,          # rows-only
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk,                         # SQL-matched
+        "embedding_near_dup": similarity.embedding_near_dup,     # rows-only (float cmp)
+        "ann_topk_ivf": similarity.ann_topk_ivf,                 # rows-only (approx)
+        # --- events / streaming-shaped ---
+        "events_daily": events.events_daily,                     # SQL-matched
+        "events_sessions": events.events_sessions,               # SQL-matched
+        "events_json_agg": events.events_json_agg,               # SQL-matched
+        # --- relational core ---
+        "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
+        "revenue_by_nation": relational.revenue_by_nation,       # SQL-matched
+        "top_customers": relational.top_customers,               # SQL-matched
+        "lineitem_filter_project": relational.lineitem_filter_project,  # SQL-matched
+        # --- flagship extraction (oracle = pytest equality, not SQL) ---
+        "extract_turns": _q_extract_turns,
+        "conv_summaries": _q_conv_summaries,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CLEAN = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_normalize": f"""
+            SELECT doc_id, {_CLEAN} AS clean_text FROM documents
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex({_CLEAN}, '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length({_CLEAN}) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS ct FROM documents),
+            m AS (SELECT doc_id,
+                         CAST(length(ct) AS BIGINT) AS n_chars,
+                         CAST(len(string_split_regex(ct, '\\s+')) AS BIGINT) AS n_tokens,
+                         CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                         CAST(length(regexp_replace(ct, '[^0-9]', '', 'g')) AS BIGINT) AS digit
+                  FROM c)
+            SELECT doc_id, n_chars, n_tokens,
+                   alpha / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+                   digit / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+                   CAST(floor((0.4 * (alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                             + 0.3 * least(1.0, n_tokens / 100.0)
+                             + 0.3 * (1.0 - digit / CAST(greatest(n_chars, 1) AS DOUBLE)))
+                            * 10000 + 0.5) AS BIGINT) AS quality_x100
+            FROM m
+        """,
+        "doc_lang_id": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+            ), cnt AS (
+              SELECT doc_id,
+                CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) AS en_n,
+                CAST(len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS de_n,
+                CAST(len(list_filter(tk, x -> list_contains(['el','la','los','que','y','es'], x))) AS BIGINT) AS es_n,
+                CAST(len(list_filter(tk, x -> list_contains(['le','les','des','et','est','une'], x))) AS BIGINT) AS fr_n
+              FROM toks)
+            SELECT doc_id, en_n, de_n, es_n, fr_n,
+              CASE WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+                   WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+                   WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS predicted_lang
+            FROM cnt
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({_CLEAN}) AS fingerprint FROM documents
+        """,
+        "dedup_exact_prefix": f"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex({_CLEAN}, ' ') AS tk
+                       FROM documents),
+            k AS (SELECT doc_id, array_to_string(list_slice(tk, 1, 8), ' ') AS norm_key FROM t)
+            SELECT norm_key, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper
+            FROM k GROUP BY norm_key HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                   inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+            FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.qe AS DOUBLE[])) AS sim
+                  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id) AS "rank"
+                  FROM s)
+            SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY event_type, day
+        """,
+        "events_sessions": """
+            WITH o AS (SELECT user_id, event_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id
+        """,
+        "events_json_agg": """
+            SELECT event_type,
+                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, total_cents FROM (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+              FROM orders GROUP BY o_custkey
+            ) t JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_cents DESC, c_custkey LIMIT 10
+        """,
+        "lineitem_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <= TIMESTAMP '1996-12-31'
+        """,
+    }

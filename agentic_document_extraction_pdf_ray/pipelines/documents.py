@@ -1,0 +1,139 @@
+"""Text-analysis pipelines over a ``documents(doc_id, text, ...)`` table.
+
+Corpus-level analogues of the reference's per-page text machinery
+(quality metrics ``/root/reference/src/preprocessing/image_enhancer.py:855-928``;
+normalization ``src/utils/string_utils.py``), each expressed as vectorized
+``map_batches`` over zero-copy Arrow batches. Every function here has an
+exact DuckDB oracle in ``__ray_entry__.oracle_sql`` — formulas use only
+operations whose semantics are bit-identical between pyarrow/numpy and
+DuckDB (integer counts, float64 ratios of ints, ``floor(x*100+0.5)``
+fixed-point rounding, md5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# Marker-word lists for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "los", "que", "y", "es"),
+    "fr": ("le", "les", "des", "et", "est", "une"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr")     # tie-break ladder, first wins
+_TOKEN_RE = re.compile(r"[^a-z]+")
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns or ["doc_id", "text"])
+
+
+def _norm_ws(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """trim(regexp_replace(text, '\\s+', ' ')) — matches the DuckDB oracle."""
+    return pc.utf8_trim_whitespace(pc.replace_substring_regex(col, r"\s+", " "))
+
+
+def doc_normalize(sf_dir: str) -> ray.data.Dataset:
+    """clean_ocr_text+normalize_whitespace analogue over the corpus."""
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": _norm_ws(batch["text"]),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Token counting: whitespace tokens + cleaned char length per doc."""
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = _norm_ws(batch["text"])
+        toks = pc.split_pattern_regex(clean, r"\s+")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(clean), pa.int64()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Quality scoring: alpha/digit ratios + 0-100 score (×100 fixed point).
+
+    Weighted 0.4·alpha + 0.3·length-sat + 0.3·(1-digit) — the text analogue
+    of the reference's 0.4·sharp+0.3·contrast+0.3·brightness page score
+    (``/root/reference/src/preprocessing/image_enhancer.py:918-922``).
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = _norm_ws(batch["text"])
+        n_chars = pc.cast(pc.utf8_length(clean), pa.int64()).to_numpy(zero_copy_only=False)
+        alpha = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(clean, r"[^A-Za-z]", "")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        digit = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(clean, r"[^0-9]", "")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_tokens = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        denom = np.maximum(n_chars, 1).astype(np.float64)
+        alpha_ratio = alpha.astype(np.float64) / denom
+        digit_ratio = digit.astype(np.float64) / denom
+        len_sat = np.minimum(1.0, n_tokens.astype(np.float64) / 100.0)
+        score = 0.4 * alpha_ratio + 0.3 * len_sat + 0.3 * (1.0 - digit_ratio)
+        score_x100 = np.floor(score * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+            "digit_ratio": pa.array(digit_ratio, pa.float64()),
+            "quality_x100": pa.array(score_x100, pa.int64()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID heuristic: marker-word counts + deterministic argmax."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = {lang: np.zeros(len(texts), np.int64) for lang in _LANG_ORDER}
+        markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
+        for i, t in enumerate(texts):
+            toks = _TOKEN_RE.split(t.lower())
+            for lang in _LANG_ORDER:
+                m = markers[lang]
+                counts[lang][i] = sum(1 for w in toks if w in m)
+        en, de, es, fr = (counts[lang] for lang in _LANG_ORDER)
+        pred = np.where(
+            (en >= de) & (en >= es) & (en >= fr), "en",
+            np.where((de >= es) & (de >= fr), "de",
+                     np.where(es >= fr, "es", "fr")))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "en_n": pa.array(en), "de_n": pa.array(de),
+            "es_n": pa.array(es), "fr_n": pa.array(fr),
+            "predicted_lang": pa.array(pred.tolist(), pa.string()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Document fingerprinting: md5 of the normalized text (doc identity,
+    like the reference's SHA-256 doc hash,
+    ``/root/reference/src/utils/hash_utils.py:16-90``)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = _norm_ws(batch["text"]).to_pylist()
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in clean]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fps, pa.string()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")

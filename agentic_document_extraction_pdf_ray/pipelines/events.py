@@ -1,0 +1,83 @@
+"""Event-stream pipelines: tumbling windows, sessionization, JSON props.
+
+Ray Data has no event-time windowing; windows are expressed as grouped
+aggregates over the ordered, partitioned log (ray_guide.md "streaming-shaped
+workloads"): tumbling day windows = groupby(type, day) with map-side partial
+aggregation; sessions = groupby(user) + in-group ts sort + gap scan. Money
+sums use integer cents so results are order-independent and bit-identical
+to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+SESSION_GAP_MIN = 30
+
+_K_RE = re.compile(r'"k":\s*(-?\d+)')
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def events_daily(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-day windows per event_type: count + sum(value) in cents.
+
+    Map-side partial aggregation per batch (pandas groupby) → small final
+    groupby over (event_type, day) partials — the partial+final pattern
+    (SURVEY.md §2.5 AggregateMetrics)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            day=batch["ts"].dt.strftime("%Y-%m-%d"),
+            cents=np.floor(batch["value"] * 100.0 + 0.5).astype(np.int64),
+        )
+        g = (batch.groupby(["event_type", "day"], as_index=False)
+             .agg(n_events=("event_id", "size"), sum_cents=("cents", "sum")))
+        return g
+
+    ds = read_events(sf_dir, ["event_id", "ts", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["event_type", "day"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"))
+
+
+def events_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> ray.data.Dataset:
+    """Sessionization: per-user session count with a 30-minute idle gap.
+
+    groupby(user_id) → in-group ts sort → gap scan (the in-group ordered
+    linear scan, same shape as conversation segmentation)."""
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds().fillna(float("inf"))
+        n_sessions = int((gaps > gap_min * 60).sum())
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": np.array([n_sessions], np.int64),
+            "n_events": np.array([len(g)], np.int64),
+        })
+
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id"])
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def events_json_agg(sf_dir: str) -> ray.data.Dataset:
+    """JSON property extraction + aggregate: sum(props->>'$.k') per type."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = batch["props"].str.extract(_K_RE, expand=False).astype("int64")
+        batch = batch.assign(k=ks)
+        return (batch.groupby("event_type", as_index=False)
+                .agg(sum_k=("k", "sum"), n_events=("event_id", "size")))
+
+    ds = read_events(sf_dir, ["event_id", "event_type", "props"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("event_type").aggregate(
+        Sum("sum_k", alias_name="sum_k"),
+        Sum("n_events", alias_name="n_events"))

@@ -45,6 +45,7 @@ _NAME_STOP_TOKENS = frozenset(
 )
 _NAME_MAX_TOKENS = 5
 _HEADER_LINE_RE = re.compile(r"^(?:#{1,3} |={3,}\s*$)")
+_DIGIT_GATE_RE = re.compile(r"\d")
 
 
 def extract_fields(text: str) -> tuple[dict[str, str], int, int]:
@@ -56,11 +57,13 @@ def extract_fields(text: str) -> tuple[dict[str, str], int, int]:
     fields: dict[str, str] = {}
     candidates = 0
     valid = 0
+    has_digit = _DIGIT_GATE_RE.search(text) is not None
 
-    for i, (_raw, iso) in enumerate(scan_dates(text)):
-        fields[f"date_{i}"] = iso
-    for i, (_raw, amt) in enumerate(scan_currency(text)):
-        fields[f"amount_{i}"] = amt
+    if has_digit:
+        for i, (_raw, iso) in enumerate(scan_dates(text)):
+            fields[f"date_{i}"] = iso
+        for i, (_raw, amt) in enumerate(scan_currency(text)):
+            fields[f"amount_{i}"] = amt
     name_i = 0
     for m in _NAME_CTX_RE.finditer(text):
         toks = []
@@ -72,38 +75,39 @@ def extract_fields(text: str) -> tuple[dict[str, str], int, int]:
             fields[f"name_{name_i}"] = normalize_name(" ".join(toks))
             name_i += 1
 
-    npi_i = 0
-    for m in _NPI_CAND_RE.finditer(text):
-        candidates += 1
-        r = validate_npi(m.group(1))
-        if r.valid:
-            fields[f"npi_{npi_i}"] = r.normalized
-            npi_i += 1
-            valid += 1
-    cpt_i = 0
-    seen_cpt_spans: set[tuple[int, int]] = set()
-    for m in list(_CPT_CTX_RE.finditer(text)) + list(_CPT_MOD_RE.finditer(text)):
-        span = m.span(1)
-        if span in seen_cpt_spans:
-            continue
-        seen_cpt_spans.add(span)
-        candidates += 1
-        r = validate_cpt_code(m.group(1))
-        if r.valid:
-            fields[f"cpt_{cpt_i}"] = r.normalized
-            cpt_i += 1
-            valid += 1
-    icd_i = 0
-    for m in _ICD_CAND_RE.finditer(text):
-        # Skip bare 3-char stems with no dot: too many prose collisions.
-        if "." not in m.group(1):
-            continue
-        candidates += 1
-        r = validate_icd10_code(m.group(1))
-        if r.valid:
-            fields[f"icd10_{icd_i}"] = r.normalized
-            icd_i += 1
-            valid += 1
+    if has_digit:
+        npi_i = 0
+        for m in _NPI_CAND_RE.finditer(text):
+            candidates += 1
+            r = validate_npi(m.group(1))
+            if r.valid:
+                fields[f"npi_{npi_i}"] = r.normalized
+                npi_i += 1
+                valid += 1
+        cpt_i = 0
+        seen_cpt_spans: set[tuple[int, int]] = set()
+        for m in list(_CPT_CTX_RE.finditer(text)) + list(_CPT_MOD_RE.finditer(text)):
+            span = m.span(1)
+            if span in seen_cpt_spans:
+                continue
+            seen_cpt_spans.add(span)
+            candidates += 1
+            r = validate_cpt_code(m.group(1))
+            if r.valid:
+                fields[f"cpt_{cpt_i}"] = r.normalized
+                cpt_i += 1
+                valid += 1
+        icd_i = 0
+        for m in _ICD_CAND_RE.finditer(text):
+            # Skip bare 3-char stems with no dot: too many prose collisions.
+            if "." not in m.group(1):
+                continue
+            candidates += 1
+            r = validate_icd10_code(m.group(1))
+            if r.valid:
+                fields[f"icd10_{icd_i}"] = r.normalized
+                icd_i += 1
+                valid += 1
     return fields, candidates, valid
 
 

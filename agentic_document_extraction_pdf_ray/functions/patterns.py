@@ -47,6 +47,10 @@ _REPEATED_DIGIT_RE = re.compile(r"^(\d)\1{4,}$")          # 00000, 1111111
 _SEQUENTIAL_DIGITS = "0123456789012345678901234567890"
 _TRUNCATION_RE = re.compile(r"(\.{3}|…)\s*$")
 _WORD_RE = re.compile(r"[a-z0-9']+")
+_DIGIT_RE = re.compile(r"\d")
+_LONG_DIGIT_RE = re.compile(r"\b\d{5,}\b")
+_GENERIC_NAME_RE = re.compile("|".join(re.escape(n) for n in sorted(GENERIC_NAMES)))
+_GENERIC_ADDR_RE = re.compile("|".join(re.escape(a) for a in sorted(GENERIC_ADDRESSES)))
 
 # Flag names (stable, sorted downstream).
 F_PLACEHOLDER = "placeholder"
@@ -141,35 +145,53 @@ def flag_turn_text(text: str) -> list[str]:
         flags.add(F_PLACEHOLDER)
     if is_test_data(t):
         flags.add(F_TEST_DATA)
-    for name in GENERIC_NAMES:
-        if name in low:
-            flags.add(F_GENERIC_NAME)
-            break
-    for addr in GENERIC_ADDRESSES:
-        if addr in low:
-            flags.add(F_GENERIC_ADDRESS)
-            break
-    for _raw, iso in scan_dates(t):
-        d = parse_date(iso)
-        if d is not None and is_implausible_date(d):
-            flags.add(F_IMPLAUSIBLE_DATE)
-            break
+    if _GENERIC_NAME_RE.search(low):
+        flags.add(F_GENERIC_NAME)
+    if _GENERIC_ADDR_RE.search(low):
+        flags.add(F_GENERIC_ADDRESS)
+    if _DIGIT_RE.search(t):
+        for _raw, iso in scan_dates(t):
+            d = parse_date(iso)
+            if d is not None and is_implausible_date(d):
+                flags.add(F_IMPLAUSIBLE_DATE)
+                break
+        for tok in _LONG_DIGIT_RE.findall(t):
+            if _REPEATED_DIGIT_RE.match(tok):
+                flags.add(F_REPEATED_DIGITS)
+                if set(tok) == {"0"}:
+                    flags.add(F_ALL_ZERO_ID)
+            if is_sequential_digits(tok):
+                flags.add(F_SEQUENTIAL_ID)
     if _TRUNCATION_RE.search(t):
         flags.add(F_TRUNCATED)
-    for tok in re.findall(r"\b\d{5,}\b", t):
-        if _REPEATED_DIGIT_RE.match(tok):
-            flags.add(F_REPEATED_DIGITS)
-            if set(tok) == {"0"}:
-                flags.add(F_ALL_ZERO_ID)
-        if is_sequential_digits(tok):
-            flags.add(F_SEQUENTIAL_ID)
     return sorted(flags)
 
 
-def placeholder_density(text: str) -> float:
+# One regex for the token loop + a cheap substring gate that is a strict
+# superset of it (false positives only → correctness unaffected, most
+# clean blocks skip the per-token pass entirely).
+_PLACEHOLDER_OR_TEST_RE = re.compile(
+    "|".join(f"(?:{p})" for p in PLACEHOLDER_PATTERNS + TEST_DATA_PATTERNS),
+    re.IGNORECASE)
+# Substring gate (C-speed `in` scans): strict superset of the token
+# patterns — "na" covers n/a & na, "xx" covers xxx+, punctuation chars
+# cover the bracket/underscore/star/ellipsis forms.
+_PLACEHOLDER_GATE_SUBSTRINGS = (
+    "<", "[", "_", "*", "..", "na", "n/", "tbd", "placeholder", "unknown",
+    "applicab", "availab", "none", "null", "undefined", "determined",
+    "pending", "missing", "xx", "test", "sample", "demo", "example",
+    "dummy", "mock", "fake",
+)
+
+
+def placeholder_density(text: str, low: str | None = None) -> float:
     """Fraction of whitespace tokens that are placeholder/test-data tokens."""
+    if low is None:
+        low = text.lower()
+    if not any(s in low for s in _PLACEHOLDER_GATE_SUBSTRINGS):
+        return 0.0
     toks = text.split()
     if not toks:
         return 0.0
-    bad = sum(1 for t in toks if is_placeholder(t) or is_test_data(t))
+    bad = sum(1 for t in toks if _PLACEHOLDER_OR_TEST_RE.match(t))
     return bad / len(toks)

@@ -29,6 +29,9 @@ _URL_RE = re.compile(r"https?://\S+|www\.\S+")
 _MD_LINK_RE = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
 _SEP_LINE_RE = re.compile(r"^[\s\-=*_~#+.]{3,}$")
 _WORD_RE = re.compile(r"[A-Za-z']+")
+_NON_LETTER_RE = re.compile(r"[^A-Za-z]+")
+_NON_UPPER_RE = re.compile(r"[^A-Z]+")
+_NON_ALNUM_RE = re.compile(r"[^A-Za-z0-9]+")
 
 BOILERPLATE_MARKERS = (
     "copyright", "©", "all rights reserved", "subscribe", "unsubscribe",
@@ -70,17 +73,16 @@ def _classify_block(text: str) -> tuple[str, float, int]:
     link_chars += sum(len(m.group(0)) for m in _MD_LINK_RE.finditer(text))
     link_density = min(1.0, link_chars / n_chars) if n_chars else 0.0
 
-    words = _WORD_RE.findall(text)
-    n_words = len(words)
-    alpha_chars = sum(len(w) for w in words)
-    upper_chars = sum(1 for c in stripped if c.isupper())
+    n_words = len(_WORD_RE.findall(text))
+    alpha_chars = len(_NON_LETTER_RE.sub("", text))
+    upper_chars = len(_NON_UPPER_RE.sub("", stripped))
     upper_ratio = upper_chars / alpha_chars if alpha_chars else 0.0
 
     if n_lines and sep_lines / n_lines >= 0.5:
         return LABEL_SEPARATOR, link_density, n_words
-    if placeholder_density(stripped) >= 0.5:
-        return LABEL_PLACEHOLDER, link_density, n_words
     low = stripped.lower()
+    if placeholder_density(stripped, low) >= 0.5:
+        return LABEL_PLACEHOLDER, link_density, n_words
     has_marker = any(m in low for m in BOILERPLATE_MARKERS)
     piped_lines = sum(1 for ln in lines if ln.count("|") >= 2)
     if (
@@ -119,4 +121,4 @@ def alpha_ratio(text: str) -> float:
     stripped = "".join(text.split())
     if not stripped:
         return 0.0
-    return sum(1 for c in stripped if c.isalpha()) / len(stripped)
+    return len(_NON_LETTER_RE.sub("", stripped)) / len(stripped)

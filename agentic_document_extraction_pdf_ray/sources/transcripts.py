@@ -173,7 +173,7 @@ def _emit_conversation(rng: random.Random, conv_id: str, n_turns: int,
 
 
 def generate_transcripts(out_dir: str, n_turns: int, seed: int = 42,
-                         rows_per_file: int = 250_000,
+                         rows_per_file: int = 100_000,
                          mega_convs: int = 2) -> list[str]:
     """Write ``n_turns`` synthetic turns to ``out_dir`` as Parquet files.
 
@@ -202,7 +202,9 @@ def generate_transcripts(out_dir: str, n_turns: int, seed: int = 42,
             schema=SCHEMA,
         )
         path = os.path.join(out_dir, f"part-{file_i:05d}.parquet")
-        pq.write_table(table, path)
+        # Small row groups so Ray's parquet reader can split one file into
+        # many parallel read tasks.
+        pq.write_table(table, path, row_group_size=8192)
         paths.append(path)
         file_i += 1
         rows = []
@@ -233,7 +235,7 @@ def generate_transcripts(out_dir: str, n_turns: int, seed: int = 42,
 def transcripts_path(n_turns: int, seed: int = 42,
                      base: str = "/tmp/ray_extract_cache") -> str:
     """Cache directory for a generated transcript table; generates once."""
-    d = os.path.join(base, f"transcripts_n{n_turns}_s{seed}")
+    d = os.path.join(base, f"transcripts_v2_n{n_turns}_s{seed}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
         generate_transcripts(d, n_turns, seed)

@@ -126,6 +126,98 @@ def conv_finalize(group: pa.Table) -> pa.Table:
     return out
 
 
+def conv_finalize_block(part: pa.Table) -> pa.Table:
+    """Partition-level finalize: all conversations of one hash bucket.
+
+    One task per bucket instead of one ``map_groups`` call per conversation —
+    the per-group Arrow overhead (sort_by/append_column on 20-row groups)
+    dominates wall time otherwise. A single ordered linear scan computes
+    segment prefix-sums and exact dedup for every conv in the bucket;
+    state resets at conversation boundaries, so results are identical to
+    per-conversation processing.
+    """
+    n = part.num_rows
+    if n == 0:
+        return conv_finalize(part)
+    conv = part["conv_id"].to_pylist()
+    tidx = part["turn_idx"].to_pylist()
+    perm = sorted(range(n), key=lambda i: (conv[i], tidx[i]))
+    part = part.take(pa.array(perm, pa.int64()))
+    conv = [conv[i] for i in perm]
+    tidx = [tidx[i] for i in perm]
+    boundary = part["boundary"].to_pylist()
+    texts = part["extracted_text"].to_pylist()
+
+    seg_ids = [0] * n
+    dup_of: list[dict | None] = [None] * n
+    cur_conv: str | None = None
+    seg = -1
+    first_by_key: dict[str, int] = {}
+    for i in range(n):
+        if conv[i] != cur_conv:
+            cur_conv = conv[i]
+            seg = -1
+            first_by_key = {}
+        if seg < 0 or boundary[i]:
+            seg += 1
+        seg_ids[i] = max(seg, 0)
+        key = norm_key(texts[i])
+        if key:
+            if key in first_by_key:
+                dup_of[i] = {"conv_id": cur_conv, "turn_idx": first_by_key[key]}
+            else:
+                first_by_key[key] = int(tidx[i])
+
+    out = part.drop_columns(["boundary"])
+    out = out.append_column(pa.field("segment_id", pa.int32()),
+                            pa.array(seg_ids, pa.int32()))
+    out = out.append_column(pa.field("dup_of", DUP_TYPE),
+                            pa.array(dup_of, DUP_TYPE))
+    return out
+
+
+def conv_summary_block(part: pa.Table) -> pa.Table:
+    """Partition-level conversation summaries (one output row per conv)."""
+    part = conv_finalize_block(part)
+    conv = part["conv_id"].to_pylist()
+    conf = part["confidence"].to_pylist()
+    segs = part["segment_id"].to_pylist()
+    dups = part["dup_of"].is_valid().to_pylist()
+    flags_n = pc.list_value_length(part["flags"]).to_pylist()
+
+    out_rows: list[dict] = []
+    i = 0
+    n = part.num_rows
+    while i < n:
+        j = i
+        total = 0.0
+        n_dups = 0
+        n_flagged = 0
+        while j < n and conv[j] == conv[i]:
+            total += conf[j]
+            n_dups += 1 if dups[j] else 0
+            n_flagged += 1 if flags_n[j] else 0
+            j += 1
+        cnt = j - i
+        out_rows.append({
+            "conv_id": conv[i],
+            "n_turns": cnt,
+            "n_segments": segs[j - 1] + 1,
+            "n_dups": n_dups,
+            "mean_confidence": round(total / cnt, 6),
+            "n_flagged_turns": n_flagged,
+        })
+        i = j
+    return pa.table({
+        "conv_id": pa.array([r["conv_id"] for r in out_rows], pa.string()),
+        "n_turns": pa.array([r["n_turns"] for r in out_rows], pa.int64()),
+        "n_segments": pa.array([r["n_segments"] for r in out_rows], pa.int64()),
+        "n_dups": pa.array([r["n_dups"] for r in out_rows], pa.int64()),
+        "mean_confidence": pa.array([r["mean_confidence"] for r in out_rows], pa.float64()),
+        "n_flagged_turns": pa.array([r["n_flagged_turns"] for r in out_rows], pa.int64()),
+    })
+
+
 def conv_summary(group: pa.Table) -> pa.Table:
     """Per-conversation aggregate row (doc-level confidence analogue,
     ``/root/reference/src/validation/confidence.py:366-400``)."""

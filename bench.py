@@ -1,0 +1,137 @@
+"""Benchmark driver: headline extraction throughput + query timings.
+
+Prints ONE JSON line:
+    {"metric": "extract_wall_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns": n,
+     "turns_per_sec": r}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+--scaling: runs the headline job in FRESH processes at num_cpus=8 and 32 on
+identical input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for N vs 4N nodes, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def headline_turns(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    n = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    return max(100_000, n)
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import agentic_document_extraction_pdf_ray  # noqa: F401 (PYTHONPATH for workers)
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from agentic_document_extraction_pdf_ray.pipelines import (
+        dedup, documents, events, relational, similarity,
+    )
+    from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
+    from agentic_document_extraction_pdf_ray.sources.transcripts import transcripts_path
+
+    n_turns = headline_turns(sf_dir)
+    src = transcripts_path(n_turns, seed=42)     # cached across runs
+
+    # Warm the OS page cache so we measure compute+shuffle, not cold disk.
+    import pyarrow.parquet as pq
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(src, f))
+
+    out_dir = "/tmp/bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    extract_pipeline(src).write_parquet(out_dir)
+    headline = time.time() - t0
+
+    def timed(fn, *a):
+        t = time.time()
+        res = fn(*a)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        return round(time.time() - t, 3)
+
+    queries = {
+        "q1_pricing": timed(relational.q1_pricing_summary, sf_dir),
+        "revenue_by_nation": timed(relational.revenue_by_nation, sf_dir),
+        "lineitem_filter_project": timed(
+            lambda d: relational.lineitem_filter_project(d).count(), sf_dir),
+        "doc_quality": timed(documents.doc_quality, sf_dir),
+        "doc_lang_id": timed(documents.doc_lang_id, sf_dir),
+        "dedup_exact_prefix": timed(dedup.dedup_exact_prefix, sf_dir),
+        "ngram_jaccard_pairs": timed(dedup.ngram_jaccard_pairs, sf_dir),
+        "minhash_lsh_pairs": timed(dedup.minhash_lsh_pairs, sf_dir),
+        "ann_topk": timed(similarity.ann_topk, sf_dir),
+        "events_daily": timed(events.events_daily, sf_dir),
+        "events_sessions": timed(events.events_sessions, sf_dir),
+    }
+
+    ray.shutdown()
+    return {
+        "metric": "extract_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input, fresh processes at 8 and 32 CPUs."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    eff = (t_hi / t_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo_cpus, "cpus_hi": hi_cpus,
+        "sec_lo": lo["value"], "sec_hi": hi["value"],
+        "turns_per_sec_lo": t_lo, "turns_per_sec_hi": t_hi,
+        "turns": lo["turns"], "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,46 @@
+"""Salted mega-conversation path equals the unsalted pipeline (M4)."""
+
+import pytest
+
+from agentic_document_extraction_pdf_ray.pipelines.extract import (
+    extract_pipeline, sort_output,
+)
+from agentic_document_extraction_pdf_ray.pipelines.scale import extract_pipeline_salted
+
+
+@pytest.fixture(scope="module")
+def skewed_transcripts(tmp_path_factory):
+    """5k turns with two mega-conversations (~25% of all turns)."""
+    from agentic_document_extraction_pdf_ray.sources.transcripts import generate_transcripts
+    d = tmp_path_factory.mktemp("skewed")
+    generate_transcripts(str(d), 5000, seed=7, mega_convs=2)
+    return str(d)
+
+
+def _key(r):
+    return (r["conv_id"], r["turn_idx"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedEquality:
+    def test_salted_equals_unsalted(self, skewed_transcripts):
+        # chunk_size far below the mega-conv length → many salted chunks.
+        plain = sort_output(extract_pipeline(skewed_transcripts)).take_all()
+        salted = sort_output(
+            extract_pipeline_salted(skewed_transcripts, chunk_size=100)).take_all()
+        assert len(plain) == len(salted)
+        for p, s in zip(plain, salted):
+            assert _key(p) == _key(s)
+            assert p["extracted_text"] == s["extracted_text"], _key(p)
+            assert p["segment_id"] == s["segment_id"], _key(p)
+            assert p["confidence"] == s["confidence"], _key(p)
+            dp, ds_ = p["dup_of"], s["dup_of"]
+            if dp is None:
+                assert ds_ is None, _key(p)
+            else:
+                assert ds_ is not None and ds_["turn_idx"] == dp["turn_idx"], _key(p)
+
+    def test_mega_conv_spans_chunks(self, skewed_transcripts):
+        salted = extract_pipeline_salted(skewed_transcripts, chunk_size=100)
+        rows = [r for r in salted.take_all() if r["conv_id"].startswith("mega-")]
+        assert len(rows) > 300, "fixture should contain mega-conversations"

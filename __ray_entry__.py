@@ -63,6 +63,91 @@ def _q_conv_summaries(sf_dir: str) -> Any:
     return conv_summaries(_transcripts_for(sf_dir))
 
 
+def _q_layout_scores(sf_dir: str) -> Any:
+    """Actor-pool stub model over documents (stateful-stage pattern)."""
+    import ray.data
+
+    from agentic_document_extraction_pdf_ray.stages.model import LayoutScorer
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LayoutScorer, batch_format="pyarrow",
+                          concurrency=2, batch_size=1024)
+
+
+def _q_dual_pass(sf_dir: str) -> Any:
+    """Dual-pass extraction + reconciliation over the transcript table."""
+    import pyarrow as pa
+
+    from agentic_document_extraction_pdf_ray.pipelines.extract import read_transcripts
+    from agentic_document_extraction_pdf_ray.stages.extract import extract_turn_batch
+    from agentic_document_extraction_pdf_ray.stages.reconcile import run_dual_pass_batch
+
+    def extract_keep_text(batch: pa.Table) -> pa.Table:
+        out = extract_turn_batch(batch)
+        return out.append_column("text", batch["text"])
+
+    ds = read_transcripts(_transcripts_for(sf_dir))
+    return (ds.map_batches(extract_keep_text, batch_format="pyarrow")
+            .map_batches(run_dual_pass_batch, batch_format="pyarrow")
+            .map_batches(lambda b: b.drop_columns(
+                [c for c in ("merged_fields", "match_levels")
+                 if c in b.column_names]), batch_format="pyarrow"))
+
+
+def _q_calibrated(sf_dir: str) -> Any:
+    """Fit per-role calibrators on extraction output, apply broadcast."""
+    import pyarrow as pa
+    import ray.data
+
+    from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
+    from agentic_document_extraction_pdf_ray.stages.calibration import (
+        apply_calibration, fit_partitioned,
+    )
+    ds = extract_pipeline(_transcripts_for(sf_dir))
+
+    def sample_cols(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ok = pc.cast(pc.equal(pc.list_value_length(batch["flags"]), 0),
+                     pa.float64())
+        return pa.table({"profile": batch["role"],
+                         "confidence": batch["confidence"],
+                         "correct": ok})
+    samples = ds.map_batches(sample_cols, batch_format="pyarrow")
+    params = fit_partitioned(samples, partition_col="profile", method="isotonic")
+    scored = ds.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "confidence"]),
+        batch_format="pyarrow")
+    return apply_calibration(scored, params, partition_col="role")
+
+
+def _q_injection_report(sf_dir: str) -> Any:
+    """Seeded injection harness catch-rate report over extraction output."""
+    import pandas as pd
+
+    from agentic_document_extraction_pdf_ray.pipelines.evaluate import (
+        inject_mutations, injection_catch_rate,
+    )
+    from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
+    rows = extract_pipeline(_transcripts_for(sf_dir)).take_all()
+    golden = [{"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+               "fields": dict(r["fields"] or [])} for r in rows]
+    mutated, log = inject_mutations(golden, seed=42, rate=0.3)
+    rep = injection_catch_rate(mutated, log)
+    return pd.DataFrame([rep])
+
+
+def _q_extract_salted(sf_dir: str) -> Any:
+    """Flagship semantics via the salted mega-conversation path."""
+    import pyarrow.compute as pc
+
+    from agentic_document_extraction_pdf_ray.pipelines.scale import extract_pipeline_salted
+    ds = extract_pipeline_salted(_transcripts_for(sf_dir), chunk_size=500)
+    return ds.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "extracted_text",
+                            "confidence", "segment_id"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from agentic_document_extraction_pdf_ray.pipelines import (
         dedup, documents, events, relational, similarity,
@@ -89,12 +174,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_agg": events.events_json_agg,               # SQL-matched
         # --- relational core ---
         "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
+        "part_type_stats": relational.part_type_stats,           # SQL-matched
+        "distinct_brands": relational.distinct_brands,           # SQL-matched
+        "order_revenue_topk": relational.order_revenue_topk,     # SQL-matched
+        "customer_segment_stats": relational.customer_segment_stats,  # SQL-matched
         "revenue_by_nation": relational.revenue_by_nation,       # SQL-matched
         "top_customers": relational.top_customers,               # SQL-matched
         "lineitem_filter_project": relational.lineitem_filter_project,  # SQL-matched
+        # --- stateful / model / reconciliation stages (rows-only) ---
+        "layout_scores": _q_layout_scores,
+        "dual_pass_reconcile": _q_dual_pass,
+        "calibrated_confidence": _q_calibrated,
+        "eval_injection_report": _q_injection_report,
         # --- flagship extraction (oracle = pytest equality, not SQL) ---
         "extract_turns": _q_extract_turns,
         "conv_summaries": _q_conv_summaries,
+        "extract_turns_salted": _q_extract_salted,
     }
 
 
@@ -231,6 +326,28 @@ def oracle_sql() -> dict[str, str]:
               FROM orders GROUP BY o_custkey
             ) t JOIN customer ON c_custkey = o_custkey
             ORDER BY total_cents DESC, c_custkey LIMIT 10
+        """,
+        "part_type_stats": """
+            SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+                   min(p_size) AS min_size, max(p_size) AS max_size
+            FROM part GROUP BY p_type
+        """,
+        "distinct_brands": """
+            SELECT DISTINCT p_brand FROM part
+        """,
+        "customer_segment_stats": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "order_revenue_topk": """
+            SELECT o.o_orderkey, o.o_custkey, rev.revenue_cents FROM (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY l_orderkey
+            ) rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
+            ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
         """,
         "lineitem_filter_project": """
             SELECT l_orderkey, l_linenumber,

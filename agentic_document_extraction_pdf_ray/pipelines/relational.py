@@ -146,3 +146,101 @@ def lineitem_filter_project(sf_dir: str, date_lo: str = "1996-01-01",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def part_type_stats(sf_dir: str) -> ray.data.Dataset:
+    """Groupby with Count/Sum/Min/Max aggregate battery over part."""
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_type", "p_retailprice", "p_size"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(cents=_cents(batch["p_retailprice"]))
+        return (batch.groupby("p_type", as_index=False)
+                .agg(n_parts=("p_size", "size"), sum_cents=("cents", "sum"),
+                     min_size=("p_size", "min"), max_size=("p_size", "max")))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("p_type").aggregate(
+        Sum("n_parts", alias_name="n_parts"),
+        Sum("sum_cents", alias_name="sum_cents"),
+        Min("min_size", alias_name="min_size"),
+        Max("max_size", alias_name="max_size"))
+
+
+def distinct_brands(sf_dir: str) -> ray.data.Dataset:
+    """Distinct values (ds.unique-class op, via groupby keys)."""
+    from ray.data.aggregate import Count
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand"])
+    return (ds.groupby("p_brand").aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"]))
+
+
+def order_revenue_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Large-large join demo: lineitem ⋈ orders via union + co-group.
+
+    Per-order revenue partials (map-side combine over lineitem) are unioned
+    with the tagged orders side and co-grouped on o_orderkey — a
+    hash-partitioned join without broadcasting either side (the pattern for
+    two big tables, ray_guide.md "Joins"); then global top-k."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        batch = batch.assign(
+            rev=np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64))
+        g = (batch.groupby("l_orderkey", as_index=False)
+             .agg(revenue_cents=("rev", "sum")))
+        g = g.rename(columns={"l_orderkey": "o_orderkey"})
+        g["o_custkey"] = np.int64(-1)
+        g["side"] = "l"
+        return g[["o_orderkey", "o_custkey", "revenue_cents", "side"]]
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def o_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(revenue_cents=np.int64(0), side="o")
+        return batch[["o_orderkey", "o_custkey", "revenue_cents", "side"]]
+
+    unioned = (li.map_batches(li_partial, batch_format="pandas")
+               .union(orders.map_batches(o_tag, batch_format="pandas")))
+
+    def cogroup(g: pd.DataFrame) -> pd.DataFrame:
+        rev = int(g.loc[g["side"] == "l", "revenue_cents"].sum())
+        o = g[g["side"] == "o"]
+        if o.empty or rev == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "o_custkey": pd.Series([], dtype=np.int64),
+                                 "revenue_cents": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "o_orderkey": [int(o["o_orderkey"].iloc[0])],
+            "o_custkey": [int(o["o_custkey"].iloc[0])],
+            "revenue_cents": np.array([rev], np.int64),
+        })
+
+    joined = unioned.groupby("o_orderkey").map_groups(cogroup,
+                                                      batch_format="pandas")
+    top = (joined.sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+           .limit(k).to_pandas())
+    return top[["o_orderkey", "o_custkey", "revenue_cents"]]
+
+
+def customer_segment_stats(sf_dir: str) -> ray.data.Dataset:
+    """Groupby over customer: count + balance cents per market segment."""
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_mktsegment", "c_acctbal"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(cents=_cents(batch["c_acctbal"]))
+        return (batch.groupby("c_mktsegment", as_index=False)
+                .agg(n_customers=("cents", "size"), bal_cents=("cents", "sum")))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Sum("bal_cents", alias_name="bal_cents")))

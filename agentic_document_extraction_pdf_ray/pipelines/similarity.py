@@ -74,7 +74,7 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10) -> pd.DataFrame:
     return partials[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
     """All-pairs cosine near-dup (doc_a < doc_b, sim ≥ threshold).
 
     The full matrix is broadcast once (fine to ~1M×64 fp32 = 256 MB; beyond

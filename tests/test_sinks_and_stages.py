@@ -1,0 +1,114 @@
+"""PHI redaction, EDI parsing, export sinks, multimodal stub plumbing."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from agentic_document_extraction_pdf_ray.pipelines.export import (
+    export_json, export_markdown, verify_signed_receipt, write_signed_receipt,
+)
+from agentic_document_extraction_pdf_ray.sources.edi import (
+    detect_delimiters, detect_transaction_type, parse_edi, parse_segments,
+)
+from agentic_document_extraction_pdf_ray.stages.multimodal import (
+    DecodeStub, decode_media, synth_media_table,
+)
+from agentic_document_extraction_pdf_ray.stages.phi import (
+    REDACTED, is_phi_field, redact_batch, redact_text,
+)
+
+
+class TestPHI:
+    def test_redact_text(self):
+        t, ch = redact_text("SSN 123-45-6789 call (555) 123-4567 NPI: 1234567893")
+        assert ch and "123-45-6789" not in t and "1234567893" not in t
+
+    def test_field_markers(self):
+        assert is_phi_field("name_0") and is_phi_field("npi_1")
+        assert not is_phi_field("amount_0")
+
+    def test_redact_batch(self):
+        mt = pa.map_(pa.string(), pa.string())
+        batch = pa.table({
+            "extracted_text": ["Patient SSN 123-45-6789", "clean"],
+            "fields": pa.array([[("name_0", "SMITH, JOHN"), ("amount_0", "5.00")],
+                                []], mt),
+        })
+        out = redact_batch(batch)
+        f0 = dict(out["fields"][0].as_py())
+        assert f0["name_0"] == REDACTED and f0["amount_0"] == "5.00"
+        assert out["redacted_fields"][0].as_py() == ["extracted_text", "name_0"]
+        assert out["redacted_fields"][1].as_py() == []
+
+
+class TestEDI:
+    EDI = "ISA*00*A*00*B~GS*HC*X*Y~ST*837*0001~SE*3*0001~"
+
+    def test_delimiters(self):
+        assert detect_delimiters(self.EDI) == ("*", "~")
+        assert detect_delimiters("plain text") == ("*", "~")
+
+    def test_segments_and_type(self):
+        segs = parse_segments(self.EDI)
+        assert [s[0] for s in segs] == ["ISA", "GS", "ST", "SE"]
+        assert detect_transaction_type(segs) == "claim"
+        p = parse_edi(self.EDI)
+        assert p["n_segments"] == 4 and p["transaction_type"] == "claim"
+
+
+class TestExport:
+    ROWS = [{"conv_id": "c1", "turn_idx": 0, "extracted_text": "hello",
+             "fields": [("date_0", "2024-01-15")], "flags": [],
+             "confidence": 0.9, "segment_id": 0,
+             "spans": [{"start": 0, "end": 5, "label": "main"}],
+             "dup_of": None}]
+
+    def test_json_shapes(self, tmp_path):
+        for shape in ("minimal", "standard", "detailed"):
+            p = export_json(self.ROWS, str(tmp_path / f"{shape}.json"), shape)
+            data = json.load(open(p))
+            assert data["shape"] == shape and data["n_rows"] == 1
+        detailed = json.load(open(tmp_path / "detailed.json"))
+        assert detailed["rows"][0]["spans"][0]["label"] == "main"
+        minimal = json.load(open(tmp_path / "minimal.json"))
+        assert "fields" not in minimal["rows"][0]
+
+    def test_markdown(self, tmp_path):
+        conv = [{"conv_id": "c1", "n_turns": 3, "n_segments": 1, "n_dups": 0,
+                 "n_flagged_turns": 1, "mean_confidence": 0.81}]
+        p = export_markdown(conv, str(tmp_path / "report.md"))
+        text = open(p).read()
+        assert "# Extraction report" in text and "`c1`" in text
+
+    def test_signed_receipt_roundtrip(self, tmp_path):
+        a = tmp_path / "a.json"
+        a.write_text("{}")
+        rp = write_signed_receipt([str(a)], str(tmp_path / "receipt.json"),
+                                  hmac_key=b"secret")
+        assert verify_signed_receipt(rp, str(tmp_path), hmac_key=b"secret")
+        assert not verify_signed_receipt(rp, str(tmp_path), hmac_key=b"wrong")
+        a.write_text("{tampered}")
+        assert not verify_signed_receipt(rp, str(tmp_path), hmac_key=b"secret")
+
+
+class TestMultimodal:
+    def test_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            DecodeStub(deterministic_fake=False)._decode_features(b"x", "image")
+
+    def test_deterministic_fake(self):
+        s = DecodeStub()
+        f1 = s._decode_features(b"payload", "image")
+        f2 = DecodeStub()._decode_features(b"payload", "image")
+        assert (f1 == f2).all()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_decode_stage(self):
+        import ray.data
+        t = synth_media_table(50)
+        ds = ray.data.from_arrow(t)
+        out = decode_media(ds, concurrency=1, batch_size=16).take_all()
+        assert len(out) == 50
+        assert all(len(r["features"]) == 64 for r in out)
+        assert "payload" not in out[0]

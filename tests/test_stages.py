@@ -1,0 +1,147 @@
+"""Tests for stateful/actor-pool stages and reconciliation operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from agentic_document_extraction_pdf_ray.stages.calibration import (
+    IsotonicParams, LinearParams, apply_calibration, expected_calibration_error,
+    fit_isotonic, fit_linear, fit_partitioned,
+)
+from agentic_document_extraction_pdf_ray.stages.model import LayoutScorer
+from agentic_document_extraction_pdf_ray.stages.reconcile import (
+    dual_pass_compare, reconcile_fields, run_dual_pass_batch,
+)
+
+
+class TestDualPass:
+    def test_exact(self):
+        r = dual_pass_compare("ABC", 0.8, "abc", 0.9)
+        assert r.level == "exact"
+        assert r.value == "abc"          # higher-confidence side wins
+        assert r.confidence == 0.9
+
+    def test_fuzzy(self):
+        r = dual_pass_compare("Jonathan", 0.8, "Jonathon", 0.7)
+        assert r.level == "fuzzy"
+        assert r.value == "Jonathan"
+        assert r.confidence == pytest.approx(0.8 * 0.95)
+
+    def test_mismatch(self):
+        r = dual_pass_compare("alpha", 0.8, "zzzzz", 0.6)
+        assert r.level == "mismatch"
+        assert r.confidence == pytest.approx(0.8 * 0.5)
+
+    def test_single_pass(self):
+        r = dual_pass_compare("only", 0.9, None, 0.0)
+        assert r.level == "single_pass"
+        assert r.confidence == pytest.approx(0.9 * 0.8)
+
+    def test_numeric_tolerance(self):
+        assert dual_pass_compare("100.0", .9, "100.00001", .8).level == "exact"
+        assert dual_pass_compare("100", .9, "200", .8).level == "mismatch"
+
+
+class TestReconcile:
+    def test_exact_boost_capped(self):
+        rec = reconcile_fields({"a": "x"}, 0.98, {"a": "x"}, 0.9)
+        assert rec["field_confidences"]["a"] == 1.0
+        assert rec["agreement_rate"] == 1.0
+
+    def test_sorted_union_deterministic(self):
+        rec1 = reconcile_fields({"b": "1", "a": "2"}, .8, {"c": "3"}, .7)
+        rec2 = reconcile_fields({"a": "2", "b": "1"}, .8, {"c": "3"}, .7)
+        assert list(rec1["fields"]) == ["a", "b", "c"]
+        assert rec1 == rec2
+
+    def test_placeholder_dropped(self):
+        rec = reconcile_fields({"a": "N/A"}, 0.9, {"a": "real value"}, 0.5)
+        assert rec["fields"]["a"] == "real value"
+
+    def test_disagreement_count(self):
+        rec = reconcile_fields({"a": "xxxy"}, .8, {"a": "zz"}, .7)
+        assert rec["disagreement_count"] == 1
+
+
+class TestLayoutScorer:
+    def test_deterministic_across_instances(self):
+        batch = pa.table({"extracted_text": ["hello world", "other text", ""]})
+        s1 = LayoutScorer()(batch)["layout_score"].to_pylist()
+        s2 = LayoutScorer()(batch)["layout_score"].to_pylist()
+        assert s1 == s2
+        assert all(0.0 <= x <= 1.0 for x in s1)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_actor_pool_stage(self):
+        import ray.data
+        ds = ray.data.from_items(
+            [{"extracted_text": f"text number {i}"} for i in range(100)])
+        out = ds.map_batches(LayoutScorer, batch_format="pyarrow",
+                             concurrency=2, batch_size=32).take_all()
+        direct = LayoutScorer()(
+            pa.table({"extracted_text": [f"text number {i}" for i in range(100)]})
+        )["layout_score"].to_pylist()
+        got = {r["extracted_text"]: r["layout_score"] for r in out}
+        for i in range(100):
+            assert got[f"text number {i}"] == direct[i]
+
+
+class TestCalibration:
+    def test_linear_identity(self):
+        p = fit_linear(np.array([0.1, 0.9]), np.array([0.1, 0.9]))
+        assert p.a == pytest.approx(1.0)
+        assert p.b == pytest.approx(0.0, abs=1e-9)
+
+    def test_isotonic_monotone(self):
+        conf = np.array([0.1, 0.2, 0.3, 0.4, 0.9])
+        corr = np.array([0.0, 1.0, 0.0, 1.0, 1.0])
+        p = fit_isotonic(conf, corr)
+        ys = p.apply(np.linspace(0, 1, 11))
+        assert all(a <= b + 1e-12 for a, b in zip(ys, ys[1:]))
+
+    def test_ece(self):
+        conf = np.array([0.9, 0.9, 0.1, 0.1])
+        corr = np.array([1.0, 1.0, 0.0, 0.0])
+        assert expected_calibration_error(conf, corr) < 0.11
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_partitioned_fit_and_apply(self):
+        import ray.data
+        rows = []
+        # partition "big" has enough samples; "small" falls back to global
+        for i in range(100):
+            rows.append({"profile": "big", "confidence": i / 100,
+                         "correct": 1.0 if i > 50 else 0.0})
+        for i in range(5):
+            rows.append({"profile": "small", "confidence": 0.5, "correct": 1.0})
+        params = fit_partitioned(ray.data.from_items(rows), method="isotonic")
+        assert "big" in params and "small" not in params
+        ds = ray.data.from_items([
+            {"profile": "big", "confidence": 0.8},
+            {"profile": "small", "confidence": 0.8},
+        ])
+        out = apply_calibration(ds, params).take_all()
+        assert all("calibrated_confidence" in r for r in out)
+
+    def test_params_apply_clamped(self):
+        assert LinearParams(2.0, 0.5).apply(np.array([0.9]))[0] == 1.0
+        assert IsotonicParams().apply(np.array([0.3]))[0] == pytest.approx(0.3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDualPassPipeline:
+    def test_run_dual_pass(self, tiny_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            extract_turns, read_transcripts,
+        )
+        ds = extract_turns(read_transcripts(tiny_transcripts))
+
+        def with_text(batch):
+            return batch
+        # run_dual_pass_batch needs the raw text column too → re-read raw.
+        import ray.data
+        raw = read_transcripts(tiny_transcripts)
+        joined = ds.map_batches(run_dual_pass_batch, batch_format="pyarrow")
+        out = joined.take(50)
+        assert all(0.0 <= r["agreement_rate"] <= 1.0 for r in out)
+        assert all(r["disagreement_count"] >= 0 for r in out)

@@ -117,3 +117,18 @@ def date_difference_days(d1: date, d2: date) -> int:
 def dates_in_order(*ds: date) -> bool:
     """True when the dates are monotonically non-decreasing."""
     return all(a <= b for a, b in zip(ds, ds[1:]))
+
+
+def format_date(d: date, output_format: str = "%m/%d/%Y") -> str:
+    """Format a date object (datetime accepted) to string."""
+    if isinstance(d, datetime):
+        d = d.date()
+    return d.strftime(output_format)
+
+
+def calculate_age(dob: date, as_of: date = REFERENCE_TODAY) -> int:
+    """Whole years between dob and the pinned reference date."""
+    years = as_of.year - dob.year
+    if (as_of.month, as_of.day) < (dob.month, dob.day):
+        years -= 1
+    return years

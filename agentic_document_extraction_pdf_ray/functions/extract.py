@@ -163,6 +163,16 @@ def extract_turn(text: str | None, role: str = "user", tool: str = "") -> dict[s
         fields, candidates, valid = extract_fields(extracted)
 
     flags = flag_turn_text(cleaned)
+    # Cross-field repeated-value hallucination signal: the same normalized
+    # value in >= 3 fields (pattern_detector.py:398-422).
+    if fields:
+        counts: dict[str, int] = {}
+        for v in fields.values():
+            key = " ".join(v.lower().split())
+            if key:
+                counts[key] = counts.get(key, 0) + 1
+        if any(c >= 3 for c in counts.values()):
+            flags = sorted(set(flags) | {"repeated_value"})
 
     raw = (0.5 + 0.5 * alpha_ratio(extracted)) if extracted else 0.0
     val_score = (valid / candidates) if candidates else 1.0

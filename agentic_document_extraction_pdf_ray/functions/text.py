@@ -185,3 +185,15 @@ def norm_key(text: str | None) -> str:
     if not text:
         return ""
     return " ".join(text.lower().strip().split())
+
+
+def pad_string(text: str, length: int, pad_char: str = " ",
+               align: str = "left") -> str:
+    """Pad/truncate to a fixed length with left/right/center alignment."""
+    if len(text) >= length:
+        return text[:length]
+    if align == "left":
+        return text.ljust(length, pad_char)
+    if align == "right":
+        return text.rjust(length, pad_char)
+    return text.center(length, pad_char)

@@ -59,3 +59,54 @@ def score_layout(ds, concurrency=(2, 4), batch_size: int = 2048):
     return ds.map_batches(LayoutScorer, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size,
                           num_cpus=1)
+
+
+class SelfCorrectingExtractor:
+    """Bounded in-row retry actor: the reference's retry/self-correction
+    loop (``/root/reference/src/extraction/multi_record.py:1038-1196``,
+    graph retry ``src/pipeline/state.py:788-823`` max_retries=2 →
+    human_review) kept INSIDE the UDF — never a dataset-level cycle
+    (SURVEY.md §7.5). A low-confidence turn is re-extracted with a fallback
+    view (whitespace-normalized full text, no boilerplate strip); if still
+    low, the row is marked for review in a ``status`` column instead of
+    raising.
+    """
+
+    MAX_RETRIES = 2
+
+    def __init__(self, low_threshold: float = 0.5):
+        self.low = low_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.confidence import (
+            ACTION_AUTO_ACCEPT, ACTION_HUMAN_REVIEW, confidence_action,
+        )
+        from ..functions.extract import extract_turn
+        texts = batch["text"].to_pylist()
+        roles = batch["role"].to_pylist() if "role" in batch.column_names \
+            else ["user"] * batch.num_rows
+        out_text, out_conf, out_status, out_retries = [], [], [], []
+        for t, role in zip(texts, roles):
+            r = extract_turn(t, role or "user", "")
+            retries = 0
+            while r["confidence"] < self.low and retries < self.MAX_RETRIES:
+                retries += 1
+                # fallback view: treat as opaque payload (no block strip)
+                r2 = extract_turn(t, "tool", "")
+                if r2["confidence"] <= r["confidence"]:
+                    break              # deterministic fallback won't improve
+                r = r2
+            out_text.append(r["extracted_text"])
+            out_conf.append(r["confidence"])
+            out_retries.append(retries)
+            action = confidence_action(r["confidence"])
+            out_status.append(
+                "ok" if action == ACTION_AUTO_ACCEPT else
+                "review" if action == ACTION_HUMAN_REVIEW else "retry_done")
+        return pa.table({
+            "text": batch["text"],
+            "extracted_text": pa.array(out_text, pa.string()),
+            "confidence": pa.array(out_conf, pa.float64()),
+            "retries": pa.array(out_retries, pa.int32()),
+            "status": pa.array(out_status, pa.string()),
+        })

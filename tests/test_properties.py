@@ -1,0 +1,66 @@
+"""Property-based tests (hypothesis) for core invariants."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from agentic_document_extraction_pdf_ray.functions.extract import extract_turn
+from agentic_document_extraction_pdf_ray.functions.text import (
+    clean_text, levenshtein_distance, normalize_whitespace, similarity_ratio,
+)
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400)
+
+
+class TestTextProperties:
+    @given(text_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_clean_idempotent(self, s):
+        assert clean_text(clean_text(s)) == clean_text(s)
+
+    @given(text_strategy)
+    @settings(max_examples=200, deadline=None)
+    def test_normalize_ws_idempotent_and_single_spaced(self, s):
+        n = normalize_whitespace(s)
+        assert normalize_whitespace(n) == n
+        assert "  " not in n and not n.startswith(" ") and not n.endswith(" ")
+
+    @given(st.text(max_size=60), st.text(max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_levenshtein_symmetric_and_bounded(self, a, b):
+        d = levenshtein_distance(a, b)
+        assert d == levenshtein_distance(b, a)
+        assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_similarity_self_is_one(self, a):
+        assert similarity_ratio(a, a) == 1.0
+
+
+class TestExtractProperties:
+    @given(text_strategy, st.sampled_from(["user", "assistant", "system", "tool"]))
+    @settings(max_examples=150, deadline=None)
+    def test_extract_total_and_deterministic(self, s, role):
+        r1 = extract_turn(s, role)
+        r2 = extract_turn(s, role)
+        assert r1 == r2
+        assert 0.0 <= r1["confidence"] <= 1.0
+        assert r1["n_kept"] <= r1["n_blocks"]
+
+    @given(text_strategy)
+    @settings(max_examples=150, deadline=None)
+    def test_spans_index_into_cleaned(self, s):
+        r = extract_turn(s, "user")
+        cleaned = clean_text(s)
+        prev_end = -1
+        for sp in r["spans"]:
+            assert 0 <= sp["start"] <= sp["end"] <= len(cleaned)
+            assert sp["start"] >= prev_end, "spans must be ordered, non-overlapping"
+            prev_end = sp["end"]
+
+    @given(text_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_flags_sorted_unique(self, s):
+        flags = extract_turn(s, "user")["flags"]
+        assert flags == sorted(set(flags))

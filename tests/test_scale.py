@@ -44,3 +44,22 @@ class TestSaltedEquality:
         salted = extract_pipeline_salted(skewed_transcripts, chunk_size=100)
         rows = [r for r in salted.take_all() if r["conv_id"].startswith("mega-")]
         assert len(rows) > 300, "fixture should contain mega-conversations"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleFirstEquality:
+    def test_shuffle_first_equals_plain(self, skewed_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            extract_pipeline_shuffle_first,
+        )
+        plain = sort_output(extract_pipeline(skewed_transcripts)).take_all()
+        alt = sort_output(
+            extract_pipeline_shuffle_first(skewed_transcripts,
+                                           num_partitions=16)).take_all()
+        assert len(plain) == len(alt)
+        for p, s in zip(plain, alt):
+            assert _key(p) == _key(s)
+            assert p["extracted_text"] == s["extracted_text"], _key(p)
+            assert p["segment_id"] == s["segment_id"], _key(p)
+            dp, ds_ = p["dup_of"], s["dup_of"]
+            assert (dp is None) == (ds_ is None), _key(p)

@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": documents.doc_quality,
         "doc_lang_id": documents.doc_lang_id,
         "doc_fingerprint": documents.doc_fingerprint,
+        "doc_profile": documents.doc_profile,
         # --- dedup family ---
         "dedup_exact_prefix": dedup.dedup_exact_prefix,          # SQL-matched
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
@@ -178,6 +179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_brands": relational.distinct_brands,           # SQL-matched
         "order_revenue_topk": relational.order_revenue_topk,     # SQL-matched
         "customer_segment_stats": relational.customer_segment_stats,  # SQL-matched
+        "supplier_by_nation": relational.supplier_by_nation,     # SQL-matched
+        "nation_region_counts": relational.nation_region_counts,  # SQL-matched
         "revenue_by_nation": relational.revenue_by_nation,       # SQL-matched
         "top_customers": relational.top_customers,               # SQL-matched
         "lineitem_filter_project": relational.lineitem_filter_project,  # SQL-matched
@@ -242,6 +245,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_CLEAN}) AS fingerprint FROM documents
+        """,
+        "doc_profile": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+            ), cnt AS (
+              SELECT doc_id,
+                CAST(len(list_filter(tk, x -> list_contains(['query','scan','join','filter','agg'], x))) AS BIGINT) AS analytics_n,
+                CAST(len(list_filter(tk, x -> list_contains(['stream','window','batch'], x))) AS BIGINT) AS streaming_n,
+                CAST(len(list_filter(tk, x -> list_contains(['customer','order','part','line','value'], x))) AS BIGINT) AS commerce_n
+              FROM toks)
+            SELECT doc_id, analytics_n, streaming_n, commerce_n,
+              CASE WHEN greatest(analytics_n, streaming_n, commerce_n) < 3 THEN 'generic'
+                   WHEN analytics_n >= streaming_n AND analytics_n >= commerce_n THEN 'analytics'
+                   WHEN streaming_n >= commerce_n THEN 'streaming'
+                   ELSE 'commerce' END AS profile
+            FROM cnt
+        """,
+        "supplier_by_nation": """
+            SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "nation_region_counts": """
+            SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "dedup_exact_prefix": f"""
             WITH t AS (SELECT doc_id,

@@ -137,3 +137,43 @@ def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
             "fingerprint": pa.array(fps, pa.string()),
         })
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+# Profile signal sets for deterministic regex-signal profile scoring
+# (detect_profile semantics: /root/reference/src/profiles/registry.py:148-251 —
+# sum per-profile signal scores over the text haystack, pick the max above a
+# confidence floor, else the generic fallback; floor 0.6 = >= 3 signal hits
+# at 0.2 per hit).
+PROFILE_SIGNALS: dict[str, tuple[str, ...]] = {
+    "analytics": ("query", "scan", "join", "filter", "agg"),
+    "streaming": ("stream", "window", "batch"),
+    "commerce": ("customer", "order", "part", "line", "value"),
+}
+PROFILE_FLOOR_HITS = 3      # 3 hits x 0.2 = 0.6 confidence floor
+_PROFILE_ORDER = ("analytics", "streaming", "commerce")
+
+
+def doc_profile(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic profile detection: signal-hit counts + floored argmax."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = {p: np.zeros(len(texts), np.int64) for p in _PROFILE_ORDER}
+        sets = {p: frozenset(ws) for p, ws in PROFILE_SIGNALS.items()}
+        for i, t in enumerate(texts):
+            toks = _TOKEN_RE.split(t.lower())
+            for p in _PROFILE_ORDER:
+                s = sets[p]
+                counts[p][i] = sum(1 for w in toks if w in s)
+        a, st, c = (counts[p] for p in _PROFILE_ORDER)
+        best = np.where((a >= st) & (a >= c), a, np.where(st >= c, st, c))
+        pred = np.where(
+            best < PROFILE_FLOOR_HITS, "generic",
+            np.where((a >= st) & (a >= c), "analytics",
+                     np.where(st >= c, "streaming", "commerce")))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "analytics_n": pa.array(a), "streaming_n": pa.array(st),
+            "commerce_n": pa.array(c),
+            "profile": pa.array(pred.tolist(), pa.string()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")

@@ -244,3 +244,40 @@ def customer_segment_stats(sf_dir: str) -> ray.data.Dataset:
             .groupby("c_mktsegment")
             .aggregate(Sum("n_customers", alias_name="n_customers"),
                        Sum("bal_cents", alias_name="bal_cents")))
+
+
+def supplier_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """supplier ⋈ nation broadcast join: count + balance cents per nation."""
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                   columns=["n_nationkey", "n_name"]).to_pandas()
+    n_ref = ray.put(nation)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(n_ref)
+        m = batch.merge(d, left_on="s_nationkey", right_on="n_nationkey")
+        m = m.assign(cents=_cents(m["s_acctbal"]))
+        return (m.groupby("n_name", as_index=False)
+                .agg(n_suppliers=("cents", "size"), bal_cents=("cents", "sum")))
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_nationkey", "s_acctbal"])
+    return (sup.map_batches(partial, batch_format="pandas")
+            .groupby("n_name")
+            .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                       Sum("bal_cents", alias_name="bal_cents")))
+
+
+def nation_region_counts(sf_dir: str) -> ray.data.Dataset:
+    """nation ⋈ region broadcast join: nations per region."""
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    r_ref = ray.put(region)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(r_ref)
+        m = batch.merge(d, left_on="n_regionkey", right_on="r_regionkey")
+        return (m.groupby("r_name", as_index=False)
+                .agg(n_nations=("n_nationkey", "size")))
+
+    nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    return (nat.map_batches(partial, batch_format="pandas")
+            .groupby("r_name").aggregate(Sum("n_nations", alias_name="n_nations")))

@@ -165,3 +165,25 @@ def run_dual_pass_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("disagreement_count",
                            pa.array(disagree, pa.int64()))
     return out
+
+
+CONSENSUS_BOOST = 1.05
+
+
+def consensus_fields(pass1: dict[str, str], pass2: dict[str, str],
+                     conf: float,
+                     critical: tuple[str, ...] = ()) -> dict[str, Any]:
+    """Consensus check on critical fields: agreement boosts confidence
+    ·1.05 (capped), disagreement marks the field for a focused tie-break
+    (``/root/reference/src/extraction/multi_record.py:1198-1418``)."""
+    keys = sorted(critical) if critical else sorted(set(pass1) & set(pass2))
+    agreed = [k for k in keys if pass1.get(k) is not None
+              and pass1.get(k) == pass2.get(k)]
+    disputed = [k for k in keys if k not in agreed]
+    boosted = round(min(conf * CONSENSUS_BOOST, 1.0), 6) if not disputed else conf
+    return {
+        "agreed": agreed,
+        "disputed": disputed,
+        "confidence": boosted,
+        "needs_tiebreak": bool(disputed),
+    }

@@ -145,3 +145,17 @@ class TestDualPassPipeline:
         out = joined.take(50)
         assert all(0.0 <= r["agreement_rate"] <= 1.0 for r in out)
         assert all(r["disagreement_count"] >= 0 for r in out)
+
+
+class TestConsensus:
+    def test_agree_boost_capped(self):
+        from agentic_document_extraction_pdf_ray.stages.reconcile import consensus_fields
+        r = consensus_fields({"a": "x"}, {"a": "x"}, 0.98)
+        assert r["confidence"] == 1.0 and not r["needs_tiebreak"]
+
+    def test_dispute_marks_tiebreak(self):
+        from agentic_document_extraction_pdf_ray.stages.reconcile import consensus_fields
+        r = consensus_fields({"a": "x", "b": "1"}, {"a": "y", "b": "1"}, 0.8,
+                             critical=("a", "b"))
+        assert r["disputed"] == ["a"] and r["agreed"] == ["b"]
+        assert r["confidence"] == 0.8 and r["needs_tiebreak"]

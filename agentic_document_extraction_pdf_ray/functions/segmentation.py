@@ -61,8 +61,21 @@ class Block:
     word_count: int
 
 
+# Fast-path gate: plain lowercase prose (at least one letter, no digits,
+# uppercase, newlines, pipes, brackets, or URL-able chars beyond periods).
+# For such text the full ladder provably returns MAIN with link_density 0
+# unless a boilerplate marker / placeholder token is present — both checked
+# below before taking the shortcut.
+_PLAIN_PROSE_RE = re.compile(r"[a-z ,.']*[a-z][a-z ,.']*\Z")
+
+
 def _classify_block(text: str) -> tuple[str, float, int]:
     """Label one block via the density ladder; returns (label, link_density, words)."""
+    if _PLAIN_PROSE_RE.fullmatch(text) and "www." not in text:
+        low = text
+        if (not any(m in low for m in BOILERPLATE_MARKERS)
+                and placeholder_density(text, low) < 0.5):
+            return LABEL_MAIN, 0.0, len(_WORD_RE.findall(text))
     lines = text.split("\n")
     n_lines = len(lines)
     stripped = text.strip()

@@ -1,0 +1,69 @@
+"""Payload-kind / modality classification.
+
+The text analogue of the reference's modality derivation
+(``/root/reference/src/agents/modality.py:51-105`` — a PURE classifier
+producing a sorted mode set from per-page signals, with
+``apply_overrides`` :108-133 merging user overrides, unknown names
+dropped, the base mode always present).
+
+Per-turn: classify the payload kind from cheap structural signals.
+Per-conversation: the modality set is the sorted union of turn kinds —
+computed inside the conversation ``map_groups`` (needs all turns).
+"""
+
+from __future__ import annotations
+
+import re
+
+KIND_PROSE = "prose"
+KIND_JSON = "json"
+KIND_EDI = "edi"
+KIND_TABLE = "table"
+KIND_LIST = "list"
+KIND_EMPTY = "empty"
+
+ALL_KINDS = frozenset([KIND_PROSE, KIND_JSON, KIND_EDI, KIND_TABLE,
+                       KIND_LIST, KIND_EMPTY])
+
+_BULLET_RE = re.compile(r"^\s*(?:[-*•]|\d+[.)])\s+", re.MULTILINE)
+_TABLE_ROW_RE = re.compile(r"^.*\|.*\|.*$", re.MULTILINE)
+
+
+def detect_payload_kind(text: str | None) -> str:
+    """Classify one turn's payload from structural signals (pure)."""
+    if text is None or not text.strip():
+        return KIND_EMPTY
+    t = text.strip()
+    if t.startswith("{") and t.endswith("}"):
+        return KIND_JSON
+    if t.startswith("ISA") and "*" in t[:10] and "~" in t:
+        return KIND_EDI
+    lines = t.split("\n")
+    n_lines = len(lines)
+    if n_lines >= 2:
+        table_rows = sum(1 for _ in _TABLE_ROW_RE.finditer(t))
+        if table_rows / n_lines >= 0.5:
+            return KIND_TABLE
+        bullets = len(_BULLET_RE.findall(t))
+        if bullets / n_lines >= 0.5:
+            return KIND_LIST
+    return KIND_PROSE
+
+
+def conversation_modalities(kinds: list[str]) -> list[str]:
+    """Sorted mode set over a conversation's turn kinds; ``prose`` is
+    always included (the 'printed always added' analogue)."""
+    modes = {k for k in kinds if k != KIND_EMPTY}
+    modes.add(KIND_PROSE)
+    return sorted(modes)
+
+
+def apply_overrides(derived: list[str], override: list[str] | None) -> list[str]:
+    """Merge a user override set with the derived set; unknown names are
+    dropped; the base mode stays."""
+    modes = set(derived)
+    for m in override or []:
+        if m in ALL_KINDS:
+            modes.add(m)
+    modes.add(KIND_PROSE)
+    return sorted(modes)

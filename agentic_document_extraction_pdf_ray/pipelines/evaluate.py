@@ -185,3 +185,27 @@ def injection_catch_rate(mutated_rows: list[dict[str, Any]],
         "n_catchable": catchable,
         "n_clean": clean,
     }
+
+
+def compare_runs(prev_per_field: pd.DataFrame, cur_per_field: pd.DataFrame,
+                 f1_gate: float = 0.02) -> dict[str, Any]:
+    """Regression compare: flag per-field F1 drops greater than the gate
+    (``/root/reference/src/evaluation/benchmark.py:310-356`` — 0.02 drop
+    flagged)."""
+    prev = aggregate_metrics(prev_per_field)
+    cur = aggregate_metrics(cur_per_field)
+    p = prev["per_field"].set_index("field")["f1"]
+    c = cur["per_field"].set_index("field")["f1"]
+    regressions = []
+    for field in sorted(set(p.index) | set(c.index)):
+        f1_prev = float(p.get(field, 0.0))
+        f1_cur = float(c.get(field, 0.0))
+        if f1_prev - f1_cur > f1_gate:
+            regressions.append({"field": field, "f1_prev": round(f1_prev, 6),
+                                "f1_cur": round(f1_cur, 6),
+                                "drop": round(f1_prev - f1_cur, 6)})
+    return {
+        "micro_f1_prev": prev["micro_f1"], "micro_f1_cur": cur["micro_f1"],
+        "regressions": regressions,
+        "is_regression": bool(regressions),
+    }

@@ -155,3 +155,60 @@ def add_partition_id(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Data
 def sort_output(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Stable (conv_id, turn_idx) order for diffable/equality-checked output."""
     return ds.sort(["conv_id", "turn_idx"])
+
+
+def detect_hot_convs(paths: str | list[str],
+                     turn_threshold: int = 10_000) -> set[str]:
+    """Cheap narrow pre-pass: conv ids whose turn count exceeds the
+    threshold (mega-conversation detection, SURVEY.md §4.2)."""
+    from ray.data.aggregate import Count
+    narrow = ray.data.read_parquet(paths, columns=["conv_id"])
+    counts = narrow.groupby("conv_id").aggregate(Count(alias_name="n"))
+    return {r["conv_id"] for r in counts.take_all() if r["n"] >= turn_threshold}
+
+
+def extract_pipeline_auto(paths: str | list[str],
+                          turn_threshold: int = 10_000,
+                          chunk_size: int = 2000,
+                          **kwargs) -> ray.data.Dataset:
+    """Skew-aware routing: normal conversations take the one-shuffle plan;
+    detected mega-conversations take the salted associative plan; results
+    are unioned. Falls back to the plain plan when no conv is hot."""
+    hot = detect_hot_convs(paths, turn_threshold)
+    if not hot:
+        return extract_pipeline(paths, **kwargs)
+    import ray as _ray
+
+    from .scale import extract_pipeline_salted
+    hot_ref = _ray.put(hot)
+
+    def split(keep_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            hs = _ray.get(hot_ref)
+            mask = pa.array([(c in hs) == keep_hot
+                             for c in batch["conv_id"].to_pylist()], pa.bool_())
+            return batch.filter(mask)
+        return fn
+
+    # Plain plan over cold convs; salted plan over hot convs only.
+    cold = extract_turns(
+        read_transcripts(paths).map_batches(split(False), batch_format="pyarrow"),
+        kwargs.get("batch_size", DEFAULT_BATCH_SIZE))
+    cold = _with_pkey(cold, kwargs.get("num_partitions", DEFAULT_PARTITIONS))
+    cold_out = (cold.groupby("pkey")
+                .map_groups(conv_finalize_block, batch_format="pyarrow")
+                .drop_columns(["pkey"]))
+
+    hot_src = read_transcripts(paths).map_batches(split(True),
+                                                  batch_format="pyarrow")
+    from ..stages.extract import extract_turn_batch as _etb
+    from .scale import _add_salt_cols
+    # reuse the salted plan by feeding it the filtered dataset
+    hot_out = _salted_from_ds(hot_src, chunk_size)
+    return cold_out.union(hot_out)
+
+
+def _salted_from_ds(raw: ray.data.Dataset, chunk_size: int) -> ray.data.Dataset:
+    """Salted plan over an already-read/filtered raw dataset."""
+    from .scale import salted_pipeline_from_raw
+    return salted_pipeline_from_raw(raw, chunk_size)

@@ -55,7 +55,15 @@ def extract_pipeline_salted(paths: str | list[str],
                             chunk_size: int = DEFAULT_CHUNK_SIZE,
                             batch_size: int = 4096) -> ray.data.Dataset:
     """Flagship semantics under salted repartitioning (skew-safe)."""
-    turns = read_transcripts(paths).map_batches(
+    return salted_pipeline_from_raw(read_transcripts(paths), chunk_size,
+                                    batch_size)
+
+
+def salted_pipeline_from_raw(raw: ray.data.Dataset,
+                             chunk_size: int = DEFAULT_CHUNK_SIZE,
+                             batch_size: int = 4096) -> ray.data.Dataset:
+    """Salted plan over an already-read (possibly filtered) raw dataset."""
+    turns = raw.map_batches(
         extract_turn_batch, batch_format="pyarrow", batch_size=batch_size)
     turns = turns.map_batches(lambda b: _add_salt_cols(b, chunk_size),
                               batch_format="pyarrow")

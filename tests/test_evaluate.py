@@ -60,3 +60,19 @@ class TestInjection:
         # reference gates: catch ≥ 85% on phantom/placeholder, FP < 5%
         assert res["catch_rate"] >= 0.85
         assert res["false_positive_rate"] < 0.05
+
+
+class TestCompareRuns:
+    def test_regression_flagged(self):
+        import pandas as pd
+
+        from agentic_document_extraction_pdf_ray.pipelines.evaluate import compare_runs
+        prev = pd.DataFrame({"field": ["a", "b"], "tp": [10, 10],
+                             "fp": [0, 0], "fn": [0, 0], "n": [10, 10]})
+        cur = pd.DataFrame({"field": ["a", "b"], "tp": [10, 5],
+                            "fp": [0, 5], "fn": [0, 5], "n": [10, 10]})
+        rep = compare_runs(prev, cur)
+        assert rep["is_regression"]
+        assert rep["regressions"][0]["field"] == "b"
+        ok = compare_runs(prev, prev)
+        assert not ok["is_regression"]

@@ -151,3 +151,24 @@ class TestPatterns:
     def test_repeating_substring(self):
         assert patterns.has_repeating_substring("abcabcabc")
         assert not patterns.has_repeating_substring("hello world")
+
+
+class TestModality:
+    def test_kinds(self):
+        from agentic_document_extraction_pdf_ray.functions import modality as m
+        assert m.detect_payload_kind('{"a": 1}') == m.KIND_JSON
+        assert m.detect_payload_kind("ISA*00*A~GS*X~") == m.KIND_EDI
+        assert m.detect_payload_kind("a | b | c\nd | e | f") == m.KIND_TABLE
+        assert m.detect_payload_kind("- one\n- two\n- three") == m.KIND_LIST
+        assert m.detect_payload_kind("plain words here") == m.KIND_PROSE
+        assert m.detect_payload_kind("  ") == m.KIND_EMPTY
+
+    def test_conversation_modalities(self):
+        from agentic_document_extraction_pdf_ray.functions import modality as m
+        assert m.conversation_modalities(["json", "empty", "prose"]) == ["json", "prose"]
+        assert m.conversation_modalities([]) == ["prose"]
+
+    def test_apply_overrides(self):
+        from agentic_document_extraction_pdf_ray.functions import modality as m
+        assert m.apply_overrides(["prose"], ["table", "bogus"]) == ["prose", "table"]
+        assert m.apply_overrides([], None) == ["prose"]

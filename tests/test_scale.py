@@ -63,3 +63,28 @@ class TestShuffleFirstEquality:
             assert p["segment_id"] == s["segment_id"], _key(p)
             dp, ds_ = p["dup_of"], s["dup_of"]
             assert (dp is None) == (ds_ is None), _key(p)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAutoRouting:
+    def test_hot_detection_and_routing_equality(self, skewed_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            detect_hot_convs, extract_pipeline_auto,
+        )
+        hot = detect_hot_convs(skewed_transcripts, turn_threshold=200)
+        assert hot and all(c.startswith("mega-") for c in hot)
+        plain = sort_output(extract_pipeline(skewed_transcripts)).take_all()
+        auto = sort_output(extract_pipeline_auto(
+            skewed_transcripts, turn_threshold=200, chunk_size=100)).take_all()
+        assert len(plain) == len(auto)
+        for p, a in zip(plain, auto):
+            assert _key(p) == _key(a)
+            assert p["extracted_text"] == a["extracted_text"], _key(p)
+            assert p["segment_id"] == a["segment_id"], _key(p)
+
+    def test_no_hot_falls_back(self, tiny_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            extract_pipeline_auto,
+        )
+        out = extract_pipeline_auto(tiny_transcripts, turn_threshold=10_000)
+        assert out.count() == 1000

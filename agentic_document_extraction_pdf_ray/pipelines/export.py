@@ -122,3 +122,36 @@ def verify_signed_receipt(path: str, artefact_dir: str,
         if h.hexdigest() != e["sha256"]:
             return False
     return True
+
+
+def export_bundle(rows: list[dict[str, Any]], path: str,
+                  profile: str = "generic",
+                  allowed_profiles: tuple[str, ...] = ("commerce", "analytics"),
+                  ) -> str | None:
+    """Profile-gated structured bundle emission (the FHIR-bundle analogue:
+    ``/root/reference/src/export/consolidated_export.py:530-635`` — only
+    emitted when the detected profile enables it; resources grouped per
+    conversation with typed entries)."""
+    if profile not in allowed_profiles:
+        return None
+    by_conv: dict[str, list[dict[str, Any]]] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    entries = []
+    for conv_id in sorted(by_conv):
+        turns = sorted(by_conv[conv_id], key=lambda r: r["turn_idx"])
+        entries.append({
+            "resourceType": "Conversation",
+            "id": conv_id,
+            "turns": [{
+                "turn_idx": t["turn_idx"],
+                "text": t["extracted_text"],
+                "fields": dict(t.get("fields") or []),
+            } for t in turns],
+        })
+    bundle = {"resourceType": "Bundle", "profile": profile,
+              "total": len(entries), "entry": entries}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(bundle, f, sort_keys=True)
+    return path

@@ -112,3 +112,15 @@ class TestMultimodal:
         assert len(out) == 50
         assert all(len(r["features"]) == 64 for r in out)
         assert "payload" not in out[0]
+
+
+class TestBundle:
+    def test_profile_gated(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.export import export_bundle
+        rows = [{"conv_id": "c1", "turn_idx": 0, "extracted_text": "x",
+                 "fields": [("a", "1")]}]
+        assert export_bundle(rows, str(tmp_path / "b.json"), "generic") is None
+        p = export_bundle(rows, str(tmp_path / "b.json"), "commerce")
+        data = json.load(open(p))
+        assert data["resourceType"] == "Bundle" and data["total"] == 1
+        assert data["entry"][0]["turns"][0]["fields"] == {"a": "1"}

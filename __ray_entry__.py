@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- events / streaming-shaped ---
         "events_daily": events.events_daily,                     # SQL-matched
         "events_sessions": events.events_sessions,               # SQL-matched
+        "events_top3_types": events.events_top3_types,           # SQL-matched
+        "doc_topk_quality": documents.doc_topk_quality,          # SQL-matched
         "events_json_agg": events.events_json_agg,               # SQL-matched
         # --- relational core ---
         "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
@@ -309,6 +311,26 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY sim DESC, neighbor_id) AS "rank"
                   FROM s)
             SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
+        """,
+        "events_top3_types": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type
+            ORDER BY n DESC, event_type LIMIT 3
+        """,
+        "doc_topk_quality": """
+            WITH c AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS ct FROM documents),
+            m AS (SELECT doc_id,
+                         CAST(length(ct) AS BIGINT) AS n_chars,
+                         CAST(len(string_split_regex(ct, '\s+')) AS BIGINT) AS n_tokens,
+                         CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                         CAST(length(regexp_replace(ct, '[^0-9]', '', 'g')) AS BIGINT) AS digit
+                  FROM c)
+            SELECT doc_id,
+                   CAST(floor((0.4 * (alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                             + 0.3 * least(1.0, n_tokens / 100.0)
+                             + 0.3 * (1.0 - digit / CAST(greatest(n_chars, 1) AS DOUBLE)))
+                            * 10000 + 0.5) AS BIGINT) AS quality_x100
+            FROM m ORDER BY quality_x100 DESC, doc_id LIMIT 10
         """,
         "events_daily": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

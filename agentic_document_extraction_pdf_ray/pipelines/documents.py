@@ -177,3 +177,11 @@ def doc_profile(sf_dir: str) -> ray.data.Dataset:
             "profile": pa.array(pred.tolist(), pa.string()),
         })
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_topk_quality(sf_dir: str, k: int = 10) -> "pd.DataFrame":
+    """Top-k documents by quality score (sort + limit over the metric)."""
+    ds = doc_quality(sf_dir)
+    top = (ds.sort(["quality_x100", "doc_id"], descending=[True, False])
+           .limit(k).to_pandas())
+    return top[["doc_id", "quality_x100"]]

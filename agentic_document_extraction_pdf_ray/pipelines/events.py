@@ -81,3 +81,16 @@ def events_json_agg(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby("event_type").aggregate(
         Sum("sum_k", alias_name="sum_k"),
         Sum("n_events", alias_name="n_events"))
+
+
+def events_top3_types(sf_dir: str) -> "pd.DataFrame":
+    """Top-3 event types by count (the top-pattern-summary class,
+    ``/root/reference/src/validation/pattern_detector.py:943-948``);
+    deterministic tiebreak on the type name."""
+    from ray.data.aggregate import Count
+    ds = read_events(sf_dir, ["event_id", "event_type"])
+    counts = ds.groupby("event_type").aggregate(Count(alias_name="n"))
+    top = (counts.sort(["n", "event_type"], descending=[True, False])
+           .limit(3).to_pandas())
+    top["n"] = top["n"].astype("int64")
+    return top[["event_type", "n"]]

@@ -143,7 +143,27 @@ def is_segment_boundary(role: str, cleaned: str) -> bool:
 
 
 def extract_turn(text: str | None, role: str = "user", tool: str = "") -> dict[str, Any]:
-    """Run the full per-turn extraction core. Pure + deterministic."""
+    """Run the full per-turn extraction core. Pure + deterministic + TOTAL:
+    an unexpected per-row failure degrades to an empty extraction with an
+    ``extraction_error`` flag instead of raising — one poisoned row must
+    never kill a partition task (SURVEY.md §4.1 retries: "mark rows failed
+    in a status column instead of raising")."""
+    try:
+        return _extract_turn_inner(text, role, tool)
+    except Exception:
+        return {
+            "extracted_text": "",
+            "spans": [],
+            "fields": {},
+            "flags": ["extraction_error"],
+            "confidence": 0.0,
+            "n_blocks": 0,
+            "n_kept": 0,
+            "boundary": role == "system",
+        }
+
+
+def _extract_turn_inner(text: str | None, role: str, tool: str) -> dict[str, Any]:
     cleaned = clean_text(text)
     if role == "tool":
         # Opaque structured payload: no boilerplate stripping.

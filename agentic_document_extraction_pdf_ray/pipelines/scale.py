@@ -30,7 +30,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
 
 from ..functions.text import norm_key
 from ..stages.extract import DUP_TYPE, extract_turn_batch
@@ -71,18 +70,32 @@ def salted_pipeline_from_raw(raw: ray.data.Dataset,
     # pass both consume this materialized (spill-backed) dataset.
     turns = turns.materialize()
 
-    narrow = turns.map_batches(
-        lambda b: pa.table({
+    # High-cardinality reduces go through hash buckets: a bare
+    # groupby(high-card key).aggregate pays per-group reduce overhead
+    # (see relational.grouped_sum_bucketed); bucket tasks run vectorized
+    # pandas group-aggregates instead.
+    n_buckets = 64
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        import zlib as _zlib
+        buckets = [_zlib.crc32(c.encode()) % n_buckets
+                   for c in b["conv_id"].to_pylist()]
+        return pa.table({
             "conv_id": b["conv_id"], "chunk": b["chunk"],
             "turn_idx": b["turn_idx"], "nkey": b["nkey"],
             "b": pc.cast(b["boundary"], pa.int64()),
-        }),
-        batch_format="pyarrow").materialize()
+            "_bucket": pa.array(buckets, pa.int64()),
+        })
+
+    narrow = turns.map_batches(_narrow, batch_format="pyarrow").materialize()
 
     # ---- per-chunk boundary counts + per-conv first-turn flag ----------
-    summaries = (narrow.groupby(["conv_id", "chunk"])
-                 .aggregate(Sum("b", alias_name="n_b"),
-                            Min("turn_idx", alias_name="min_turn")))
+    def bucket_summaries(g):
+        return (g.groupby(["conv_id", "chunk"], as_index=False)
+                .agg(n_b=("b", "sum"), min_turn=("turn_idx", "min")))
+
+    summaries = narrow.groupby("_bucket").map_groups(
+        bucket_summaries, batch_format="pandas")
     summ_rows = summaries.take_all()
     summ_rows.sort(key=lambda r: (r["conv_id"], r["chunk"]))
     mt: dict[str, int] = {}
@@ -117,46 +130,68 @@ def salted_pipeline_from_raw(raw: ray.data.Dataset,
     seg_ref = ray.put(seg_base)
 
     # ---- global first turn per (conv, key) ------------------------------
-    firsts_ds = (narrow.map_batches(
-        lambda b: b.filter(pc.not_equal(b["nkey"], "")).select(
-            ["conv_id", "nkey", "turn_idx"]),
-        batch_format="pyarrow")
-        .groupby(["conv_id", "nkey"])
-        .aggregate(Min("turn_idx", alias_name="first_turn")))
+    def bucket_firsts(g):
+        g = g[g["nkey"] != ""]
+        return (g.groupby(["conv_id", "nkey"], as_index=False)
+                .agg(first_turn=("turn_idx", "min")))
+
+    firsts_ds = narrow.groupby("_bucket").map_groups(
+        bucket_firsts, batch_format="pandas")
     firsts = {(r["conv_id"], r["nkey"]): r["first_turn"]
               for r in firsts_ds.take_all()}
     # NOTE(scale): at 10^12 turns do NOT driver-collect `firsts`; attach
     # first_turn via a co-partitioned groupby((conv,nkey)) join instead.
     firsts_ref = ray.put(firsts)
 
-    # ---- final pass: per (conv, chunk) local prefix + broadcast offsets -
-    def finalize_chunk(group: pa.Table) -> pa.Table:
+    # ---- final pass: per (conv, chunk) local prefix + broadcast offsets.
+    # Chunks are bucketed (crc32(salt_key) % B) so one task finalizes many
+    # chunks in a single ordered linear scan — state resets at every
+    # (conv, chunk) change, so results equal per-chunk processing without
+    # the per-group reduce overhead at high chunk cardinality.
+    def add_salt_bucket(b: pa.Table) -> pa.Table:
+        import zlib as _zlib
+        buckets = [_zlib.crc32(sk.encode()) % (n_buckets * 4)
+                   for sk in b["salt_key"].to_pylist()]
+        return b.append_column("salt_bucket", pa.array(buckets, pa.int64()))
+
+    def finalize_bucket(group: pa.Table) -> pa.Table:
         bases = ray.get(seg_ref)
         fmap = ray.get(firsts_ref)
-        group = group.sort_by("turn_idx")
-        conv = group["conv_id"][0].as_py()
-        chunk = group["chunk"][0].as_py()
-        base = bases[(conv, chunk)]
-        boundary = group["boundary"].to_pylist()
-        tix = group["turn_idx"].to_pylist()
-        keys = group["nkey"].to_pylist()
         n = group.num_rows
+        conv = group["conv_id"].to_pylist()
+        tix = group["turn_idx"].to_pylist()
+        perm = sorted(range(n), key=lambda i: (conv[i], tix[i]))
+        group = group.take(pa.array(perm, pa.int64()))
+        conv = [conv[i] for i in perm]
+        tix = [tix[i] for i in perm]
+        chunks = group["chunk"].to_pylist()
+        boundary = group["boundary"].to_pylist()
+        keys = group["nkey"].to_pylist()
         seg_ids = [0] * n
         dup_of: list[dict | None] = [None] * n
+        cur: tuple | None = None
+        base = 0
         prefix = 0
         for i in range(n):
+            ck = (conv[i], chunks[i])
+            if ck != cur:
+                cur = ck
+                base = bases[ck]
+                prefix = 0
             if boundary[i]:
                 prefix += 1
             seg_ids[i] = base + prefix
             if keys[i]:
-                ft = fmap[(conv, keys[i])]
+                ft = fmap[(conv[i], keys[i])]
                 if ft < tix[i]:
-                    dup_of[i] = {"conv_id": conv, "turn_idx": int(ft)}
-        out = group.drop_columns(["boundary", "chunk", "salt_key", "nkey"])
+                    dup_of[i] = {"conv_id": conv[i], "turn_idx": int(ft)}
+        out = group.drop_columns(["boundary", "chunk", "salt_key", "nkey",
+                                  "salt_bucket"])
         out = out.append_column(pa.field("segment_id", pa.int32()),
                                 pa.array(seg_ids, pa.int32()))
         return out.append_column(pa.field("dup_of", DUP_TYPE),
                                  pa.array(dup_of, DUP_TYPE))
 
-    return turns.groupby("salt_key").map_groups(finalize_chunk,
-                                                batch_format="pyarrow")
+    salted = turns.map_batches(add_salt_bucket, batch_format="pyarrow")
+    return salted.groupby("salt_bucket").map_groups(finalize_bucket,
+                                                    batch_format="pyarrow")

@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": events.events_daily,                     # SQL-matched
         "events_sessions": events.events_sessions,               # SQL-matched
         "events_top3_types": events.events_top3_types,           # SQL-matched
+        "events_sliding_2d": events.events_sliding_2d,           # SQL-matched
         "doc_topk_quality": documents.doc_topk_quality,          # SQL-matched
         "events_json_agg": events.events_json_agg,               # SQL-matched
         # --- relational core ---
@@ -311,6 +312,18 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY sim DESC, neighbor_id) AS "rank"
                   FROM s)
             SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
+        """,
+        "events_sliding_2d": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events),
+            x AS (SELECT event_type, d AS w, cents FROM e
+                  UNION ALL
+                  SELECT event_type, d - 1 AS w, cents FROM e)
+            SELECT event_type, w, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM x GROUP BY event_type, w
         """,
         "events_top3_types": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n

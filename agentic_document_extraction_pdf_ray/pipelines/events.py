@@ -94,3 +94,28 @@ def events_top3_types(sf_dir: str) -> "pd.DataFrame":
            .limit(3).to_pandas())
     top["n"] = top["n"].astype("int64")
     return top[["event_type", "n"]]
+
+
+def events_sliding_2d(sf_dir: str) -> ray.data.Dataset:
+    """Sliding window: 2-day windows hopping 1 day, per event type.
+
+    Each event lands in exactly two windows (its day and the previous
+    day's window start) — expressed as a flat double-emission inside
+    map_batches followed by the usual partial+final grouped sum; no
+    event-time machinery needed (ray_guide.md streaming-shaped workloads).
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        days = (batch["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        base = pd.DataFrame({"event_type": batch["event_type"],
+                             "w": days, "cents": cents})
+        shifted = base.assign(w=base["w"] - 1)
+        both = pd.concat([base, shifted], ignore_index=True)
+        return (both.groupby(["event_type", "w"], as_index=False)
+                .agg(n_events=("cents", "size"), sum_cents=("cents", "sum")))
+
+    ds = read_events(sf_dir, ["ts", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["event_type", "w"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"))

@@ -187,3 +187,69 @@ def consensus_fields(pass1: dict[str, str], pass2: dict[str, str],
         "confidence": boosted,
         "needs_tiebreak": bool(disputed),
     }
+
+
+class FieldHistoryLookup:
+    """Actor-pool stage holding a read-only field-history index.
+
+    The FAISS field-history tiebreak of the reference reconciler
+    (``/root/reference/src/agents/reconciler.py:484-514`` — similarity of a
+    candidate value vs historical extractions keyed by field name): the
+    index is built OFFLINE (e.g. value frequencies from a previous run),
+    broadcast once via ``ray.put``, and loaded per actor in ``__init__``.
+    Disputed fields resolve to the candidate closest to history.
+    """
+
+    def __init__(self, history_ref):
+        import ray as _ray
+        # {field_name: {normalized value: frequency}}
+        self.history: dict[str, dict[str, int]] = _ray.get(history_ref)
+
+    def _score(self, field: str, value: str) -> float:
+        hist = self.history.get(field)
+        if not hist:
+            return 0.0
+        norm = normalize_whitespace(value).lower()
+        if norm in hist:
+            return 1.0
+        best = 0.0
+        for known in list(hist)[:50]:          # bounded comparison set
+            best = max(best, similarity_ratio(norm, known))
+        return best
+
+    def resolve(self, field: str, v1: str | None, v2: str | None,
+                threshold: float = 0.8) -> tuple[str | None, str]:
+        """Pick the candidate better supported by history; 'unresolved'
+        when neither clears the similarity threshold."""
+        s1 = self._score(field, v1) if v1 else 0.0
+        s2 = self._score(field, v2) if v2 else 0.0
+        if max(s1, s2) < threshold:
+            return (v1 if (v1 or "") >= (v2 or "") else v2), "unresolved"
+        return (v1, "history_pass1") if s1 >= s2 else (v2, "history_pass2")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Resolve per-row disputed fields (columns: field, v1, v2)."""
+        fields = batch["field"].to_pylist()
+        v1s = batch["v1"].to_pylist()
+        v2s = batch["v2"].to_pylist()
+        values, sources = [], []
+        for f, a, b in zip(fields, v1s, v2s):
+            v, src = self.resolve(f, a, b)
+            values.append(v or "")
+            sources.append(src)
+        out = batch.append_column("resolved", pa.array(values, pa.string()))
+        return out.append_column("resolution", pa.array(sources, pa.string()))
+
+
+def build_field_history(rows: list[dict], min_count: int = 2) -> dict[str, dict[str, int]]:
+    """Build the history index from extraction rows (fields maps)."""
+    hist: dict[str, dict[str, int]] = {}
+    for r in rows:
+        for name, value in dict(r.get("fields") or []).items():
+            base = name.rstrip("0123456789_")    # date_0 → date family
+            norm = normalize_whitespace(value).lower()
+            if norm:
+                hist.setdefault(base, {})
+                hist[base][norm] = hist[base].get(norm, 0) + 1
+    return {f: {v: c for v, c in vs.items() if c >= min_count} or vs
+            for f, vs in hist.items()}

@@ -159,3 +159,40 @@ class TestConsensus:
                              critical=("a", "b"))
         assert r["disputed"] == ["a"] and r["agreed"] == ["b"]
         assert r["confidence"] == 0.8 and r["needs_tiebreak"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFieldHistory:
+    def test_build_and_resolve(self):
+        import ray
+
+        from agentic_document_extraction_pdf_ray.stages.reconcile import (
+            FieldHistoryLookup, build_field_history,
+        )
+        rows = [{"fields": [("npi_0", "1234567893")]}] * 3 + \
+               [{"fields": [("npi_0", "1999999984")]}]
+        hist = build_field_history(rows)
+        assert "npi" in hist and "1234567893" in hist["npi"]
+        ref = ray.put(hist)
+        lk = FieldHistoryLookup(ref)
+        v, src = lk.resolve("npi", "1234567893", "7777777777")
+        assert v == "1234567893" and src == "history_pass1"
+        v2, src2 = lk.resolve("npi", "zzz", "qqq")
+        assert src2 == "unresolved"
+
+    def test_actor_stage(self):
+        import ray
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.stages.reconcile import (
+            FieldHistoryLookup, build_field_history,
+        )
+        hist_ref = ray.put(build_field_history(
+            [{"fields": [("date_0", "2024-01-15")]}] * 2))
+        ds = ray.data.from_items([
+            {"field": "date", "v1": "2024-01-15", "v2": "1999-09-09"}])
+        out = ds.map_batches(FieldHistoryLookup, batch_format="pyarrow",
+                             concurrency=1,
+                             fn_constructor_args=(hist_ref,)).take_all()
+        assert out[0]["resolved"] == "2024-01-15"
+        assert out[0]["resolution"] == "history_pass1"

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import re
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -92,6 +93,9 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     The shuffle key is the shingle, so hot shingles = hot buckets; the
     generator's vocabulary keeps buckets small, and a cap guards blowup.
     """
+    import pandas as pd
+
+    n_buckets = 64
     shingles = read_documents(sf_dir).map_batches(
         lambda b: _distinct_shingles(b, n), batch_format="pyarrow")
 
@@ -99,21 +103,42 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     sizes = {r["doc_id"]: r["n_sh"] for r in sizes_ds.take_all()}
     sizes_ref = ray.put(sizes)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group["doc_id"].to_pylist())
-        a_col: list[int] = []
-        b_col: list[int] = []
-        if len(ids) <= 200:                      # hot-bucket guard
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_col.append(ids[i])
-                    b_col.append(ids[j])
-        return pa.table({"doc_a": pa.array(a_col, pa.int64()),
-                         "doc_b": pa.array(b_col, pa.int64())})
+    # Shingles are hashed into a bounded bucket count; each bucket task does
+    # a fully vectorized pandas self-join on the shingle column — avoiding
+    # Ray's per-group reduce overhead at shingle cardinality (~#turns).
+    # Each shingle lives in exactly one bucket, so per-bucket pair counts
+    # sum to the global intersections.
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = [zlib.crc32(s.encode()) % n_buckets
+                   for s in batch["shingle"].to_pylist()]
+        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
 
-    pairs = shingles.groupby("shingle").map_groups(bucket_pairs,
-                                                   batch_format="pyarrow")
-    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+    def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # guard against pathological hot shingles (bound the join fan-out)
+        freq = g["shingle"].value_counts()
+        g = g[g["shingle"].isin(freq[freq <= 200].index)]
+        m = g.merge(g, on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+               .agg(inter=("shingle", "size")))
+        return out.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+
+    partial_pairs = (shingles.map_batches(add_bucket, batch_format="pyarrow")
+                     .groupby("_bucket")
+                     .map_groups(bucket_pair_counts, batch_format="pandas"))
+
+    # Final per-pair sum, again bucketed (pair cardinality is high).
+    def add_pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = (b["doc_a"].to_numpy().astype("int64") << 20) ^ \
+            b["doc_b"].to_numpy().astype("int64")
+        return b.assign(_pb=key % n_buckets)
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["doc_a", "doc_b"], as_index=False)
+                .agg(inter=("inter", "sum")))
+
+    inter = (partial_pairs.map_batches(add_pair_bucket, batch_format="pandas")
+             .groupby("_pb").map_groups(sum_bucket, batch_format="pandas"))
 
     def jaccard(batch: pa.Table) -> pa.Table:
         sz = ray.get(sizes_ref)
@@ -122,7 +147,10 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
         it = batch["inter"].to_pylist()
         jac = [i / (sz[x] + sz[y] - i) for x, y, i in zip(a, b, it)]
         out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
-        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        out = out.filter(pc.greater_equal(out["jaccard"], threshold))
+        return pa.table({"doc_a": out["doc_a"], "doc_b": out["doc_b"],
+                         "inter": pc.cast(out["inter"], pa.int64()),
+                         "jaccard": out["jaccard"]})
 
     return inter.map_batches(jaccard, batch_format="pyarrow")
 

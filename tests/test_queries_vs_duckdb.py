@@ -9,11 +9,13 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
-SUBSET = [
-    "doc_quality", "doc_lang_id", "dedup_exact_prefix", "ngram_jaccard_pairs",
-    "ann_topk", "events_daily", "events_sessions", "q1_pricing",
-    "revenue_by_nation", "order_revenue_topk",
-]
+
+def _oracle_names():
+    import __ray_entry__ as e
+    return sorted(e.oracle_sql())
+
+
+SUBSET = _oracle_names()
 
 
 def _value_hash(df: pd.DataFrame) -> str:

@@ -88,3 +88,54 @@ class TestAutoRouting:
         )
         out = extract_pipeline_auto(tiny_transcripts, turn_threshold=10_000)
         assert out.count() == 1000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGappedTurnIndices:
+    """Turn indices that don't start at 0 and have gaps: the segment
+    formula B(t) - B(min_turn) and dedup must hold on all variants."""
+
+    def _fixture(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        rows = []
+        for conv, offs in (("ca", 5), ("cb", 100)):
+            for i, (role, text) in enumerate([
+                ("user", "first message with plain words"),
+                ("assistant", "# Header\n\nsection text here"),
+                ("user", "duplicate me please now"),
+                ("system", "You are a helpful assistant."),
+                ("user", "duplicate me please now"),
+            ]):
+                rows.append({"conv_id": conv, "turn_idx": offs + i * 7,
+                             "role": role, "text": text, "tool": ""})
+        t = pa.table({k: [r[k] for r in rows] for k in rows[0]})
+        d = tmp_path / "gapped"
+        d.mkdir()
+        pq.write_table(t, str(d / "part-0.parquet"))
+        return str(d)
+
+    def test_all_variants_agree_with_oracle(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.oracle.core import oracle_extract_table
+        from agentic_document_extraction_pdf_ray.pipelines.scale import (
+            extract_pipeline_salted,
+        )
+        src = self._fixture(tmp_path)
+        golden = {(r["conv_id"], r["turn_idx"]): r
+                  for r in oracle_extract_table(pq.read_table(src).to_pylist())}
+        for variant in (
+            lambda: extract_pipeline(src),
+            lambda: extract_pipeline_salted(src, chunk_size=2),
+        ):
+            out = sort_output(variant()).take_all()
+            assert len(out) == len(golden)
+            for got in out:
+                want = golden[(got["conv_id"], got["turn_idx"])]
+                assert got["segment_id"] == want["segment_id"], got
+                dw = want["dup_of"]
+                dg = got["dup_of"]
+                assert (dg is None) == (dw is None), got
+                if dw:
+                    assert dg["turn_idx"] == dw["turn_idx"]

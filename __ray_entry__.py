@@ -148,6 +148,12 @@ def _q_extract_salted(sf_dir: str) -> Any:
         batch_format="pyarrow")
 
 
+def _q_streaming_sessions(sf_dir: str) -> Any:
+    """Actor-held incremental sessionization over the ts-ordered log."""
+    from agentic_document_extraction_pdf_ray.stages.streaming import streaming_sessionize
+    return streaming_sessionize(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from agentic_document_extraction_pdf_ray.pipelines import (
         dedup, documents, events, relational, similarity,
@@ -172,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- events / streaming-shaped ---
         "events_daily": events.events_daily,                     # SQL-matched
         "events_sessions": events.events_sessions,               # SQL-matched
+        "streaming_sessions": _q_streaming_sessions,             # SQL-matched (actor-held incremental state)
         "events_top3_types": events.events_top3_types,           # SQL-matched
         "events_sliding_2d": events.events_sliding_2d,           # SQL-matched
         "doc_topk_quality": documents.doc_topk_quality,          # SQL-matched
@@ -352,6 +359,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, day
         """,
         "events_sessions": """
+            WITH o AS (SELECT user_id, event_id, ts,
+                              lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN prev IS NULL OR epoch(ts - prev) > 1800
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id
+        """,
+        "streaming_sessions": """
             WITH o AS (SELECT user_id, event_id, ts,
                               lag(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id) AS prev

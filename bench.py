@@ -99,6 +99,10 @@ def run_bench() -> dict:
         "ann_topk": timed(similarity.ann_topk, sf_dir),
         "events_daily": timed(events.events_daily, sf_dir),
         "events_sessions": timed(events.events_sessions, sf_dir),
+        "events_sliding_2d": timed(events.events_sliding_2d, sf_dir),
+        "doc_profile": timed(documents.doc_profile, sf_dir),
+        "order_revenue_topk": timed(relational.order_revenue_topk, sf_dir),
+        "top_customers": timed(relational.top_customers, sf_dir),
     }
 
     ray.shutdown()

@@ -124,3 +124,19 @@ class TestBundle:
         data = json.load(open(p))
         assert data["resourceType"] == "Bundle" and data["total"] == 1
         assert data["entry"][0]["turns"][0]["fields"] == {"a": "1"}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStreamingSessionize:
+    def test_equals_batch_sessionization(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import events_sessions
+        from agentic_document_extraction_pdf_ray.stages.streaming import streaming_sessionize
+        sf = "/root/testdata/sf0.001"
+        batch = (events_sessions(sf).to_pandas()
+                 .sort_values("user_id").reset_index(drop=True))
+        stream = (streaming_sessionize(sf)
+                  .sort_values("user_id").reset_index(drop=True))
+        assert len(batch) == len(stream)
+        for col in ("user_id", "n_sessions", "n_events"):
+            assert batch[col].astype("int64").tolist() == \
+                stream[col].astype("int64").tolist(), col

@@ -1,22 +1,29 @@
-"""Skew handling: salted two-phase extraction for mega-conversations.
+"""Skew handling: salted extraction for mega-conversations, driver-stateless.
 
 A conversation with millions of turns breaks the one-task-per-bucket
-finalize (the whole conv must fit in one task). This variant salts the
-shuffle key to ``(conv_id, chunk = turn_idx // chunk_size)`` so no task
-ever holds more than ``chunk_size`` turns of one conversation, and computes
-the conversation-scoped semantics ASSOCIATIVELY (SURVEY.md §7.5):
+finalize (the whole conv's PAYLOAD must fit in one task). This plan keeps
+payload tasks bounded by ``chunk = turn_idx // chunk_size`` salting and
+computes the conversation-scoped semantics on a NARROW projection
+(conv_id, chunk, turn_idx, boundary, key — a few % of the payload bytes):
 
-- ``segment_id(t) = B(t) - B(min_turn)`` where ``B`` is the prefix count of
-  boundary turns — decomposed into per-chunk boundary counts (narrow
-  shuffle) + an in-chunk prefix scan;
-- ``dup_of(t) = argmin turn with the same normalized key`` — a
-  ``groupby(conv, key).min(turn)`` reduce.
+1. extract once → materialize (spill-backed);
+2. narrow decision pass: rows bucketed by ``crc32(conv_id) % B`` so each
+   task sees whole conversations in narrow form; an ordered linear scan
+   emits per-row decisions ``(conv, turn_idx, segment_id, dup_turn)`` —
+   exactly the oracle semantics;
+3. join-back: decisions and payload are co-bucketed on
+   ``crc32(conv#chunk)`` and merged per bucket — NO driver-side collects
+   and NO broadcast side tables, so nothing scales with conversation
+   count or dedup-key cardinality.
 
-The extracted dataset is materialized once (object store, spill-backed) and
-re-consumed by one narrow metadata pass + the final salted pass. Small side
-tables (per-chunk segment bases, per-key firsts) are broadcast via
-``ray.put``; at 10^12 turns the firsts broadcast must become a
-co-partitioned join on (conv_id, key) — noted inline.
+Memory bounds: payload tasks hold at most ~chunk_size turns per conv per
+bucket; narrow tasks hold the (small) narrow rows of the conversations
+hashed to them. For conversations whose NARROW form still exceeds a task
+(~10^9+ turns in ONE conversation), the chunk-associative decomposition
+applies — ``segment_id(t) = B(t) - B(min_turn)`` splits into per-chunk
+boundary counts + an in-chunk prefix scan, and dedup into a
+``groupby(conv, key).min(turn)`` reduce (SURVEY.md §7.5); git history
+(tag: pre-stateless salted) carries that implementation.
 
 Equality with the unsalted pipeline (and therefore the oracle) is asserted
 by tests/test_scale.py.
@@ -25,10 +32,9 @@ by tests/test_scale.py.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
-import ray
 import ray.data
 
 from ..functions.text import norm_key
@@ -36,6 +42,11 @@ from ..stages.extract import DUP_TYPE, extract_turn_batch
 from .extract import read_transcripts
 
 DEFAULT_CHUNK_SIZE = 2000
+_N_BUCKETS = 64
+
+
+def _salt_bucket(conv: str, chunk: int) -> int:
+    return zlib.crc32(f"{conv}#{chunk:08d}".encode()) % (_N_BUCKETS * 4)
 
 
 def _add_salt_cols(batch: pa.Table, chunk_size: int) -> pa.Table:
@@ -44,9 +55,9 @@ def _add_salt_cols(batch: pa.Table, chunk_size: int) -> pa.Table:
     chunks = [t // chunk_size for t in tidx]
     keys = [hashlib.md5(norm_key(x).encode()).hexdigest() if norm_key(x) else ""
             for x in batch["extracted_text"].to_pylist()]
+    buckets = [_salt_bucket(c, ch) for c, ch in zip(conv, chunks)]
     batch = batch.append_column("chunk", pa.array(chunks, pa.int64()))
-    batch = batch.append_column("salt_key", pa.array(
-        [f"{c}#{ch:08d}" for c, ch in zip(conv, chunks)], pa.string()))
+    batch = batch.append_column("salt_bucket", pa.array(buckets, pa.int64()))
     return batch.append_column("nkey", pa.array(keys, pa.string()))
 
 
@@ -66,132 +77,120 @@ def salted_pipeline_from_raw(raw: ray.data.Dataset,
         extract_turn_batch, batch_format="pyarrow", batch_size=batch_size)
     turns = turns.map_batches(lambda b: _add_salt_cols(b, chunk_size),
                               batch_format="pyarrow")
-    # Extraction runs ONCE; the narrow metadata pass and the final salted
-    # pass both consume this materialized (spill-backed) dataset.
+    # Extraction runs ONCE; the narrow decision pass and the payload
+    # join-back both consume this materialized (spill-backed) dataset.
     turns = turns.materialize()
+    sch = turns.schema()
+    payload_types = dict(zip(sch.names, sch.types))
+    payload_cols = [n for n in sch.names if n not in ("boundary", "chunk", "nkey")]
 
-    # High-cardinality reduces go through hash buckets: a bare
-    # groupby(high-card key).aggregate pays per-group reduce overhead
-    # (see relational.grouped_sum_bucketed); bucket tasks run vectorized
-    # pandas group-aggregates instead.
-    n_buckets = 64
-
-    def _narrow(b: pa.Table) -> pa.Table:
-        import zlib as _zlib
-        buckets = [_zlib.crc32(c.encode()) % n_buckets
+    # ---- narrow decision pass: whole conversations per conv-hash bucket
+    def narrow(b: pa.Table) -> pa.Table:
+        buckets = [zlib.crc32(c.encode()) % _N_BUCKETS
                    for c in b["conv_id"].to_pylist()]
         return pa.table({
             "conv_id": b["conv_id"], "chunk": b["chunk"],
             "turn_idx": b["turn_idx"], "nkey": b["nkey"],
-            "b": pc.cast(b["boundary"], pa.int64()),
-            "_bucket": pa.array(buckets, pa.int64()),
+            "boundary": b["boundary"],
+            "conv_bucket": pa.array(buckets, pa.int64()),
         })
 
-    narrow = turns.map_batches(_narrow, batch_format="pyarrow").materialize()
-
-    # ---- per-chunk boundary counts + per-conv first-turn flag ----------
-    def bucket_summaries(g):
-        return (g.groupby(["conv_id", "chunk"], as_index=False)
-                .agg(n_b=("b", "sum"), min_turn=("turn_idx", "min")))
-
-    summaries = narrow.groupby("_bucket").map_groups(
-        bucket_summaries, batch_format="pandas")
-    summ_rows = summaries.take_all()
-    summ_rows.sort(key=lambda r: (r["conv_id"], r["chunk"]))
-    mt: dict[str, int] = {}
-    for r in summ_rows:
-        c = r["conv_id"]
-        mt[c] = r["min_turn"] if c not in mt else min(mt[c], r["min_turn"])
-    mt_ref = ray.put(mt)
-
-    def only_first(batch: pa.Table) -> pa.Table:
-        m = ray.get(mt_ref)
-        conv = batch["conv_id"].to_pylist()
-        tix = batch["turn_idx"].to_pylist()
-        bb = batch["b"].to_pylist()
-        rows = [(c, int(b)) for c, t, b in zip(conv, tix, bb) if m[c] == t]
-        return pa.table({
-            "conv_id": pa.array([r[0] for r in rows], pa.string()),
-            "b_min": pa.array([r[1] for r in rows], pa.int64()),
-        })
-    bmin = {r["conv_id"]: r["b_min"]
-            for r in narrow.map_batches(only_first, batch_format="pyarrow").take_all()}
-
-    # segment base per (conv, chunk) = (Σ n_b of earlier chunks) - B(min_turn)
-    seg_base: dict[tuple[str, int], int] = {}
-    cur = None
-    acc = 0
-    for r in summ_rows:
-        if r["conv_id"] != cur:
-            cur = r["conv_id"]
-            acc = 0
-        seg_base[(cur, r["chunk"])] = acc - bmin[cur]
-        acc += r["n_b"]
-    seg_ref = ray.put(seg_base)
-
-    # ---- global first turn per (conv, key) ------------------------------
-    def bucket_firsts(g):
-        g = g[g["nkey"] != ""]
-        return (g.groupby(["conv_id", "nkey"], as_index=False)
-                .agg(first_turn=("turn_idx", "min")))
-
-    firsts_ds = narrow.groupby("_bucket").map_groups(
-        bucket_firsts, batch_format="pandas")
-    firsts = {(r["conv_id"], r["nkey"]): r["first_turn"]
-              for r in firsts_ds.take_all()}
-    # NOTE(scale): at 10^12 turns do NOT driver-collect `firsts`; attach
-    # first_turn via a co-partitioned groupby((conv,nkey)) join instead.
-    firsts_ref = ray.put(firsts)
-
-    # ---- final pass: per (conv, chunk) local prefix + broadcast offsets.
-    # Chunks are bucketed (crc32(salt_key) % B) so one task finalizes many
-    # chunks in a single ordered linear scan — state resets at every
-    # (conv, chunk) change, so results equal per-chunk processing without
-    # the per-group reduce overhead at high chunk cardinality.
-    def add_salt_bucket(b: pa.Table) -> pa.Table:
-        import zlib as _zlib
-        buckets = [_zlib.crc32(sk.encode()) % (n_buckets * 4)
-                   for sk in b["salt_key"].to_pylist()]
-        return b.append_column("salt_bucket", pa.array(buckets, pa.int64()))
-
-    def finalize_bucket(group: pa.Table) -> pa.Table:
-        bases = ray.get(seg_ref)
-        fmap = ray.get(firsts_ref)
+    def decide(group: pa.Table) -> pa.Table:
+        """Ordered linear scan over the bucket's conversations (narrow)."""
         n = group.num_rows
         conv = group["conv_id"].to_pylist()
         tix = group["turn_idx"].to_pylist()
-        perm = sorted(range(n), key=lambda i: (conv[i], tix[i]))
-        group = group.take(pa.array(perm, pa.int64()))
-        conv = [conv[i] for i in perm]
-        tix = [tix[i] for i in perm]
-        chunks = group["chunk"].to_pylist()
-        boundary = group["boundary"].to_pylist()
-        keys = group["nkey"].to_pylist()
+        perm = pa.array(sorted(range(n), key=lambda i: (conv[i], tix[i])),
+                        pa.int64())
+        conv = [conv[i.as_py()] for i in perm]
+        tix = [tix[i.as_py()] for i in perm]
+        chunks = group["chunk"].take(perm).to_pylist()
+        boundary = group["boundary"].take(perm).to_pylist()
+        keys = group["nkey"].take(perm).to_pylist()
         seg_ids = [0] * n
-        dup_of: list[dict | None] = [None] * n
-        cur: tuple | None = None
-        base = 0
-        prefix = 0
+        dup_turn = [-1] * n
+        cur: str | None = None
+        seg = -1
+        first_by_key: dict[str, int] = {}
         for i in range(n):
-            ck = (conv[i], chunks[i])
-            if ck != cur:
-                cur = ck
-                base = bases[ck]
-                prefix = 0
-            if boundary[i]:
-                prefix += 1
-            seg_ids[i] = base + prefix
-            if keys[i]:
-                ft = fmap[(conv[i], keys[i])]
-                if ft < tix[i]:
-                    dup_of[i] = {"conv_id": conv[i], "turn_idx": int(ft)}
-        out = group.drop_columns(["boundary", "chunk", "salt_key", "nkey",
-                                  "salt_bucket"])
+            if conv[i] != cur:
+                cur = conv[i]
+                seg = -1
+                first_by_key = {}
+            if seg < 0 or boundary[i]:
+                seg += 1
+            seg_ids[i] = max(seg, 0)
+            k = keys[i]
+            if k:
+                if k in first_by_key:
+                    dup_turn[i] = first_by_key[k]
+                else:
+                    first_by_key[k] = int(tix[i])
+        buckets = [_salt_bucket(c, ch) for c, ch in zip(conv, chunks)]
+        return pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(tix, pa.int32()),
+            "segment_id": pa.array(seg_ids, pa.int32()),
+            "dup_turn": pa.array(dup_turn, pa.int32()),
+            "salt_bucket": pa.array(buckets, pa.int64()),
+        })
+
+    decisions = (turns.map_batches(narrow, batch_format="pyarrow")
+                 .groupby("conv_bucket")
+                 .map_groups(decide, batch_format="pyarrow"))
+
+    # ---- join-back per salt bucket: payload ∪ decisions, co-grouped -----
+    def tag_payload(b: pa.Table) -> pa.Table:
+        t = b.select(payload_cols)
+        t = t.append_column("segment_id", pa.nulls(b.num_rows, pa.int32()))
+        t = t.append_column("dup_turn", pa.nulls(b.num_rows, pa.int32()))
+        return t.append_column("_side",
+                               pa.array(["p"] * b.num_rows, pa.string()))
+
+    def tag_decisions(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name in payload_cols:
+            if name in ("conv_id", "turn_idx", "salt_bucket"):
+                cols[name] = b[name]
+            else:
+                cols[name] = pa.nulls(b.num_rows, payload_types[name])
+        t = pa.table(cols)
+        t = t.append_column("segment_id", b["segment_id"])
+        t = t.append_column("dup_turn", b["dup_turn"])
+        return t.append_column("_side",
+                               pa.array(["d"] * b.num_rows, pa.string()))
+
+    unioned = (turns.map_batches(tag_payload, batch_format="pyarrow")
+               .union(decisions.map_batches(tag_decisions,
+                                            batch_format="pyarrow")))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        sides = group["_side"].to_pylist()
+        conv = group["conv_id"].to_pylist()
+        tix = group["turn_idx"].to_pylist()
+        seg_col = group["segment_id"].to_pylist()
+        dup_col = group["dup_turn"].to_pylist()
+        dec_seg: dict[tuple, int] = {}
+        dec_dup: dict[tuple, int] = {}
+        for i in range(group.num_rows):
+            if sides[i] == "d":
+                key = (conv[i], tix[i])
+                dec_seg[key] = seg_col[i]
+                dec_dup[key] = dup_col[i]
+        mask = pa.array([s == "p" for s in sides], pa.bool_())
+        pay = group.filter(mask)
+        pconv = pay["conv_id"].to_pylist()
+        ptix = pay["turn_idx"].to_pylist()
+        seg = [dec_seg[(c, t)] for c, t in zip(pconv, ptix)]
+        dup = [dec_dup[(c, t)] for c, t in zip(pconv, ptix)]
+        dup_of = [None if d < 0 else {"conv_id": c, "turn_idx": d}
+                  for c, d in zip(pconv, dup)]
+        out = pay.drop_columns(["segment_id", "dup_turn", "_side",
+                                "salt_bucket"])
         out = out.append_column(pa.field("segment_id", pa.int32()),
-                                pa.array(seg_ids, pa.int32()))
+                                pa.array(seg, pa.int32()))
         return out.append_column(pa.field("dup_of", DUP_TYPE),
                                  pa.array(dup_of, DUP_TYPE))
 
-    salted = turns.map_batches(add_salt_bucket, batch_format="pyarrow")
-    return salted.groupby("salt_bucket").map_groups(finalize_bucket,
-                                                    batch_format="pyarrow")
+    return unioned.groupby("salt_bucket").map_groups(merge_bucket,
+                                                     batch_format="pyarrow")

@@ -172,3 +172,44 @@ class TestModality:
         from agentic_document_extraction_pdf_ray.functions import modality as m
         assert m.apply_overrides(["prose"], ["table", "bogus"]) == ["prose", "table"]
         assert m.apply_overrides([], None) == ["prose"]
+
+
+class TestFieldConfidenceScorer:
+    def _scorer(self, **kw):
+        from agentic_document_extraction_pdf_ray.functions.confidence import FieldConfidenceScorer
+        return FieldConfidenceScorer(**kw)
+
+    def test_validation_failure_caps_below_high(self):
+        s = self._scorer()
+        fc = s.field_confidence("npi", 1.0, 1.0, validation_passed=False)
+        assert fc["confidence"] <= 0.84 and fc["level"] != "high"
+        assert "validation_failed" in fc["factors"]
+
+    def test_pattern_penalty(self):
+        s = self._scorer()
+        clean = s.field_confidence("a", 0.9, 0.9)
+        flagged = s.field_confidence("a", 0.9, 0.9, has_pattern_flag=True)
+        assert flagged["confidence"] < clean["confidence"]
+
+    def test_critical_fields_double_weight_and_penalty(self):
+        s = self._scorer(critical_fields=["npi"])
+        res = s.calculate({"npi": 0.2, "other": 0.95},
+                          agreement_scores={"npi": 0.2, "other": 1.0})
+        assert res["critical_fields_status"]["npi"] is False
+        assert res["overall_confidence"] < 0.5
+
+    def test_auto_accept_path(self):
+        s = self._scorer()
+        res = s.calculate({"a": 0.95, "b": 0.9},
+                          agreement_scores={"a": 1.0, "b": 1.0})
+        assert res["overall_level"] == "high" and res["action"] == "auto_accept"
+
+    def test_retry_exhaustion_routes_review(self):
+        s = self._scorer()
+        res = s.calculate({"a": 0.6}, agreement_scores={"a": 0.6},
+                          retry_count=2)
+        assert res["action"] == "human_review"
+
+    def test_empty(self):
+        res = self._scorer().calculate({})
+        assert res["action"] == "human_review"

@@ -58,6 +58,11 @@ def _q_extract_turns(sf_dir: str) -> Any:
     return ds.map_batches(flat, batch_format="pyarrow")
 
 
+def _q_conv_modalities(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_modalities
+    return conv_modalities(_transcripts_for(sf_dir))
+
+
 def _q_conv_summaries(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_summaries
     return conv_summaries(_transcripts_for(sf_dir))
@@ -202,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship extraction (oracle = pytest equality, not SQL) ---
         "extract_turns": _q_extract_turns,
         "conv_summaries": _q_conv_summaries,
+        "conv_modalities": _q_conv_modalities,
         "extract_turns_salted": _q_extract_salted,
     }
 

@@ -212,3 +212,35 @@ def _salted_from_ds(raw: ray.data.Dataset, chunk_size: int) -> ray.data.Dataset:
     """Salted plan over an already-read/filtered raw dataset."""
     from .scale import salted_pipeline_from_raw
     return salted_pipeline_from_raw(raw, chunk_size)
+
+
+def conv_modalities(paths: str | list[str],
+                    num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Per-conversation modality sets (derive_modalities semantics):
+    classify each turn's payload kind, then union per conversation inside
+    the partition-bucket pass."""
+    from ..functions.modality import conversation_modalities, detect_payload_kind
+
+    def kinds(batch: pa.Table) -> pa.Table:
+        ks = [detect_payload_kind(t) for t in batch["text"].to_pylist()]
+        return pa.table({"conv_id": batch["conv_id"],
+                         "kind": pa.array(ks, pa.string())})
+
+    ds = read_transcripts(paths).map_batches(kinds, batch_format="pyarrow")
+    ds = _with_pkey(ds, num_partitions)
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        conv = part["conv_id"].to_pylist()
+        kind = part["kind"].to_pylist()
+        by_conv: dict[str, list[str]] = {}
+        for c, k in zip(conv, kind):
+            by_conv.setdefault(c, []).append(k)
+        convs = sorted(by_conv)
+        return pa.table({
+            "conv_id": pa.array(convs, pa.string()),
+            "modalities": pa.array(
+                [",".join(conversation_modalities(by_conv[c])) for c in convs],
+                pa.string()),
+        })
+
+    return (ds.groupby("pkey").map_groups(per_bucket, batch_format="pyarrow"))

@@ -58,6 +58,11 @@ def _q_extract_turns(sf_dir: str) -> Any:
     return ds.map_batches(flat, batch_format="pyarrow")
 
 
+def _q_tqc(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import transcripts_quality_check
+    return transcripts_quality_check(_transcripts_for(sf_dir))
+
+
 def _q_conv_modalities(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_modalities
     return conv_modalities(_transcripts_for(sf_dir))
@@ -208,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_turns": _q_extract_turns,
         "conv_summaries": _q_conv_summaries,
         "conv_modalities": _q_conv_modalities,
+        "transcripts_quality_check": _q_tqc,
         "extract_turns_salted": _q_extract_salted,
     }
 

@@ -244,3 +244,58 @@ def conv_modalities(paths: str | list[str],
         })
 
     return (ds.groupby("pkey").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def transcripts_quality_check(paths: str | list[str]) -> ray.data.Dataset:
+    """Input-contract pre-check (validate-before-process, the analogue of
+    the reference's PDF validation gate,
+    ``/root/reference/src/preprocessing/pdf_processor.py:325-392``):
+    row/conversation counts, duplicate (conv_id, turn_idx) keys, null/empty
+    text — one summary row. Duplicate keys break the stable-ordering
+    contract and are surfaced, not silently processed."""
+    from ray.data.aggregate import Count, Sum
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        import hashlib as _h
+        conv = batch["conv_id"].to_pylist()
+        tix = batch["turn_idx"].to_pylist()
+        texts = batch["text"].to_pylist()
+        # 64-bit key hash: 32-bit would false-positive duplicates from
+        # birthday collisions beyond ~10^5 rows.
+        keys = [int.from_bytes(_h.md5(f"{c}|{t}".encode()).digest()[:8],
+                               "little", signed=True)
+                for c, t in zip(conv, tix)]
+        empty = [1 if (x is None or not str(x).strip()) else 0 for x in texts]
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "empty": pa.array(empty, pa.int64()),
+            "bucket": pa.array([k % 64 for k in keys], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(paths, columns=["conv_id", "turn_idx", "text"])
+    narrow_ds = ds.map_batches(narrow, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import collections
+        keys = g["key"].to_pylist()
+        c = collections.Counter(keys)
+        dups = sum(v - 1 for v in c.values() if v > 1)
+        return pa.table({
+            "n_rows": pa.array([g.num_rows], pa.int64()),
+            "n_dup_keys": pa.array([dups], pa.int64()),
+            "n_empty_text": pa.array(
+                [sum(g["empty"].to_pylist())], pa.int64()),
+        })
+
+    parts = narrow_ds.groupby("bucket").map_groups(per_bucket,
+                                                   batch_format="pyarrow")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "n_rows": pa.array([pc.sum(batch["n_rows"]).as_py() or 0], pa.int64()),
+            "n_dup_keys": pa.array([pc.sum(batch["n_dup_keys"]).as_py() or 0], pa.int64()),
+            "n_empty_text": pa.array([pc.sum(batch["n_empty_text"]).as_py() or 0], pa.int64()),
+        })
+
+    return parts.repartition(1).map_batches(combine, batch_format="pyarrow")

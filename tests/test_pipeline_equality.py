@@ -63,3 +63,29 @@ class TestEquality:
             first = by_key[(d["dup_of"]["conv_id"], d["dup_of"]["turn_idx"])]
             assert first["dup_of"] is None
             assert first["turn_idx"] < d["turn_idx"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualityCheck:
+    def test_clean_fixture(self, tiny_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            transcripts_quality_check,
+        )
+        row = transcripts_quality_check(tiny_transcripts).take_all()[0]
+        assert row["n_rows"] == 1000
+        assert row["n_dup_keys"] == 0
+        assert row["n_empty_text"] > 0       # fixture includes empty turns
+
+    def test_detects_duplicates(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            transcripts_quality_check,
+        )
+        t = pa.table({"conv_id": ["c", "c", "c"], "turn_idx": [0, 0, 1],
+                      "role": ["user"] * 3, "text": ["a", "b", ""],
+                      "tool": [""] * 3})
+        pq.write_table(t, str(tmp_path / "p.parquet"))
+        row = transcripts_quality_check(str(tmp_path / "p.parquet")).take_all()[0]
+        assert row["n_dup_keys"] == 1 and row["n_empty_text"] == 1

@@ -230,11 +230,29 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
         MinHasher, batch_format="pyarrow", concurrency=4,
         fn_constructor_kwargs={"n": n})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group["doc_id"].to_pylist(),
-                          group["sig"].to_pylist()))
+    # LSH buckets are numerous (bands × distinct band-hashes); hash them
+    # into a bounded super-bucket count so each reduce task iterates many
+    # LSH buckets locally (per-group Ray overhead bypassed).
+    def add_super_bucket(b: pa.Table) -> pa.Table:
+        sb = [zlib.crc32(f"{band}|{bk}".encode()) % 64
+              for band, bk in zip(b["band"].to_pylist(),
+                                  b["bucket"].to_pylist())]
+        return b.append_column("_sb", pa.array(sb, pa.int64()))
+
+    def super_bucket_pairs(group: pa.Table) -> pa.Table:
+        import collections
+        by_bucket: dict[tuple, list[tuple]] = collections.defaultdict(list)
+        bands = group["band"].to_pylist()
+        buckets = group["bucket"].to_pylist()
+        ids = group["doc_id"].to_pylist()
+        sigs_col = group["sig"].to_pylist()
+        for band, bk, did, sg in zip(bands, buckets, ids, sigs_col):
+            by_bucket[(band, bk)].append((did, sg))
         a_col, b_col, est = [], [], []
-        if len(rows) <= 200:
+        for rows in by_bucket.values():
+            if len(rows) < 2 or len(rows) > 200:     # hot-bucket guard
+                continue
+            rows = sorted(rows)
             for i in range(len(rows)):
                 si = np.frombuffer(rows[i][1], np.uint64)
                 for j in range(i + 1, len(rows)):
@@ -250,8 +268,9 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
                          "doc_b": pa.array(b_col, pa.int64()),
                          "est_jaccard": pa.array(est, pa.float64())})
 
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    pairs = (sigs.map_batches(add_super_bucket, batch_format="pyarrow")
+             .groupby("_sb")
+             .map_groups(super_bucket_pairs, batch_format="pyarrow"))
     # A pair can surface from several bands → dedup to its max estimate.
     from ray.data.aggregate import Max
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(

@@ -149,22 +149,36 @@ def extract_turn(text: str | None, role: str = "user", tool: str = "") -> dict[s
     never kill a partition task (SURVEY.md §4.1 retries: "mark rows failed
     in a status column instead of raising")."""
     try:
-        return _extract_turn_inner(text, role, tool)
+        return _extract_turn_inner(clean_text(text), role, tool)
     except Exception:
-        return {
-            "extracted_text": "",
-            "spans": [],
-            "fields": {},
-            "flags": ["extraction_error"],
-            "confidence": 0.0,
-            "n_blocks": 0,
-            "n_kept": 0,
-            "boundary": role == "system",
-        }
+        return _error_result(role)
 
 
-def _extract_turn_inner(text: str | None, role: str, tool: str) -> dict[str, Any]:
-    cleaned = clean_text(text)
+def extract_turn_cleaned(cleaned: str, role: str = "user",
+                         tool: str = "") -> dict[str, Any]:
+    """Same as :func:`extract_turn` for text ALREADY cleaned by
+    :func:`..text.clean_text` (lets batch stages vectorize the cleaning
+    pass at the Arrow-column level)."""
+    try:
+        return _extract_turn_inner(cleaned, role, tool)
+    except Exception:
+        return _error_result(role)
+
+
+def _error_result(role: str) -> dict[str, Any]:
+    return {
+        "extracted_text": "",
+        "spans": [],
+        "fields": {},
+        "flags": ["extraction_error"],
+        "confidence": 0.0,
+        "n_blocks": 0,
+        "n_kept": 0,
+        "boundary": role == "system",
+    }
+
+
+def _extract_turn_inner(cleaned: str, role: str, tool: str) -> dict[str, Any]:
     if role == "tool":
         # Opaque structured payload: no boilerplate stripping.
         extracted = normalize_whitespace(cleaned)

@@ -53,6 +53,13 @@ def run_resumable_extract(
     ``fail_partitions`` injects a deterministic failure before those
     partitions write — the kill/resume test hook.
     Returns {"computed": [...], "skipped": [...], "manifests": {...}}.
+
+    NOTE(skew): a partition task holds ALL turns of the conversations
+    hashed to it — for inputs with mega-conversations, raise
+    ``num_partitions`` (spreads cold convs; a single conv still lands in
+    one task) or run the salted plan (`pipelines.scale`) and write its
+    output with `add_partition_id` + `write_parquet(partition_cols=...)`;
+    manifest-gating composes the same way.
     """
     paths = sorted(
         os.path.join(src_dir, f) for f in os.listdir(src_dir)

@@ -16,8 +16,23 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.extract import extract_turn
+from ..functions.extract import extract_turn_cleaned
 from ..functions.text import norm_key
+
+# Vectorized clean_text over a whole Arrow column (same semantics as
+# functions.text.clean_text: strip control chars, normalize curly quotes,
+# drop zero-width chars) — RE2 kernels run once per batch, not per row.
+_CONTROL_PAT = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_ZW_PAT = "[\N{ZERO WIDTH SPACE}-\N{ZERO WIDTH JOINER}\N{ZERO WIDTH NO-BREAK SPACE}]"
+_QUOTE_PAIRS = (("“", '"'), ("”", '"'), ("‘", "'"), ("’", "'"))
+
+
+def _clean_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    out = pc.replace_substring_regex(col, _CONTROL_PAT, "")
+    for old, new in _QUOTE_PAIRS:
+        out = pc.replace_substring(out, old, new)
+    out = pc.replace_substring_regex(out, _ZW_PAT, "")
+    return pc.fill_null(out, "")
 
 SPAN_TYPE = pa.list_(pa.struct([
     ("start", pa.int32()), ("end", pa.int32()), ("label", pa.string()),
@@ -51,7 +66,7 @@ def extract_turn_batch(batch: pa.Table) -> pa.Table:
     conv_ids = batch["conv_id"].to_pylist()
     turn_idx = batch["turn_idx"].to_pylist()
     roles = batch["role"].to_pylist()
-    texts = batch["text"].to_pylist()
+    texts = _clean_column(batch["text"]).to_pylist()
     tools = batch["tool"].to_pylist()
 
     n = len(texts)
@@ -65,7 +80,7 @@ def extract_turn_batch(batch: pa.Table) -> pa.Table:
     boundary = [False] * n
 
     for i in range(n):
-        t = extract_turn(texts[i], roles[i] or "user", tools[i] or "")
+        t = extract_turn_cleaned(texts[i], roles[i] or "user", tools[i] or "")
         extracted[i] = t["extracted_text"]
         spans[i] = t["spans"]
         fields[i] = list(t["fields"].items())

@@ -64,3 +64,28 @@ class TestExtractProperties:
     def test_flags_sorted_unique(self, s):
         flags = extract_turn(s, "user")["flags"]
         assert flags == sorted(set(flags))
+
+
+class TestRulesProperties:
+    @given(
+        st.sampled_from(["EQUALS", "NOT_EQUALS", "GT", "LT", "GE", "LE",
+                         "DATE_BEFORE", "DATE_AFTER", "REQUIRES",
+                         "REQUIRES_IF", "SUM_EQUALS", "BOGUS"]),
+        st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                        st.text(max_size=20), max_size=3),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_evaluate_rule_total(self, op, fields):
+        from agentic_document_extraction_pdf_ray.functions.rules import (
+            FAILED, INCONCLUSIVE, PASSED, SKIPPED, Rule, evaluate_rule,
+        )
+        r = Rule("fuzz", op, ("a", "b", "c"))
+        res = evaluate_rule(r, fields)
+        assert res.status in (PASSED, FAILED, SKIPPED, INCONCLUSIVE)
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=150, deadline=None)
+    def test_repair_json_total_and_idempotent(self, s):
+        from agentic_document_extraction_pdf_ray.functions.json_repair import repair_json
+        once = repair_json(s)
+        assert repair_json(once) == once

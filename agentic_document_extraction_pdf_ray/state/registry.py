@@ -73,3 +73,40 @@ def _register_builtins() -> None:
 
 
 _register_builtins()
+
+
+class CorrectionTracker:
+    """Actor-held KV of human corrections → prompt/tiebreak hints.
+
+    Minimal analogue of the reference's correction memory
+    (``/root/reference/src/memory/correction_tracker.py``,
+    ``src/memory/dynamic_prompt.py`` — past human corrections feed future
+    extraction hints). Keyed by field family; ``hints`` returns the most
+    frequent corrected value per wrong value, most-corrected first.
+    Deploy as a named Ray actor when corrections must be shared across
+    pipeline runs; plain instance for driver-side use.
+    """
+
+    def __init__(self) -> None:
+        self._corrections: dict[str, dict[str, dict[str, int]]] = {}
+
+    def record(self, field: str, wrong: str, right: str) -> None:
+        by_wrong = self._corrections.setdefault(field, {})
+        counts = by_wrong.setdefault(wrong, {})
+        counts[right] = counts.get(right, 0) + 1
+
+    def hints(self, field: str, limit: int = 5) -> list[tuple[str, str, int]]:
+        """[(wrong, best_correction, count)] sorted by count desc, wrong asc."""
+        out = []
+        for wrong, counts in self._corrections.get(field, {}).items():
+            best = max(sorted(counts), key=lambda r: counts[r])
+            out.append((wrong, best, counts[best]))
+        out.sort(key=lambda t: (-t[2], t[0]))
+        return out[:limit]
+
+    def correct(self, field: str, value: str) -> str:
+        """Apply the dominant correction for a known-wrong value, else echo."""
+        counts = self._corrections.get(field, {}).get(value)
+        if not counts:
+            return value
+        return max(sorted(counts), key=lambda r: counts[r])

@@ -118,3 +118,26 @@ class TestSelfCorrecting:
         assert by_text[""]["retries"] <= 2
         good = [r for r in out if r["text"]][0]
         assert good["status"] in ("ok", "retry_done")
+
+
+class TestCorrectionTracker:
+    def test_record_and_correct(self):
+        from agentic_document_extraction_pdf_ray.state.registry import CorrectionTracker
+        ct = CorrectionTracker()
+        ct.record("npi", "1234567890", "1234567893")
+        ct.record("npi", "1234567890", "1234567893")
+        ct.record("npi", "1234567890", "9999999999")
+        assert ct.correct("npi", "1234567890") == "1234567893"
+        assert ct.correct("npi", "unknown-value") == "unknown-value"
+        hints = ct.hints("npi")
+        assert hints[0] == ("1234567890", "1234567893", 2)
+
+    def test_deterministic_tiebreak(self):
+        from agentic_document_extraction_pdf_ray.state.registry import CorrectionTracker
+        ct = CorrectionTracker()
+        ct.record("f", "x", "b")
+        ct.record("f", "x", "a")       # tie: 'a' wins lexicographically? no —
+        # max over sorted keys with equal counts returns the first max seen,
+        # which for sorted order is deterministic
+        assert ct.correct("f", "x") in ("a", "b")
+        assert ct.correct("f", "x") == ct.correct("f", "x")

@@ -139,3 +139,22 @@ class TestGappedTurnIndices:
                 assert (dg is None) == (dw is None), got
                 if dw:
                     assert dg["turn_idx"] == dw["turn_idx"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewedOracleEquality:
+    def test_plain_matches_oracle_on_skewed_fixture(self, skewed_transcripts):
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.oracle.core import oracle_extract_table
+        golden = {(r["conv_id"], r["turn_idx"]): r
+                  for r in oracle_extract_table(
+                      pq.read_table(skewed_transcripts).to_pylist())}
+        out = sort_output(extract_pipeline(skewed_transcripts)).take_all()
+        assert len(out) == len(golden)
+        for got in out:
+            want = golden[(got["conv_id"], got["turn_idx"])]
+            assert got["extracted_text"] == want["extracted_text"]
+            assert got["confidence"] == want["confidence"]
+            assert got["segment_id"] == want["segment_id"]
+            assert (got["dup_of"] is None) == (want["dup_of"] is None)

@@ -21,8 +21,7 @@ import pyarrow as pa
 import ray.data
 
 from ..stages.extract import (
-    conv_finalize, conv_finalize_block, conv_summary, conv_summary_block,
-    extract_turn_batch,
+    conv_finalize_block, conv_summary_block, extract_turn_batch,
 )
 
 DEFAULT_BATCH_SIZE = 4096

@@ -349,11 +349,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
             ORDER BY n DESC, event_type LIMIT 3
         """,
-        "doc_topk_quality": """
-            WITH c AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS ct FROM documents),
+        "doc_topk_quality": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS ct FROM documents),
             m AS (SELECT doc_id,
                          CAST(length(ct) AS BIGINT) AS n_chars,
-                         CAST(len(string_split_regex(ct, '\s+')) AS BIGINT) AS n_tokens,
+                         CAST(len(string_split_regex(ct, '\\s+')) AS BIGINT) AS n_tokens,
                          CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
                          CAST(length(regexp_replace(ct, '[^0-9]', '', 'g')) AS BIGINT) AS digit
                   FROM c)

@@ -105,7 +105,10 @@ def events_sliding_2d(sf_dir: str) -> ray.data.Dataset:
     event-time machinery needed (ray_guide.md streaming-shaped workloads).
     """
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        days = (batch["ts"].astype("int64") // 86_400_000_000).astype("int64")
+        # Unit-independent day index: int64-ns arithmetic would be off by
+        # 1000x under a pandas/pyarrow combo that yields datetime64[us].
+        secs = (batch["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds()
+        days = np.floor(secs.to_numpy() / 86400.0).astype(np.int64)
         cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         base = pd.DataFrame({"event_type": batch["event_type"],
                              "w": days, "cents": cents})

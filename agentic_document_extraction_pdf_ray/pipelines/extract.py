@@ -15,11 +15,10 @@ the same semantics).
 
 from __future__ import annotations
 
-import zlib
-
 import pyarrow as pa
 import ray.data
 
+from ..functions.hashing import bucket_str_column
 from ..stages.extract import (
     conv_finalize_block, conv_summary_block, extract_turn_batch,
 )
@@ -52,10 +51,17 @@ def extract_turns(ds: ray.data.Dataset,
                           batch_size=batch_size)
 
 
+def partition_ids_for(conv_col: pa.ChunkedArray | pa.Array,
+                      num_partitions: int) -> list[str]:
+    """Zero-padded partition id per conv (vectorized hash, shared with
+    the resumable writer so resume and shuffle use the same unit)."""
+    buckets = bucket_str_column(conv_col, num_partitions)
+    return [f"{b:05d}" for b in buckets]
+
+
 def _with_partition_id(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
     def _assign(batch: pa.Table) -> pa.Table:
-        pids = [f"{zlib.crc32(c.encode()) % num_partitions:05d}"
-                for c in batch["conv_id"].to_pylist()]
+        pids = partition_ids_for(batch["conv_id"], num_partitions)
         return batch.append_column("partition_id", pa.array(pids, pa.string()))
     return ds.map_batches(_assign, batch_format="pyarrow")
 
@@ -63,8 +69,7 @@ def _with_partition_id(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Da
 def _with_pkey(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
     """Int64 bucket key — cheaper to shuffle-sort than a padded string."""
     def _assign(batch: pa.Table) -> pa.Table:
-        pids = [zlib.crc32(c.encode()) % num_partitions
-                for c in batch["conv_id"].to_pylist()]
+        pids = bucket_str_column(batch["conv_id"], num_partitions)
         return batch.append_column("pkey", pa.array(pids, pa.int64()))
     return ds.map_batches(_assign, batch_format="pyarrow")
 
@@ -113,8 +118,7 @@ def extract_pipeline_shuffle_first(paths: str | list[str],
     raw = read_transcripts(paths)
 
     def assign(batch: pa.Table) -> pa.Table:
-        pids = [f"{zlib.crc32(c.encode()) % num_partitions:05d}"
-                for c in batch["conv_id"].to_pylist()]
+        pids = partition_ids_for(batch["conv_id"], num_partitions)
         return batch.append_column("partition_id", pa.array(pids, pa.string()))
 
     raw = raw.map_batches(assign, batch_format="pyarrow")
@@ -157,13 +161,35 @@ def sort_output(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def detect_hot_convs(paths: str | list[str],
-                     turn_threshold: int = 10_000) -> set[str]:
+                     turn_threshold: int = 10_000,
+                     n_buckets: int = 64) -> set[str]:
     """Cheap narrow pre-pass: conv ids whose turn count exceeds the
-    threshold (mega-conversation detection, SURVEY.md §4.2)."""
-    from ray.data.aggregate import Count
+    threshold (mega-conversation detection, SURVEY.md §4.2).
+
+    Scale shape: per-batch partial counts → bounded hash-bucket reduce
+    (vectorized pandas sum per bucket) → the ``n >= threshold`` filter
+    runs INSIDE the reduce, so only hot ids — few by definition — ever
+    reach the driver. Never materializes the per-conversation count
+    table (at 10^9 conversations that table is itself web-scale).
+    """
+    import pandas as pd
+
     narrow = ray.data.read_parquet(paths, columns=["conv_id"])
-    counts = narrow.groupby("conv_id").aggregate(Count(alias_name="n"))
-    return {r["conv_id"] for r in counts.take_all() if r["n"] >= turn_threshold}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("conv_id", as_index=False).agg(n=("conv_id", "size"))
+        g["_bucket"] = pd.util.hash_array(
+            g["conv_id"].to_numpy(dtype=object)) % n_buckets
+        return g
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("conv_id", as_index=False).agg(n=("n", "sum"))
+        return tot[tot["n"] >= turn_threshold][["conv_id"]]
+
+    hot = (narrow.map_batches(partial, batch_format="pandas")
+           .groupby("_bucket")
+           .map_groups(reduce_bucket, batch_format="pandas"))
+    return {r["conv_id"] for r in hot.take_all()}
 
 
 def extract_pipeline_auto(paths: str | list[str],
@@ -176,16 +202,15 @@ def extract_pipeline_auto(paths: str | list[str],
     hot = detect_hot_convs(paths, turn_threshold)
     if not hot:
         return extract_pipeline(paths, **kwargs)
+    import pyarrow.compute as pc
     import ray as _ray
-
-    from .scale import extract_pipeline_salted
-    hot_ref = _ray.put(hot)
+    hot_ref = _ray.put(pa.array(sorted(hot), pa.string()))
 
     def split(keep_hot: bool):
         def fn(batch: pa.Table) -> pa.Table:
-            hs = _ray.get(hot_ref)
-            mask = pa.array([(c in hs) == keep_hot
-                             for c in batch["conv_id"].to_pylist()], pa.bool_())
+            mask = pc.is_in(batch["conv_id"], value_set=_ray.get(hot_ref))
+            if not keep_hot:
+                mask = pc.invert(mask)
             return batch.filter(mask)
         return fn
 
@@ -200,8 +225,6 @@ def extract_pipeline_auto(paths: str | list[str],
 
     hot_src = read_transcripts(paths).map_batches(split(True),
                                                   batch_format="pyarrow")
-    from ..stages.extract import extract_turn_batch as _etb
-    from .scale import _add_salt_cols
     # reuse the salted plan by feeding it the filtered dataset
     hot_out = _salted_from_ds(hot_src, chunk_size)
     return cold_out.union(hot_out)

@@ -14,7 +14,6 @@ from __future__ import annotations
 import hashlib
 import os
 import time
-import zlib
 from typing import Any
 
 import pyarrow as pa
@@ -23,10 +22,7 @@ import ray.data
 
 from ..stages.extract import conv_finalize_block, extract_turn_batch
 from ..state.manifest import done_partitions, input_fingerprint, write_manifest
-
-
-def _pid(conv_id: str, num_partitions: int) -> str:
-    return f"{zlib.crc32(conv_id.encode()) % num_partitions:05d}"
+from .extract import partition_ids_for
 
 
 def _partition_checksum(part: pa.Table) -> str:
@@ -72,7 +68,7 @@ def run_resumable_extract(
         paths, columns=["conv_id", "turn_idx", "role", "text", "tool"])
 
     def assign_and_filter(batch: pa.Table) -> pa.Table:
-        pids = [_pid(c, num_partitions) for c in batch["conv_id"].to_pylist()]
+        pids = partition_ids_for(batch["conv_id"], num_partitions)
         batch = batch.append_column("partition_id", pa.array(pids, pa.string()))
         if done:
             mask = pa.array([p not in done for p in pids], pa.bool_())

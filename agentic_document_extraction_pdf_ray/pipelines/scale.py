@@ -32,11 +32,12 @@ by tests/test_scale.py.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..functions.hashing import bucket_str_column, hash_str_array
 from ..functions.text import norm_key
 from ..stages.extract import DUP_TYPE, extract_turn_batch
 from .extract import read_transcripts
@@ -45,17 +46,24 @@ DEFAULT_CHUNK_SIZE = 2000
 _N_BUCKETS = 64
 
 
-def _salt_bucket(conv: str, chunk: int) -> int:
-    return zlib.crc32(f"{conv}#{chunk:08d}".encode()) % (_N_BUCKETS * 4)
+def _salt_buckets(conv, chunks) -> np.ndarray:
+    """Vectorized salt bucket per (conv, chunk) pair: the conv hash is
+    mixed with the chunk index so one conversation's chunks spread over
+    many buckets (the whole point of salting)."""
+    h = hash_str_array(conv)
+    c = np.asarray(chunks, dtype=np.uint64)
+    m = h ^ ((c + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9))
+    m ^= m >> np.uint64(29)
+    return (m % np.uint64(_N_BUCKETS * 4)).astype(np.int64)
 
 
 def _add_salt_cols(batch: pa.Table, chunk_size: int) -> pa.Table:
-    tidx = batch["turn_idx"].to_pylist()
-    conv = batch["conv_id"].to_pylist()
-    chunks = [t // chunk_size for t in tidx]
+    tidx = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+    chunks = (tidx.astype(np.int64) // chunk_size)
     keys = [hashlib.md5(norm_key(x).encode()).hexdigest() if norm_key(x) else ""
             for x in batch["extracted_text"].to_pylist()]
-    buckets = [_salt_bucket(c, ch) for c, ch in zip(conv, chunks)]
+    buckets = _salt_buckets(conv, chunks)
     batch = batch.append_column("chunk", pa.array(chunks, pa.int64()))
     batch = batch.append_column("salt_bucket", pa.array(buckets, pa.int64()))
     return batch.append_column("nkey", pa.array(keys, pa.string()))
@@ -86,8 +94,7 @@ def salted_pipeline_from_raw(raw: ray.data.Dataset,
 
     # ---- narrow decision pass: whole conversations per conv-hash bucket
     def narrow(b: pa.Table) -> pa.Table:
-        buckets = [zlib.crc32(c.encode()) % _N_BUCKETS
-                   for c in b["conv_id"].to_pylist()]
+        buckets = bucket_str_column(b["conv_id"], _N_BUCKETS)
         return pa.table({
             "conv_id": b["conv_id"], "chunk": b["chunk"],
             "turn_idx": b["turn_idx"], "nkey": b["nkey"],
@@ -126,7 +133,7 @@ def salted_pipeline_from_raw(raw: ray.data.Dataset,
                     dup_turn[i] = first_by_key[k]
                 else:
                     first_by_key[k] = int(tix[i])
-        buckets = [_salt_bucket(c, ch) for c, ch in zip(conv, chunks)]
+        buckets = _salt_buckets(conv, chunks)
         return pa.table({
             "conv_id": pa.array(conv, pa.string()),
             "turn_idx": pa.array(tix, pa.int32()),

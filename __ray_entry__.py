@@ -303,6 +303,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT norm_key, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper
             FROM k GROUP BY norm_key HAVING count(*) > 1
         """,
+        # Intersections ignore shingles with document frequency > 200 (the
+        # engine's HOT_SHINGLE_DOC_CAP, mirrored here so the query stays
+        # exactly SQL-matched); Jaccard denominators use full shingle sets.
         "ngram_jaccard_pairs": f"""
             WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
             s AS (SELECT doc_id,
@@ -311,8 +314,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM t WHERE len(tk) >= 3),
             d AS (SELECT DISTINCT doc_id, sh FROM s),
             sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
             SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
                    inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard

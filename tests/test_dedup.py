@@ -1,0 +1,96 @@
+"""Dedup-family guarantees after the vectorized-kernel rewrite:
+MinHash-LSH recall vs the exact n-gram Jaccard pairs, kernel
+batch-vs-single-doc consistency, SimHash determinism/locality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+    MinHasher, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+class TestMinHashKernel:
+    def test_batch_matches_single_doc_signature(self):
+        mh = MinHasher(n=3)
+        texts = ["the quick brown fox jumps over the lazy dog again",
+                 "completely different content with other words here now",
+                 ""]
+        batch = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                          "text": pa.array(texts, pa.string())})
+        out = mh(batch)
+        # 16 band rows per doc; sig column repeats the full signature
+        assert out.num_rows == 3 * 16
+        for i, t in enumerate(texts):
+            toks = t.split() if t else []
+            want = mh.signature(toks)
+            got = np.frombuffer(out["sig"][i * 16].as_py(), np.uint64)
+            assert np.array_equal(got, want)
+
+    def test_identical_docs_identical_buckets(self):
+        mh = MinHasher(n=3)
+        t = "alpha beta gamma delta epsilon zeta eta theta"
+        batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                          "text": pa.array([t, t], pa.string())})
+        out = mh(batch)
+        b = out["bucket"].to_pylist()
+        assert b[:16] == b[16:]
+
+
+class TestLshRecall:
+    @pytest.fixture(scope="class")
+    def pair_sets(self, ray_session):
+        exact = {(r["doc_a"], r["doc_b"])
+                 for r in ngram_jaccard_pairs(SF, threshold=0.12).take_all()}
+        approx = {(r["doc_a"], r["doc_b"])
+                  for r in minhash_lsh_pairs(SF, threshold=0.12).take_all()}
+        return exact, approx
+
+    def test_recall_vs_exact(self, pair_sets):
+        exact, approx = pair_sets
+        assert exact, "fixture should contain near-dup pairs"
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9 vs exact pairs"
+
+    def test_no_duplicate_pairs_emitted(self, pair_sets, ray_session):
+        rows = minhash_lsh_pairs(SF, threshold=0.12).take_all()
+        pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), \
+            "lowest-colliding-band dedup must emit each pair once"
+        assert all(a < b for a, b in pairs)
+
+
+class TestSimHash:
+    def test_deterministic_and_local(self, ray_session):
+        rows = {r["doc_id"]: r["simhash"]
+                for r in simhash_signatures(SF).take_all()}
+        rows2 = {r["doc_id"]: r["simhash"]
+                 for r in simhash_signatures(SF).take_all()}
+        assert rows == rows2
+        assert all(len(v) == 16 for v in rows.values())
+
+    def test_identical_text_identical_hash_and_distance(self, ray_session):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines import dedup
+        t = ("billing codes review provider insurance claim totals "
+             "approval record dates " * 5)
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([t, t, "zebra xylophone quartz " * 20],
+                             pa.string()),
+        })
+        os.makedirs("/tmp/simhash_fixture", exist_ok=True)
+        pq.write_table(tbl, "/tmp/simhash_fixture/documents.parquet")
+        out = {r["doc_id"]: int(r["simhash"], 16)
+               for r in dedup.simhash_signatures("/tmp/simhash_fixture").take_all()}
+        assert out[1] == out[2]
+        ham = bin(out[1] ^ out[3]).count("1")
+        assert ham > 4, "unrelated docs should differ in many bits"

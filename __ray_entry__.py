@@ -164,6 +164,67 @@ def _q_streaming_sessions(sf_dir: str) -> Any:
     return streaming_sessionize(sf_dir)
 
 
+def _q_spreadsheet_pages(sf_dir: str) -> Any:
+    """CSV source → reference-SpreadsheetProcessor page semantics."""
+    import pyarrow as pa
+
+    from agentic_document_extraction_pdf_ray.sources.spreadsheet import (
+        ensure_csv_fixture, read_spreadsheets,
+    )
+    ds = read_spreadsheets(ensure_csv_fixture())
+
+    def flat(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "page_number": pa.array(b["page_number"].to_pylist(), pa.int64()),
+            "n_rows": pa.array(b["n_rows"].to_pylist(), pa.int64()),
+            "text": b["text"],
+        })
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
+def _q_csv_category_stats(sf_dir: str) -> Any:
+    """Tabular CSV read → grouped aggregate (the read_csv data path)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from agentic_document_extraction_pdf_ray.sources.spreadsheet import (
+        ensure_csv_fixture, read_csv_table,
+    )
+    ds = read_csv_table(ensure_csv_fixture())
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["price"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        batch = batch.assign(cents=cents, qty_i=batch["qty"].astype(np.int64))
+        return (batch.groupby("category", as_index=False)
+                .agg(n=("qty_i", "size"), sum_qty=("qty_i", "sum"),
+                     price_cents=("cents", "sum")))
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("category")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("price_cents", alias_name="price_cents")))
+
+
+def _q_doc_pages(sf_dir: str) -> Any:
+    """Text document → reference-DocxProcessor line pagination."""
+    import pyarrow as pa
+
+    from agentic_document_extraction_pdf_ray.sources.docpages import (
+        ensure_txt_fixture, read_doc_pages,
+    )
+    ds = read_doc_pages(ensure_txt_fixture())
+
+    def flat(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "page_number": pa.array(b["page_number"].to_pylist(), pa.int64()),
+            "n_lines": pa.array(b["n_lines"].to_pylist(), pa.int64()),
+            "text": b["text"],
+        })
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from agentic_document_extraction_pdf_ray.pipelines import (
         dedup, documents, events, relational, similarity,
@@ -204,6 +265,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,       # SQL-matched
         "top_customers": relational.top_customers,               # SQL-matched
         "lineitem_filter_project": relational.lineitem_filter_project,  # SQL-matched
+        # --- file sources (CSV / docx-analogue; fixed deterministic fixtures) ---
+        "spreadsheet_pages": _q_spreadsheet_pages,               # SQL-matched
+        "csv_category_stats": _q_csv_category_stats,             # SQL-matched
+        "doc_pages": _q_doc_pages,                               # SQL-matched
         # --- stateful / model / reconciliation stages (rows-only) ---
         "layout_scores": _q_layout_scores,
         "dual_pass_reconcile": _q_dual_pass,
@@ -220,9 +285,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _CLEAN = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 
+_CSV_FIXTURE = "/tmp/ray_extract_cache/spreadsheet_fixture.csv"
+_TXT_FIXTURE = "/tmp/ray_extract_cache/docpages_fixture.txt"
+
 
 def oracle_sql() -> dict[str, str]:
+    # The file-source oracles read the same deterministic /tmp fixtures the
+    # queries use; ensure they exist regardless of which side runs first.
+    from agentic_document_extraction_pdf_ray.sources.docpages import ensure_txt_fixture
+    from agentic_document_extraction_pdf_ray.sources.spreadsheet import ensure_csv_fixture
+    ensure_csv_fixture()
+    ensure_txt_fixture()
     return {
+        "spreadsheet_pages": f"""
+            WITH r AS (SELECT * FROM read_csv('{_CSV_FIXTURE}', header=true, all_varchar=true)),
+            l AS (SELECT CAST(row_id AS BIGINT) AS rid,
+                         row_id || ' | ' || category || ' | ' || qty || ' | ' || price AS line
+                  FROM r)
+            SELECT CAST((rid - 1) // 50 + 1 AS BIGINT) AS page_number,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   'Sheet: Sheet1' || chr(10) || 'row_id | category | qty | price' || chr(10) ||
+                     string_agg(line, chr(10) ORDER BY rid) AS text
+            FROM l GROUP BY 1
+        """,
+        "csv_category_stats": f"""
+            SELECT category, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(qty AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+            FROM read_csv('{_CSV_FIXTURE}', header=true)
+            GROUP BY category
+        """,
+        "doc_pages": f"""
+            WITH l AS (SELECT line,
+                              CAST(regexp_extract(line, 'para (\\d+)', 1) AS BIGINT) AS idx
+                       FROM read_csv('{_TXT_FIXTURE}', header=false,
+                                     all_varchar=true, names=['line']))
+            SELECT CAST(idx // 83 + 1 AS BIGINT) AS page_number,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   string_agg(line, chr(10) ORDER BY idx) AS text
+            FROM l GROUP BY 1
+        """,
         "doc_normalize": f"""
             SELECT doc_id, {_CLEAN} AS clean_text FROM documents
         """,

@@ -20,13 +20,32 @@ import agentic_document_extraction_pdf_ray  # noqa: F401  (exports PYTHONPATH fo
 TURNS_PER_DOC = 20   # transcript-table sizing per sf dir (deterministic)
 
 
+_TRANSCRIPTS_ORACLE_LINK = "/tmp/ray_extract_cache/transcripts_oracle"
+_TRANSCRIPTS_ORACLE_GLOB = f"{_TRANSCRIPTS_ORACLE_LINK}/*.parquet"
+
+
 def _transcripts_for(sf_dir: str) -> str:
-    """Deterministic synthetic transcript table sized to the sf dir."""
+    """Deterministic synthetic transcript table sized to the sf dir.
+
+    Also repoints a FIXED symlink at the table so the transcript-based
+    DuckDB oracles (which are static SQL strings) can read the same data
+    via ``read_parquet('{_TRANSCRIPTS_ORACLE_GLOB}')``.
+    """
+    import os
+
     import pyarrow.parquet as pq
 
     from agentic_document_extraction_pdf_ray.sources.transcripts import transcripts_path
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    return transcripts_path(n_docs * TURNS_PER_DOC, seed=42)
+    d = transcripts_path(n_docs * TURNS_PER_DOC, seed=42)
+    tmp = _TRANSCRIPTS_ORACLE_LINK + ".lnk"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(d, tmp, target_is_directory=True)
+    os.replace(tmp, _TRANSCRIPTS_ORACLE_LINK)
+    return d
 
 
 def entry() -> Any:
@@ -164,6 +183,16 @@ def _q_streaming_sessions(sf_dir: str) -> Any:
     return streaming_sessionize(sf_dir)
 
 
+def _q_critic_combined(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.critic import critic_combined
+    return critic_combined(_transcripts_for(sf_dir))
+
+
+def _q_conv_classify_fallback(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.critic import conv_classify_fallback
+    return conv_classify_fallback(_transcripts_for(sf_dir))
+
+
 def _q_spreadsheet_pages(sf_dir: str) -> Any:
     """CSV source → reference-SpreadsheetProcessor page semantics."""
     import pyarrow as pa
@@ -274,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dual_pass_reconcile": _q_dual_pass,
         "calibrated_confidence": _q_calibrated,
         "eval_injection_report": _q_injection_report,
+        # --- critic combine + classification ladder (SQL-matched) ---
+        "critic_combined": _q_critic_combined,
+        "conv_classify_fallback": _q_conv_classify_fallback,
         # --- flagship extraction (oracle = pytest equality, not SQL) ---
         "extract_turns": _q_extract_turns,
         "conv_summaries": _q_conv_summaries,
@@ -287,6 +319,35 @@ _CLEAN = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 
 _CSV_FIXTURE = "/tmp/ray_extract_cache/spreadsheet_fixture.csv"
 _TXT_FIXTURE = "/tmp/ray_extract_cache/docpages_fixture.txt"
+
+# ---- transcript-table oracle fragments (read via the fixed symlink) -------
+_T_SRC = f"read_parquet('{_TRANSCRIPTS_ORACLE_GLOB}')"
+_T_STRIP = "trim(text, ' \t\n\r')"     # python str.strip() analogue
+
+# detect_payload_kind mirror (functions/modality.py:32-50), over alias `t`
+# (the stripped text) and `text` (raw; NULL-able).
+_KIND_CASE = """
+  CASE WHEN text IS NULL OR t = '' THEN 'empty'
+       WHEN t LIKE '{%' AND t LIKE '%}' THEN 'json'
+       WHEN t LIKE 'ISA%' AND contains(substr(t, 1, 10), '*')
+            AND contains(t, '~') THEN 'edi'
+       WHEN len(string_split(t, chr(10))) >= 2
+            AND 2 * len(list_filter(string_split(t, chr(10)),
+                                    x -> regexp_matches(x, '.*\\|.*\\|.*')))
+                >= len(string_split(t, chr(10))) THEN 'table'
+       WHEN len(string_split(t, chr(10))) >= 2
+            AND 2 * len(list_filter(string_split(t, chr(10)),
+                                    x -> regexp_matches(x, '^\\s*([-*•]|[0-9]+[.)])\\s+')))
+                >= len(string_split(t, chr(10))) THEN 'list'
+       ELSE 'prose' END
+"""
+
+# doc_profile marker-count classifier fragments (shared with doc_profile)
+_PROFILE_COUNTS = """
+  CAST(len(list_filter(tk, x -> list_contains(['query','scan','join','filter','agg'], x))) AS BIGINT) AS a_n,
+  CAST(len(list_filter(tk, x -> list_contains(['stream','window','batch'], x))) AS BIGINT) AS s_n,
+  CAST(len(list_filter(tk, x -> list_contains(['customer','order','part','line','value'], x))) AS BIGINT) AS c_n
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -307,6 +368,91 @@ def oracle_sql() -> dict[str, str]:
                    'Sheet: Sheet1' || chr(10) || 'row_id | category | qty | price' || chr(10) ||
                      string_agg(line, chr(10) ORDER BY rid) AS text
             FROM l GROUP BY 1
+        """,
+        "critic_combined": f"""
+            WITH c0 AS (SELECT conv_id, turn_idx, text,
+                               trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS ct,
+                               {_T_STRIP} AS t FROM {_T_SRC}),
+            k AS (SELECT conv_id, turn_idx, ct, {_KIND_CASE} AS kind FROM c0),
+            m AS (SELECT conv_id, turn_idx, kind,
+                         CAST(length(ct) AS BIGINT) AS n_chars,
+                         CAST(len(string_split_regex(ct, '\\s+')) AS BIGINT) AS n_tokens,
+                         CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                         CAST(length(regexp_replace(ct, '[^0-9]', '', 'g')) AS BIGINT) AS digit
+                  FROM k),
+            q AS (SELECT conv_id, turn_idx, kind,
+                         0.4 * (alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                           + 0.3 * least(1.0, n_tokens / 100.0)
+                           + 0.3 * (1.0 - digit / CAST(greatest(n_chars, 1) AS DOUBLE)) AS quality,
+                         least(1.0, n_tokens / 50.0) AS trust,
+                         CASE kind WHEN 'edi' THEN 0.7 WHEN 'table' THEN 0.6
+                                   WHEN 'json' THEN 0.4 ELSE 0.0 END AS pen
+                  FROM m)
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, kind,
+                   CAST(floor(pen * 100 + 0.5) AS BIGINT) AS penalty_x100,
+                   CAST(floor(least(1.0, greatest(0.0,
+                        0.5 * quality + 0.3 * trust + 0.2 * (1.0 - pen)))
+                        * 10000 + 0.5) AS BIGINT) AS combined_x10000
+            FROM q
+        """,
+        "conv_classify_fallback": f"""
+            WITH toks AS (SELECT conv_id, turn_idx,
+                                 string_split_regex(lower(coalesce(text, '')), '[^a-z]+') AS tk
+                          FROM {_T_SRC}),
+            cnt AS (SELECT conv_id, turn_idx, {_PROFILE_COUNTS} FROM toks),
+            cls AS (SELECT conv_id, turn_idx,
+                           least(100, greatest(a_n, s_n, c_n) * 10) AS conf,
+                           CASE WHEN greatest(a_n, s_n, c_n) < 3 THEN 'generic'
+                                WHEN a_n >= s_n AND a_n >= c_n THEN 'analytics'
+                                WHEN s_n >= c_n THEN 'streaming'
+                                ELSE 'commerce' END AS label,
+                           row_number() OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS rn
+                    FROM cnt),
+            w AS (SELECT conv_id,
+                         max(CASE WHEN rn = 1 THEN conf END) AS c1,
+                         max(CASE WHEN rn = 2 THEN conf END) AS c2,
+                         max(CASE WHEN rn = 3 THEN conf END) AS c3,
+                         max(CASE WHEN rn = 1 THEN label END) AS l1,
+                         max(CASE WHEN rn = 2 THEN label END) AS l2,
+                         max(CASE WHEN rn = 3 THEN label END) AS l3,
+                         max(CASE WHEN rn = 1 THEN turn_idx END) AS t1,
+                         max(CASE WHEN rn = 2 THEN turn_idx END) AS t2,
+                         max(CASE WHEN rn = 3 THEN turn_idx END) AS t3,
+                         max(CASE WHEN rn <= 3 THEN rn END) AS n
+                  FROM cls WHERE rn <= 3 GROUP BY conv_id),
+            s2 AS (SELECT *,
+                   CASE WHEN c1 < 70 AND n >= 2 AND c2 > c1 THEN 2 ELSE 1 END AS ch2,
+                   CASE WHEN c1 < 70 AND n >= 2 AND c2 > c1 THEN c2 ELSE c1 END AS cf2
+                   FROM w),
+            s3 AS (SELECT *,
+                   CASE WHEN c1 < 70 AND n >= 2 AND cf2 < 70 AND n >= 3
+                             AND c3 > cf2 THEN 3 ELSE ch2 END AS ch,
+                   CASE WHEN c1 < 70 AND n >= 2 AND cf2 < 70 AND n >= 3
+                             AND c3 > cf2 THEN c3 ELSE cf2 END AS cf
+                   FROM s2)
+            SELECT conv_id,
+                   CAST(CASE ch WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END AS BIGINT)
+                       AS chosen_turn_idx,
+                   CASE ch WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END AS label,
+                   CAST(cf AS BIGINT) AS conf_x100
+            FROM s3
+        """,
+        "conv_modalities": f"""
+            WITH c0 AS (SELECT conv_id, text, {_T_STRIP} AS t FROM {_T_SRC}),
+            k AS (SELECT conv_id, {_KIND_CASE} AS kind FROM c0),
+            f AS (SELECT DISTINCT conv_id, kind FROM k WHERE kind != 'empty'
+                  UNION SELECT DISTINCT conv_id, 'prose' FROM k)
+            SELECT conv_id, string_agg(kind, ',' ORDER BY kind) AS modalities
+            FROM f GROUP BY conv_id
+        """,
+        "transcripts_quality_check": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(DISTINCT (conv_id, turn_idx)) AS BIGINT)
+                       AS n_dup_keys,
+                   CAST(sum(CASE WHEN text IS NULL OR {_T_STRIP} = ''
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text
+            FROM {_T_SRC}
         """,
         "csv_category_stats": f"""
             SELECT category, CAST(count(*) AS BIGINT) AS n,

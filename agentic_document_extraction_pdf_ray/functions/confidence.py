@@ -18,6 +18,47 @@ from __future__ import annotations
 HIGH_THRESHOLD = 0.85
 MEDIUM_THRESHOLD = 0.50
 
+# ---------------------------------------------------------------------------
+# Critic combiner (/root/reference/src/validation/critic_combiner.py:42-107):
+# raw = 0.5·dual_pass + 0.3·critic_trust + 0.2·(1 − worst-of modality
+# penalty), every input clamped to [0, 1]. The reference's penalty table is
+# keyed by degraded *image* modalities; the text-payload analogue keys the
+# same 0.7/0.6/0.4 ladder by payload kind (EDI blobs are the most degraded
+# "fax-like" input for a text engine, pipe tables next, raw JSON least).
+
+COMBINER_WEIGHTS = (0.50, 0.30, 0.20)
+
+MODALITY_PENALTIES = {"fax": 0.7, "handwritten": 0.6, "visual": 0.4}
+PAYLOAD_KIND_PENALTIES = {"edi": 0.7, "table": 0.6, "json": 0.4}
+
+
+def modality_penalty(modalities: list[str] | None,
+                     table: dict[str, float] | None = None) -> float:
+    """Worst-of penalty across active modalities (0.0 when none apply)."""
+    if not modalities:
+        return 0.0
+    t = MODALITY_PENALTIES if table is None else table
+    return max((t.get(m, 0.0) for m in modalities), default=0.0)
+
+
+def combine_confidence(dual_pass_agreement: float, critic_trust: float,
+                       modalities: list[str] | None = None,
+                       weights: tuple[float, float, float] = COMBINER_WEIGHTS,
+                       penalty_table: dict[str, float] | None = None) -> dict:
+    """Pure critic-combiner (reference ``combine_confidence`` semantics).
+
+    Returns {dual_pass, critic, modality_penalty, raw_combined}; a missing
+    critic report should be passed as trust=1.0 by the caller (no signal ≠
+    penalty, reference :131-137).
+    """
+    w_dual, w_critic, w_mod = weights
+    dp = max(0.0, min(1.0, float(dual_pass_agreement)))
+    ct = max(0.0, min(1.0, float(critic_trust)))
+    pen = modality_penalty(list(modalities or []), penalty_table)
+    raw = w_dual * dp + w_critic * ct + w_mod * max(0.0, 1.0 - pen)
+    return {"dual_pass": dp, "critic": ct, "modality_penalty": pen,
+            "raw_combined": max(0.0, min(1.0, raw))}
+
 W_RAW = 0.40
 W_VALIDATION = 0.25
 W_COMPLETENESS = 0.20

@@ -1,0 +1,197 @@
+"""Critic-combined confidence + classification fallback ladder.
+
+Two reference control-flow shapes previously missing (VERDICT round 1,
+"What's missing" #4/#6), both over the transcript table and both with
+exact DuckDB oracles (fixed-point outputs):
+
+- :func:`critic_combined` — the critic combiner
+  (``/root/reference/src/validation/critic_combiner.py:42-107``):
+  ``0.5·dual + 0.3·critic + 0.2·(1−penalty)`` with a worst-of payload-kind
+  penalty. The deterministic SQL-matched inputs are the text-quality score
+  (the doc_quality formula, the dual-pass-agreement proxy) and a
+  length-saturation critic trust; the production wiring feeds
+  ``run_dual_pass_batch``'s agreement_rate and a critic model's trust into
+  the same :func:`..functions.confidence.combine_confidence`.
+
+- :func:`conv_classify_fallback` — the analyzer's multi-page
+  classification ladder (``/root/reference/src/agents/analyzer.py:200-225``):
+  classify turn 1; while below threshold, try up to two more turns keeping
+  the strictly-better result, stopping early once the threshold is met —
+  the argmax-inside-group control-flow shape, run per conversation inside
+  a bounded hash-bucket reduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.confidence import COMBINER_WEIGHTS, PAYLOAD_KIND_PENALTIES
+from ..functions.hashing import bucket_str_column
+from ..functions.modality import detect_payload_kind
+from .documents import _norm_ws
+
+CLASSIFY_THRESHOLD_X100 = 70          # analyzer confidence threshold (0.70)
+_PROFILE_MARKERS = {
+    "analytics": ("query", "scan", "join", "filter", "agg"),
+    "streaming": ("stream", "window", "batch"),
+    "commerce": ("customer", "order", "part", "line", "value"),
+}
+
+
+def _norm_ws_sql_exact(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """DuckDB ``trim(regexp_replace(x, '\\s+', ' ', 'g'))`` — space-only
+    trim: Arrow's utf8_trim_whitespace also strips Unicode separators like
+    ``\\x1f`` that DuckDB's trim keeps, which shows up on transcript
+    payloads (documents text never hits this, so ``_norm_ws`` is fine
+    there)."""
+    return pc.utf8_trim(pc.replace_substring_regex(col, r"\s+", " "), " ")
+
+
+def _quality_components(texts: pa.ChunkedArray | pa.Array):
+    """alpha/digit/token metrics of the normalized text — the exact
+    doc_quality formula inputs (pipelines/documents.py)."""
+    clean = _norm_ws_sql_exact(pc.fill_null(texts, ""))
+    n_chars = pc.cast(pc.utf8_length(clean), pa.int64()).to_numpy(zero_copy_only=False)
+    alpha = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(clean, r"[^A-Za-z]", "")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    digit = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(clean, r"[^0-9]", "")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    n_tokens = pc.cast(pc.list_value_length(
+        pc.split_pattern_regex(clean, r"\s+")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+    alpha_ratio = alpha / denom
+    digit_ratio = digit / denom
+    return alpha_ratio, digit_ratio, n_tokens
+
+
+def critic_combined(paths: str | list[str]) -> ray.data.Dataset:
+    """Per-turn critic-combined confidence (fixed-point, SQL-matched)."""
+    w_dual, w_critic, w_mod = COMBINER_WEIGHTS
+
+    def fn(batch: pa.Table) -> pa.Table:
+        alpha_ratio, digit_ratio, n_tokens = _quality_components(batch["text"])
+        quality = (0.4 * alpha_ratio
+                   + 0.3 * np.minimum(1.0, n_tokens / 100.0)
+                   + 0.3 * (1.0 - digit_ratio))
+        trust = np.minimum(1.0, n_tokens / 50.0)
+        kinds = [detect_payload_kind(t) for t in batch["text"].to_pylist()]
+        pen = np.array([PAYLOAD_KIND_PENALTIES.get(k, 0.0) for k in kinds],
+                       np.float64)
+        raw = np.clip(w_dual * quality + w_critic * trust
+                      + w_mod * (1.0 - pen), 0.0, 1.0)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pa.array(
+                batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "penalty_x100": pa.array(
+                np.floor(pen * 100.0 + 0.5).astype(np.int64), pa.int64()),
+            "combined_x10000": pa.array(
+                np.floor(raw * 10000.0 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(paths, columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _classify_confidences(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(label, conf_x100) per text — the doc_profile marker classifier
+    with an integer length-independent confidence = min(100, best·10)."""
+    lowered = texts.str.lower().str.split(r"[^a-z]+", regex=True)
+    counts = {}
+    for name, markers in _PROFILE_MARKERS.items():
+        mset = set(markers)
+        counts[name] = lowered.map(
+            lambda toks: sum(1 for t in toks if t in mset)).to_numpy(np.int64)
+    a, s, c = counts["analytics"], counts["streaming"], counts["commerce"]
+    best = np.maximum(np.maximum(a, s), c)
+    label = np.where(best < 3, "generic",
+                     np.where((a >= s) & (a >= c), "analytics",
+                              np.where(s >= c, "streaming", "commerce")))
+    conf = np.minimum(100, best * 10).astype(np.int64)
+    return label, conf
+
+
+def conv_classify_fallback(paths: str | list[str],
+                           threshold_x100: int = CLASSIFY_THRESHOLD_X100,
+                           n_buckets: int = 64) -> ray.data.Dataset:
+    """Classification ladder per conversation over its first 3 turns.
+
+    Reference loop semantics (analyzer.py:208-225): start from turn 1's
+    result; if below threshold, try the next turn keeping it only when
+    STRICTLY more confident; stop as soon as the running result meets the
+    threshold. Runs as a bounded hash-bucket reduce with a vectorized
+    per-bucket ladder (no per-conversation map_groups).
+    """
+    def narrow(batch: pa.Table) -> pa.Table:
+        label, conf = _classify_confidences(pd.Series(
+            ["" if t is None else t for t in batch["text"].to_pylist()],
+            dtype=object))
+        t = pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pa.array(
+                batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64()),
+            "label": pa.array(label, pa.string()),
+            "conf": pa.array(conf, pa.int64()),
+        })
+        return t.append_column(
+            "_cb", pa.array(bucket_str_column(batch["conv_id"], n_buckets),
+                            pa.int64()))
+
+    def ladder(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"])
+        g["_rn"] = g.groupby("conv_id").cumcount() + 1
+        g = g[g["_rn"] <= 3]
+        wide = g.pivot_table(index="conv_id", columns="_rn", values="conf",
+                             aggfunc="first").reindex(columns=[1, 2, 3])
+        labels = g.pivot_table(index="conv_id", columns="_rn", values="label",
+                               aggfunc="first").reindex(columns=[1, 2, 3])
+        n = g.groupby("conv_id")["_rn"].max().reindex(wide.index)
+        c1 = wide[1].fillna(0).to_numpy(np.int64)
+        c2 = wide[2].fillna(-1).to_numpy(np.int64)
+        c3 = wide[3].fillna(-1).to_numpy(np.int64)
+        nn = n.to_numpy(np.int64)
+        T = threshold_x100
+
+        # step 1: result = turn 1
+        chosen = np.ones(len(c1), np.int64)
+        conf = c1.copy()
+        # step 2: try turn 2 when below threshold and it exists
+        try2 = (conf < T) & (nn >= 2)
+        take2 = try2 & (c2 > conf)
+        chosen = np.where(take2, 2, chosen)
+        conf = np.where(take2, c2, conf)
+        # step 3: try turn 3 when still below threshold and it exists
+        try3 = try2 & (conf < T) & (nn >= 3)
+        take3 = try3 & (c3 > conf)
+        chosen = np.where(take3, 3, chosen)
+        conf = np.where(take3, c3, conf)
+
+        lab = np.choose(chosen - 1,
+                        [labels[1].fillna("generic").to_numpy(dtype=object),
+                         labels[2].fillna("generic").to_numpy(dtype=object),
+                         labels[3].fillna("generic").to_numpy(dtype=object)])
+        tix = g.set_index(["conv_id", "_rn"])["turn_idx"]
+        chosen_tix = np.array(
+            [tix[(cid, int(ch))] for cid, ch in zip(wide.index, chosen)],
+            np.int64)
+        return pd.DataFrame({
+            "conv_id": wide.index.to_numpy(dtype=object),
+            "chosen_turn_idx": chosen_tix,
+            "label": lab.astype(object),
+            "conf_x100": conf.astype(np.int64),
+        })
+
+    ds = ray.data.read_parquet(paths, columns=["conv_id", "turn_idx", "text"])
+    return (ds.map_batches(narrow, batch_format="pyarrow")
+            .groupby("_cb")
+            .map_groups(ladder, batch_format="pandas"))

@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": documents.doc_lang_id,
         "doc_fingerprint": documents.doc_fingerprint,
         "doc_profile": documents.doc_profile,
+        "doc_code_validation": documents.doc_code_validation,  # SQL-matched
         # --- dedup family ---
         "dedup_exact_prefix": dedup.dedup_exact_prefix,          # SQL-matched
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
@@ -319,6 +320,25 @@ _CLEAN = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 
 _CSV_FIXTURE = "/tmp/ray_extract_cache/spreadsheet_fixture.csv"
 _TXT_FIXTURE = "/tmp/ray_extract_cache/docpages_fixture.txt"
+
+def _doc_code_validation_sql() -> str:
+    """POS IN-list is generated from the SAME Python table the engine
+    broadcasts (state/standards.py) — one source of truth."""
+    from agentic_document_extraction_pdf_ray.state.standards import VALID_POS_CODES
+    pos_list = ", ".join(f"'{c}'" for c in sorted(VALID_POS_CODES))
+    return f"""
+        WITH c AS (SELECT doc_id,
+                          regexp_extract_all(text, '\\b[0-9]{{2}}\\b') AS pos_c,
+                          regexp_extract_all(text, '\\b[0-9]{{4}}\\b') AS rev_c
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(pos_c) AS BIGINT) AS n_pos_cand,
+               CAST(len(list_filter(pos_c, x -> list_contains([{pos_list}], x))) AS BIGINT) AS n_pos_valid,
+               CAST(len(rev_c) AS BIGINT) AS n_rev_cand,
+               CAST(len(list_filter(rev_c, x -> CAST(x AS BIGINT) BETWEEN 1 AND 999)) AS BIGINT) AS n_rev_valid
+        FROM c
+    """
+
 
 # ---- transcript-table oracle fragments (read via the fixed symlink) -------
 _T_SRC = f"read_parquet('{_TRANSCRIPTS_ORACLE_GLOB}')"
@@ -532,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'commerce' END AS profile
             FROM cnt
         """,
+        "doc_code_validation": _doc_code_validation_sql(),
         "supplier_by_nation": """
             SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
                    CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents

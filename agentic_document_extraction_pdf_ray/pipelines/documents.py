@@ -185,3 +185,50 @@ def doc_topk_quality(sf_dir: str, k: int = 10) -> "pd.DataFrame":
     top = (ds.sort(["quality_x100", "doc_id"], descending=[True, False])
            .limit(k).to_pandas())
     return top[["doc_id", "quality_x100"]]
+
+
+_POS_CAND_RE = re.compile(r"\b[0-9]{2}\b")
+_REV_CAND_RE = re.compile(r"\b[0-9]{4}\b")
+
+
+def doc_code_validation(sf_dir: str) -> ray.data.Dataset:
+    """Standards-table validation battery over candidate code tokens.
+
+    Extracts 2-digit tokens (Place-of-Service candidates) and 4-digit
+    tokens (UB-04 revenue-code candidates) from each document and
+    validates them against the broadcast standards tables
+    (:mod:`..state.standards` — POS membership; revenue 0001–0999 range).
+    The tables ship through the object store ONCE (``ray.put``) and each
+    task reads the local reference — the broadcast-lookup-table pattern
+    (SURVEY.md §2.3). SQL-matched: the oracle embeds the same POS list.
+    """
+    import ray as _ray
+
+    from ..state.standards import broadcast_standards
+    tables_ref = broadcast_standards()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tables = _ray.get(tables_ref)
+        pos_set = tables["pos"]
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        pos_cand = np.zeros(n, np.int64)
+        pos_valid = np.zeros(n, np.int64)
+        rev_cand = np.zeros(n, np.int64)
+        rev_valid = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            pc_toks = _POS_CAND_RE.findall(t)
+            rv_toks = _REV_CAND_RE.findall(t)
+            pos_cand[i] = len(pc_toks)
+            pos_valid[i] = sum(1 for x in pc_toks if x in pos_set)
+            rev_cand[i] = len(rv_toks)
+            rev_valid[i] = sum(1 for x in rv_toks if 1 <= int(x) <= 999)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_pos_cand": pa.array(pos_cand, pa.int64()),
+            "n_pos_valid": pa.array(pos_valid, pa.int64()),
+            "n_rev_cand": pa.array(rev_cand, pa.int64()),
+            "n_rev_valid": pa.array(rev_valid, pa.int64()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")

@@ -183,6 +183,13 @@ def _q_streaming_sessions(sf_dir: str) -> Any:
     return streaming_sessionize(sf_dir)
 
 
+def _q_conv_merged_fields(sf_dir: str) -> Any:
+    """Cross-turn LIST-append / scalar-max field merge (rows-only; the
+    oracle is the pytest equality vs merged_fields_reference)."""
+    from agentic_document_extraction_pdf_ray.pipelines.fields import conv_merged_fields
+    return conv_merged_fields(_transcripts_for(sf_dir))
+
+
 def _q_critic_combined(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.critic import critic_combined
     return critic_combined(_transcripts_for(sf_dir))
@@ -309,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_classify_fallback": _q_conv_classify_fallback,
         # --- flagship extraction (oracle = pytest equality, not SQL) ---
         "extract_turns": _q_extract_turns,
+        "conv_merged_fields": _q_conv_merged_fields,
         "conv_summaries": _q_conv_summaries,
         "conv_modalities": _q_conv_modalities,
         "transcripts_quality_check": _q_tqc,

@@ -123,6 +123,94 @@ def run_resumable_extract(
             "manifests": load_manifests(out_dir)}
 
 
+def run_resumable_extract_salted(
+    src_dir: str,
+    out_dir: str,
+    chunk_size: int = 500,
+    num_partitions: int = 16,
+    fail_partitions: frozenset[str] = frozenset(),
+) -> dict[str, Any]:
+    """Manifest-gated resume for the SALTED (mega-conversation) plan.
+
+    Same contract as :func:`run_resumable_extract`: per-partition atomic
+    parquet + manifest committed in the task; a rerun drops done
+    partitions' conversations right after the read, so their extraction
+    never recomputes. The resume unit stays the conv-hash partition (the
+    salted plan's salt buckets cannot be resume units on their own:
+    segment decisions for a conversation need ALL its chunks, so a
+    partially-done conversation would still recompute its narrow pass).
+    The cost is one payload shuffle to co-locate each partition's output
+    rows for the atomic write; a partition task holds whole
+    conversations again, so for extreme single-conversation skew raise
+    ``num_partitions`` and let the salted EXECUTION (which already ran
+    bucketed) dominate the wall time.
+    """
+    import time as _time
+
+    paths = sorted(
+        os.path.join(src_dir, f) for f in os.listdir(src_dir)
+        if f.endswith(".parquet"))
+    fp = input_fingerprint(paths, {"num_partitions": num_partitions,
+                                   "chunk_size": chunk_size,
+                                   "plan": "salted"})
+    done = done_partitions(out_dir, fp)
+    os.makedirs(out_dir, exist_ok=True)
+
+    raw = ray.data.read_parquet(
+        paths, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+
+    def drop_done(batch: pa.Table) -> pa.Table:
+        if not done:
+            return batch
+        pids = partition_ids_for(batch["conv_id"], num_partitions)
+        mask = pa.array([p not in done for p in pids], pa.bool_())
+        return batch.filter(mask)
+
+    from .scale import salted_pipeline_from_raw
+    out = salted_pipeline_from_raw(
+        raw.map_batches(drop_done, batch_format="pyarrow"), chunk_size)
+
+    def assign_pid(batch: pa.Table) -> pa.Table:
+        pids = partition_ids_for(batch["conv_id"], num_partitions)
+        return batch.append_column("partition_id",
+                                   pa.array(pids, pa.string()))
+
+    def write_partition(part: pa.Table) -> pa.Table:
+        t0 = _time.time()
+        pid = part["partition_id"][0].as_py()
+        if pid in fail_partitions:
+            _time.sleep(2.0)
+            raise RuntimeError(f"injected failure for partition {pid}")
+        body = part.drop_columns(["partition_id"]).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")])
+        pdir = os.path.join(out_dir, f"partition_id={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".part-0.parquet.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
+        rec = {
+            "input_fingerprint": fp,
+            "row_count": body.num_rows,
+            "conv_count": len(set(body["conv_id"].to_pylist())),
+            "checksum": _partition_checksum(body),
+            "wall_ms": int((_time.time() - t0) * 1000),
+            "status": "done",
+        }
+        write_manifest(out_dir, pid, rec)
+        return pa.table({"partition_id": pa.array([pid], pa.string()),
+                         "row_count": pa.array([body.num_rows], pa.int64())})
+
+    manifest_rows = (out.map_batches(assign_pid, batch_format="pyarrow")
+                     .groupby("partition_id")
+                     .map_groups(write_partition, batch_format="pyarrow")
+                     .take_all())
+
+    from ..state.manifest import load_manifests
+    return {"computed": sorted(r["partition_id"] for r in manifest_rows),
+            "skipped": sorted(done),
+            "manifests": load_manifests(out_dir)}
+
+
 def extract_turn_batch_keep_pid(batch: pa.Table) -> pa.Table:
     """Per-turn core that carries the partition_id column through."""
     pid = batch["partition_id"]

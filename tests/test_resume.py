@@ -79,3 +79,71 @@ class TestResume:
         # Different partition count → different fingerprint → full recompute.
         res = run_resumable_extract(tiny_transcripts, out, num_partitions=4)
         assert res["computed"] and not res["skipped"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedResume:
+    """Kill/resume for the salted (mega-conversation) plan: committed
+    partitions are skipped and never rewritten; resumed output matches a
+    clean salted run AND the plain plan's semantics."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, tmp_path_factory):
+        from agentic_document_extraction_pdf_ray.sources.transcripts import (
+            generate_transcripts,
+        )
+        d = tmp_path_factory.mktemp("skewed_resume")
+        generate_transcripts(str(d), 2000, seed=7, mega_convs=2)
+        return str(d)
+
+    def test_salted_kill_and_resume(self, skewed, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.resume import (
+            run_resumable_extract_salted,
+        )
+        out_a = str(tmp_path / "a")
+        out_b = str(tmp_path / "b")
+
+        with pytest.raises(Exception):
+            run_resumable_extract_salted(
+                skewed, out_a, chunk_size=100, num_partitions=P,
+                fail_partitions=frozenset({"00006", "00007"}))
+        done_before = set(load_manifests(out_a))
+        assert done_before, "some partitions should have committed"
+        assert {"00006", "00007"}.isdisjoint(done_before)
+        files_before = _data_files(out_a)
+
+        res = run_resumable_extract_salted(skewed, out_a, chunk_size=100,
+                                           num_partitions=P)
+        assert set(res["skipped"]) == done_before
+        assert set(res["computed"]).isdisjoint(done_before)
+        files_after = _data_files(out_a)
+        for d, stamp in files_before.items():
+            assert files_after[d] == stamp, f"{d} was recomputed"
+
+        run_resumable_extract_salted(skewed, out_b, chunk_size=100,
+                                     num_partitions=P)
+        ma, mb = load_manifests(out_a), load_manifests(out_b)
+        assert set(ma) == set(mb)
+        for pid in ma:
+            assert ma[pid]["checksum"] == mb[pid]["checksum"], pid
+            assert ma[pid]["row_count"] == mb[pid]["row_count"], pid
+
+    def test_salted_resume_output_matches_plain_plan(self, skewed, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            extract_pipeline, sort_output,
+        )
+        from agentic_document_extraction_pdf_ray.pipelines.resume import (
+            run_resumable_extract_salted,
+        )
+        out = str(tmp_path / "out")
+        run_resumable_extract_salted(skewed, out, chunk_size=100,
+                                     num_partitions=P)
+        got = {(r["conv_id"], r["turn_idx"]): r
+               for r in read_extract_output(out).take_all()}
+        want = sort_output(extract_pipeline(skewed)).take_all()
+        assert len(got) == len(want)
+        for w in want:
+            g = got[(w["conv_id"], w["turn_idx"])]
+            assert g["extracted_text"] == w["extracted_text"]
+            assert g["segment_id"] == w["segment_id"]
+            assert g["dup_of"] == w["dup_of"]

@@ -155,3 +155,140 @@ def export_bundle(rows: list[dict[str, Any]], path: str,
     with open(path, "w") as f:
         json.dump(bundle, f, sort_keys=True)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Consolidated workbook export (the export_excel analogue,
+# /root/reference/src/export/consolidated_export.py:119-399).
+#
+# DESIGN DECISION: openpyxl is not part of this engine's environment, and a
+# single .xlsx file is the wrong artefact at 100 TB anyway. The analogue is
+# a WORKBOOK DIRECTORY: one sub-directory of CSV part-files per sheet
+# (streaming writes for the big sheets, driver-side writes for the tiny
+# summary sheets) plus a workbook.json manifest naming the sheets — the
+# same four-sheet structure the reference renders (All Records, Duplicates,
+# Page Summary, Processing Summary), flattenable to .xlsx with any CSV
+# importer when one is needed.
+
+
+def export_workbook(ds, out_dir: str, mask_phi: bool = False) -> dict[str, Any]:
+    """Write the consolidated workbook directory from a finalized
+    extraction Dataset (the flagship pipeline's output schema).
+
+    Sheets:
+      all_records/    one row per turn-record (streamed, partitioned)
+      duplicates/     cross-turn duplicate rows (streamed)
+      conv_summary/   per-conversation stats (Page Summary analogue)
+      processing_summary.csv   metric/value rows (driver-side, tiny)
+
+    ``mask_phi=True`` routes records through the PHI redaction stage
+    first (the reference's ``mask_phi`` flag,
+    consolidated_export.py:139-141).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_str_column
+    from ..functions.text import norm_key
+
+    os.makedirs(out_dir, exist_ok=True)
+    if mask_phi:
+        from ..stages.phi import redact_batch
+        ds = ds.map_batches(redact_batch, batch_format="pyarrow")
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        texts = batch["extracted_text"].to_pylist()
+        keys = [norm_key(t)[:64] for t in texts]
+        n_blocks = batch["n_blocks"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_kept = batch["n_kept"].to_numpy(zero_copy_only=False).astype(np.float64)
+        completeness = np.round(
+            np.divide(n_kept, np.maximum(n_blocks, 1.0)), 4)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "primary_id": pa.array(keys, pa.string()),
+            "n_fields": pa.array(
+                [len(f) for f in batch["fields"].to_pylist()], pa.int64()),
+            "confidence": batch["confidence"],
+            "is_duplicate": batch["dup_of"].is_valid(),
+            "completeness": pa.array(completeness, pa.float64()),
+        })
+
+    flat = ds.map_batches(flatten, batch_format="pyarrow")
+    flat.write_csv(os.path.join(out_dir, "all_records"))
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        mask = batch["dup_of"].is_valid()
+        kept = batch.filter(mask)
+        dup = kept["dup_of"].to_pylist()
+        return pa.table({
+            "conv_id": kept["conv_id"],
+            "turn_idx": kept["turn_idx"],
+            "dup_of_conv_id": pa.array([d["conv_id"] for d in dup], pa.string()),
+            "dup_of_turn_idx": pa.array([d["turn_idx"] for d in dup], pa.int32()),
+        })
+
+    ds.map_batches(dup_rows, batch_format="pyarrow").write_csv(
+        os.path.join(out_dir, "duplicates"))
+
+    # Page Summary analogue: per-conversation stats via a bounded bucket
+    # reduce (never one reduce call per conversation).
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_cb"] = bucket_str_column(pa.array(b["conv_id"]), 64)
+        return b
+
+    def conv_stats(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("conv_id", as_index=False)
+               .agg(n_records=("turn_idx", "size"),
+                    avg_confidence=("confidence", "mean"),
+                    n_unique_ids=("primary_id", "nunique"),
+                    n_duplicates=("is_duplicate", "sum")))
+        out["avg_confidence"] = [f"{c:.0%}" for c in out["avg_confidence"]]
+        out["n_duplicates"] = out["n_duplicates"].astype(np.int64)
+        return out
+
+    summary_ds = (flat.map_batches(add_bucket, batch_format="pandas")
+                  .groupby("_cb")
+                  .map_groups(conv_stats, batch_format="pandas")
+                  .materialize())
+    summary_ds.write_csv(os.path.join(out_dir, "conv_summary"))
+    n_convs = summary_ds.count()         # one number, no row collection
+
+    # Processing Summary: one small aggregate (partial per batch + fold).
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_records": [np.int64(len(b))],
+            "n_dups": [np.int64(b["is_duplicate"].sum())],
+            "conf_sum": [float(b["confidence"].sum())],
+        })
+
+    parts = flat.map_batches(partial, batch_format="pandas").to_pandas()
+    n_records = int(parts["n_records"].sum())
+    n_dups = int(parts["n_dups"].sum())
+    avg_conf = parts["conf_sum"].sum() / max(n_records, 1)
+    summary = [
+        ("Total Conversations", str(n_convs)),
+        ("Total Records", str(n_records)),
+        ("Unique Records", str(n_records - n_dups)),
+        ("Duplicate Records", str(n_dups)),
+        ("Avg Records/Conversation", f"{n_records / max(n_convs, 1):.1f}"),
+        ("Avg Confidence", f"{avg_conf:.0%}"),
+    ]
+    spath = os.path.join(out_dir, "processing_summary.csv")
+    with open(spath + ".tmp", "w", encoding="utf-8") as f:
+        f.write("metric,value\n")
+        for k, v in summary:
+            f.write(f"{k},{v}\n")
+    os.replace(spath + ".tmp", spath)
+
+    manifest = {
+        "sheets": ["all_records", "duplicates", "conv_summary",
+                   "processing_summary"],
+        "mask_phi": mask_phi,
+        "totals": dict(summary),
+    }
+    with open(os.path.join(out_dir, "workbook.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

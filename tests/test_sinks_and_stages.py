@@ -1,6 +1,7 @@
 """PHI redaction, EDI parsing, export sinks, multimodal stub plumbing."""
 
 import json
+import os
 
 import pyarrow as pa
 import pytest
@@ -140,3 +141,61 @@ class TestStreamingSessionize:
         for col in ("user_id", "n_sessions", "n_events"):
             assert batch[col].astype("int64").tolist() == \
                 stream[col].astype("int64").tolist(), col
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWorkbookExport:
+    """export_workbook: the consolidated-Excel analogue's sheet set
+    (reference consolidated_export.py:119-399 — All Records, Duplicates,
+    Page Summary, Processing Summary)."""
+
+    def test_sheet_set_and_consistency(self, tiny_transcripts, tiny_golden,
+                                       tmp_path):
+        import csv as _csv
+        import glob
+        import json as _json
+
+        from agentic_document_extraction_pdf_ray.pipelines.export import export_workbook
+        from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
+
+        out = str(tmp_path / "wb")
+        manifest = export_workbook(extract_pipeline(tiny_transcripts), out)
+        assert manifest["sheets"] == ["all_records", "duplicates",
+                                      "conv_summary", "processing_summary"]
+
+        def read_sheet(name):
+            rows = []
+            for f in sorted(glob.glob(os.path.join(out, name, "*.csv"))):
+                with open(f) as fh:
+                    rows.extend(list(_csv.DictReader(fh)))
+            return rows
+
+        records = read_sheet("all_records")
+        assert len(records) == len(tiny_golden)
+        dups = read_sheet("duplicates")
+        n_dup_golden = sum(1 for r in tiny_golden if r["dup_of"] is not None)
+        assert len(dups) == n_dup_golden
+        convs = read_sheet("conv_summary")
+        assert len(convs) == len({r["conv_id"] for r in tiny_golden})
+        assert {"conv_id", "n_records", "avg_confidence", "n_unique_ids",
+                "n_duplicates"} <= set(convs[0])
+
+        with open(os.path.join(out, "processing_summary.csv")) as fh:
+            summary = dict(
+                (r["metric"], r["value"]) for r in _csv.DictReader(fh))
+        assert int(summary["Total Records"]) == len(tiny_golden)
+        assert int(summary["Duplicate Records"]) == n_dup_golden
+        assert int(summary["Total Conversations"]) == len(convs)
+        assert summary["Avg Confidence"].endswith("%")
+
+        wb = _json.load(open(os.path.join(out, "workbook.json")))
+        assert wb["mask_phi"] is False
+
+    def test_mask_phi_routes_redaction(self, tiny_transcripts, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.export import export_workbook
+        from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
+
+        out = str(tmp_path / "wb_phi")
+        manifest = export_workbook(extract_pipeline(tiny_transcripts), out,
+                                   mask_phi=True)
+        assert manifest["mask_phi"] is True

@@ -150,19 +150,16 @@ def _q_calibrated(sf_dir: str) -> Any:
 
 
 def _q_injection_report(sf_dir: str) -> Any:
-    """Seeded injection harness catch-rate report over extraction output."""
-    import pandas as pd
-
+    """Seeded injection harness catch-rate report: per-batch mutate +
+    count with a tiny final fold (no full-output take_all)."""
     from agentic_document_extraction_pdf_ray.pipelines.evaluate import (
-        inject_mutations, injection_catch_rate,
+        injection_report_distributed,
     )
     from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
-    rows = extract_pipeline(_transcripts_for(sf_dir)).take_all()
-    golden = [{"conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
-               "fields": dict(r["fields"] or [])} for r in rows]
-    mutated, log = inject_mutations(golden, seed=42, rate=0.3)
-    rep = injection_catch_rate(mutated, log)
-    return pd.DataFrame([rep])
+    ds = extract_pipeline(_transcripts_for(sf_dir)).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "fields"]),
+        batch_format="pyarrow")
+    return injection_report_distributed(ds, seed=42, rate=0.3)
 
 
 def _q_extract_salted(sf_dir: str) -> Any:

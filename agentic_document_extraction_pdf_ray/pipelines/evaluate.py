@@ -209,3 +209,51 @@ def compare_runs(prev_per_field: pd.DataFrame, cur_per_field: pd.DataFrame,
         "regressions": regressions,
         "is_regression": bool(regressions),
     }
+
+
+def injection_report_distributed(ds, seed: int = 42,
+                                 rate: float = 0.3) -> pd.DataFrame:
+    """Distributed injection harness: per-batch mutate + count, one tiny
+    final fold — no full-output ``take_all`` (VERDICT round 1 #6).
+
+    Row-keyed seeding (md5 of (seed, conv_id, turn_idx)) replaces the
+    driver-loop's sequential rng so every task draws independently and
+    deterministically; the list-based :func:`inject_mutations` /
+    :func:`injection_catch_rate` pair stays as the small-fixture oracle.
+    """
+    import hashlib as _h
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        caught = catchable = fp = clean = 0
+        for conv, tix, fields in zip(batch["conv_id"], batch["turn_idx"],
+                                     batch["fields"]):
+            fmap = dict(fields)
+            row = {"conv_id": conv, "turn_idx": int(tix), "fields": fmap}
+            row_seed = int.from_bytes(
+                _h.md5(f"{seed}|{conv}|{int(tix)}".encode()).digest()[:8],
+                "little")
+            mutated, log = inject_mutations([row], seed=row_seed, rate=rate)
+            kind = log[0]["mutation"] if log else None
+            for name, value in mutated[0]["fields"].items():
+                flagged = bool(flag_value(value))
+                injected = kind in ("phantom_field", "placeholder_inject") and (
+                    name.startswith("phantom_") or value in
+                    ("N/A", "TBD", "unknown", "John Doe", "12345", "XXXX"))
+                if injected:
+                    catchable += 1
+                    caught += 1 if flagged else 0
+                else:
+                    clean += 1
+                    fp += 1 if flagged else 0
+        return pd.DataFrame({"caught": [caught], "catchable": [catchable],
+                             "fp": [fp], "clean": [clean]})
+
+    parts = ds.map_batches(per_batch, batch_format="pandas").to_pandas()
+    caught, catchable = int(parts["caught"].sum()), int(parts["catchable"].sum())
+    fp, clean = int(parts["fp"].sum()), int(parts["clean"].sum())
+    return pd.DataFrame([{
+        "catch_rate": round(caught / catchable, 6) if catchable else 1.0,
+        "false_positive_rate": round(fp / clean, 6) if clean else 0.0,
+        "n_catchable": catchable,
+        "n_clean": clean,
+    }])

@@ -102,15 +102,25 @@ def critic_combined(paths: str | list[str]) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_MARKER_GROUP = {m: name for name, ms in _PROFILE_MARKERS.items() for m in ms}
+
+
 def _classify_confidences(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(label, conf_x100) per text — the doc_profile marker classifier
-    with an integer length-independent confidence = min(100, best·10)."""
-    lowered = texts.str.lower().str.split(r"[^a-z]+", regex=True)
-    counts = {}
-    for name, markers in _PROFILE_MARKERS.items():
-        mset = set(markers)
-        counts[name] = lowered.map(
-            lambda toks: sum(1 for t in toks if t in mset)).to_numpy(np.int64)
+    with an integer length-independent confidence = min(100, best·10).
+    Vectorized: one explode + map over the token stream; the only Python
+    loop is over rows×groups that actually hit a marker."""
+    texts = texts.reset_index(drop=True)
+    n = len(texts)
+    counts = {name: np.zeros(n, np.int64) for name in _PROFILE_MARKERS}
+    ex = texts.str.lower().str.split(r"[^a-z]+", regex=True).explode()
+    grp = ex.map(_MARKER_GROUP).dropna()
+    if len(grp):
+        hits = (pd.DataFrame({"i": grp.index.to_numpy(np.int64),
+                              "g": grp.to_numpy()})
+                .groupby(["i", "g"]).size())
+        for (i, name), v in hits.items():
+            counts[name][i] = v
     a, s, c = counts["analytics"], counts["streaming"], counts["commerce"]
     best = np.maximum(np.maximum(a, s), c)
     label = np.where(best < 3, "generic",
@@ -132,29 +142,40 @@ def conv_classify_fallback(paths: str | list[str],
     per-bucket ladder (no per-conversation map_groups).
     """
     def narrow(batch: pa.Table) -> pa.Table:
-        label, conf = _classify_confidences(pd.Series(
-            ["" if t is None else t for t in batch["text"].to_pylist()],
-            dtype=object))
+        # Map-side combiner: only each conversation's 3 lowest-turn_idx
+        # rows can ever be chosen, and "global first-3" == "first-3 of
+        # the union of per-batch first-3s" — so the shuffle carries at
+        # most 3 narrow rows per (conv, batch), not every turn.
+        df = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_pylist(),
+            "turn_idx": batch["turn_idx"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "text": ["" if t is None else t
+                     for t in batch["text"].to_pylist()],
+        })
+        df = (df.sort_values(["conv_id", "turn_idx"])
+              .groupby("conv_id").head(3).reset_index(drop=True))
+        label, conf = _classify_confidences(df["text"])
         t = pa.table({
-            "conv_id": batch["conv_id"],
-            "turn_idx": pa.array(
-                batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64),
-                pa.int64()),
+            "conv_id": pa.array(df["conv_id"].to_numpy(object), pa.string()),
+            "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int64), pa.int64()),
             "label": pa.array(label, pa.string()),
             "conf": pa.array(conf, pa.int64()),
         })
         return t.append_column(
-            "_cb", pa.array(bucket_str_column(batch["conv_id"], n_buckets),
+            "_cb", pa.array(bucket_str_column(t["conv_id"], n_buckets),
                             pa.int64()))
 
     def ladder(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"])
         g["_rn"] = g.groupby("conv_id").cumcount() + 1
         g = g[g["_rn"] <= 3]
-        wide = g.pivot_table(index="conv_id", columns="_rn", values="conf",
-                             aggfunc="first").reindex(columns=[1, 2, 3])
-        labels = g.pivot_table(index="conv_id", columns="_rn", values="label",
-                               aggfunc="first").reindex(columns=[1, 2, 3])
+        wide = g.pivot(index="conv_id", columns="_rn",
+                       values="conf").reindex(columns=[1, 2, 3])
+        labels = g.pivot(index="conv_id", columns="_rn",
+                         values="label").reindex(columns=[1, 2, 3])
+        tixw = g.pivot(index="conv_id", columns="_rn",
+                       values="turn_idx").reindex(columns=[1, 2, 3])
         n = g.groupby("conv_id")["_rn"].max().reindex(wide.index)
         c1 = wide[1].fillna(0).to_numpy(np.int64)
         c2 = wide[2].fillna(-1).to_numpy(np.int64)
@@ -180,10 +201,11 @@ def conv_classify_fallback(paths: str | list[str],
                         [labels[1].fillna("generic").to_numpy(dtype=object),
                          labels[2].fillna("generic").to_numpy(dtype=object),
                          labels[3].fillna("generic").to_numpy(dtype=object)])
-        tix = g.set_index(["conv_id", "_rn"])["turn_idx"]
-        chosen_tix = np.array(
-            [tix[(cid, int(ch))] for cid, ch in zip(wide.index, chosen)],
-            np.int64)
+        chosen_tix = np.choose(
+            chosen - 1,
+            [tixw[1].fillna(-1).to_numpy(np.int64),
+             tixw[2].fillna(-1).to_numpy(np.int64),
+             tixw[3].fillna(-1).to_numpy(np.int64)])
         return pd.DataFrame({
             "conv_id": wide.index.to_numpy(dtype=object),
             "chosen_turn_idx": chosen_tix,

@@ -107,15 +107,54 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> ray.data.Data
         Sum("count_order", alias_name="count_order"))
 
 
-def revenue_by_nation(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+def revenue_by_nation(sf_dir: str, n_buckets: int = 32,
+                      broadcast_max_rows: int = 1_000_000) -> ray.data.Dataset:
     """orders ⋈ customer ⋈ nation.
 
     customer is O(fact-table) — NOT a broadcastable side at 100× scale
-    (VERDICT round 1 #9). Orders partials and the customer key→nation
-    projection are unioned and co-grouped on a bounded custkey hash
-    bucket (the large-large union+co-group join, same as
-    ``order_revenue_topk``); only nation itself (25 rows) is broadcast
-    for the final name attach."""
+    (VERDICT round 1 #9). Routing: while customer fits comfortably in a
+    broadcast (≤ ``broadcast_max_rows``), the classic broadcast-merge
+    runs (2 narrow int columns; cheapest locally); beyond that, orders
+    partials and the customer key→nation projection are unioned and
+    co-grouped on a bounded custkey hash bucket (the large-large
+    union+co-group join, same as ``order_revenue_topk``). Only nation
+    itself (25 rows) is ever broadcast unconditionally."""
+    cust_ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                    columns=["c_custkey", "c_nationkey"])
+    if cust_ds.count() <= broadcast_max_rows:    # parquet metadata, no scan
+        return _revenue_by_nation_broadcast(sf_dir, cust_ds)
+    return _revenue_by_nation_cogroup(sf_dir, cust_ds, n_buckets)
+
+
+def _revenue_by_nation_broadcast(sf_dir: str,
+                                 cust_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Small-customer fast path: custkey→nation dim broadcast once."""
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                                   columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust_ds.to_pandas().merge(nation, left_on="c_nationkey",
+                                    right_on="n_nationkey")
+    dim_ref = ray.put(dim[["c_custkey", "n_name"]])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        m = batch.merge(d, left_on="o_custkey", right_on="c_custkey",
+                        how="inner")
+        m = m.assign(cents=_cents(m["o_totalprice"]))
+        return (m.groupby("n_name", as_index=False)
+                .agg(n_orders=("o_orderkey", "size"),
+                     total_cents=("cents", "sum")))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return (orders.map_batches(partial, batch_format="pandas")
+            .groupby("n_name")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_cents", alias_name="total_cents")))
+
+
+def _revenue_by_nation_cogroup(sf_dir: str, cust_ds: ray.data.Dataset,
+                               n_buckets: int) -> ray.data.Dataset:
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -129,8 +168,7 @@ def revenue_by_nation(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
         g["side"] = "o"
         return g[["custkey", "n_orders", "cents", "nationkey", "side"]]
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_nationkey"])
+    cust = cust_ds
 
     def c_tag(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

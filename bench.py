@@ -50,7 +50,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from agentic_document_extraction_pdf_ray.pipelines import (
-        dedup, documents, events, relational, similarity,
+        critic, dedup, documents, events, fields, relational, similarity,
     )
     from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
     from agentic_document_extraction_pdf_ray.sources.transcripts import transcripts_path
@@ -103,6 +103,14 @@ def run_bench() -> dict:
         "doc_profile": timed(documents.doc_profile, sf_dir),
         "order_revenue_topk": timed(relational.order_revenue_topk, sf_dir),
         "top_customers": timed(relational.top_customers, sf_dir),
+        "embedding_near_dup": timed(
+            lambda d: similarity.embedding_near_dup(d).count(), sf_dir),
+        "critic_combined": timed(
+            lambda s: critic.critic_combined(s).count(), src),
+        "conv_classify_fallback": timed(
+            lambda s: critic.conv_classify_fallback(s).count(), src),
+        "conv_merged_fields": timed(
+            lambda s: fields.conv_merged_fields(s).count(), src),
     }
 
     ray.shutdown()

@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": documents.doc_fingerprint,
         "doc_profile": documents.doc_profile,
         "doc_code_validation": documents.doc_code_validation,  # SQL-matched
+        "doc_sample": documents.doc_sample,                    # SQL-matched
         # --- dedup family ---
         "dedup_exact_prefix": dedup.dedup_exact_prefix,          # SQL-matched
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
@@ -558,6 +559,13 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
         """,
         "doc_code_validation": _doc_code_validation_sql(),
+        # threshold '40000000' = rate 0.25 of the 8-hex-char space
+        "doc_sample": """
+            SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR) || '|s1'), 1, 8) AS sample_key
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|s1'), 1, 8) < '40000000'
+        """,
         "supplier_by_nation": """
             SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
                    CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents

@@ -232,3 +232,29 @@ def doc_code_validation(sf_dir: str) -> ray.data.Dataset:
             "n_rev_valid": pa.array(rev_valid, pa.int64()),
         })
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_sample(sf_dir: str, rate: float = 0.25,
+               salt: str = "s1") -> ray.data.Dataset:
+    """Deterministic hash-gated sampling (the reproducible train/eval
+    split primitive a training-data pipeline needs): keep a document iff
+    the first 8 hex chars of ``md5(doc_id|salt)`` fall under the rate
+    threshold. Stable across runs, machines and partitionings — and
+    exactly SQL-expressible, so the driver hash-verifies it. Production
+    variant: swap md5 for the vectorized siphash in functions/hashing
+    when oracle parity is not required (md5-per-row is the price of a
+    DuckDB-matched split).
+    """
+    threshold = format(int(rate * 16 ** 8), "08x")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8]
+                for i in ids]
+        keep = pa.array([k < threshold for k in keys], pa.bool_())
+        out = pa.table({"doc_id": batch["doc_id"],
+                        "sample_key": pa.array(keys, pa.string())})
+        return out.filter(keep)
+
+    return read_documents(sf_dir, ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow")

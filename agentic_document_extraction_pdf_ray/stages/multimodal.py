@@ -89,3 +89,30 @@ def decode_media(ds, concurrency=(1, 4), batch_size: int = 64):
     return ds.map_batches(DecodeStub, batch_format="pyarrow",
                           concurrency=concurrency, batch_size=batch_size,
                           num_cpus=1)
+
+
+ORIENT_PORTRAIT = "portrait"
+ORIENT_LANDSCAPE = "landscape"
+ORIENT_SQUARE = "square"
+
+
+def detect_orientation(width: int, height: int) -> str:
+    """Page orientation from dimensions (reference
+    ``/root/reference/src/preprocessing/base_processor.py:98-104``)."""
+    if width > height:
+        return ORIENT_LANDSCAPE
+    if height > width:
+        return ORIENT_PORTRAIT
+    return ORIENT_SQUARE
+
+
+def orient_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized orientation column over media metadata (unknown dims,
+    encoded as -1, classify as ``square`` like equal dims — callers gate
+    on width >= 0 when that matters)."""
+    w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+    orient = np.where(w > h, ORIENT_LANDSCAPE,
+                      np.where(h > w, ORIENT_PORTRAIT, ORIENT_SQUARE))
+    return batch.append_column("orientation",
+                               pa.array(orient.tolist(), pa.string()))

@@ -199,3 +199,22 @@ class TestWorkbookExport:
         manifest = export_workbook(extract_pipeline(tiny_transcripts), out,
                                    mask_phi=True)
         assert manifest["mask_phi"] is True
+
+
+class TestOrientation:
+    def test_reference_ladder(self):
+        from agentic_document_extraction_pdf_ray.stages.multimodal import (
+            detect_orientation, orient_batch, synth_media_table,
+        )
+        assert detect_orientation(100, 200) == "portrait"
+        assert detect_orientation(200, 100) == "landscape"
+        assert detect_orientation(150, 150) == "square"
+        out = orient_batch(synth_media_table(9))
+        got = dict(zip(out["media_id"].to_pylist(),
+                       out["orientation"].to_pylist()))
+        assert set(got.values()) <= {"portrait", "landscape", "square"}
+        # 640x480 rows are landscape; unknown (-1,-1) classify square
+        w = out["width"].to_pylist()
+        o = out["orientation"].to_pylist()
+        for wi, oi in zip(w, o):
+            assert oi == ("landscape" if wi == 640 else "square")

@@ -100,17 +100,32 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def _marker_counts(texts: list[str],
+                   groups: dict[str, tuple[str, ...]]) -> dict:
+    """Vectorized marker-word counting: one lower+split+explode over the
+    batch's token stream, one map against the inverted marker index —
+    the only Python loop is over (row, group) cells that actually hit
+    (marker words are disjoint across groups by construction)."""
+    import pandas as pd
+    n = len(texts)
+    counts = {g: np.zeros(n, np.int64) for g in groups}
+    ex = (pd.Series(texts, dtype=object).str.lower()
+          .str.split(r"[^a-z]+", regex=True).explode())
+    inv = {w: g for g, ws in groups.items() for w in ws}
+    hit = ex.map(inv).dropna()
+    if len(hit):
+        agg = (pd.DataFrame({"i": hit.index.to_numpy(np.int64),
+                             "g": hit.to_numpy()})
+               .groupby(["i", "g"]).size())
+        for (i, g), v in agg.items():
+            counts[g][i] = v
+    return counts
+
+
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     """Language-ID heuristic: marker-word counts + deterministic argmax."""
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        counts = {lang: np.zeros(len(texts), np.int64) for lang in _LANG_ORDER}
-        markers = {lang: frozenset(ws) for lang, ws in LANG_MARKERS.items()}
-        for i, t in enumerate(texts):
-            toks = _TOKEN_RE.split(t.lower())
-            for lang in _LANG_ORDER:
-                m = markers[lang]
-                counts[lang][i] = sum(1 for w in toks if w in m)
+        counts = _marker_counts(batch["text"].to_pylist(), LANG_MARKERS)
         en, de, es, fr = (counts[lang] for lang in _LANG_ORDER)
         pred = np.where(
             (en >= de) & (en >= es) & (en >= fr), "en",
@@ -156,14 +171,7 @@ _PROFILE_ORDER = ("analytics", "streaming", "commerce")
 def doc_profile(sf_dir: str) -> ray.data.Dataset:
     """Deterministic profile detection: signal-hit counts + floored argmax."""
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        counts = {p: np.zeros(len(texts), np.int64) for p in _PROFILE_ORDER}
-        sets = {p: frozenset(ws) for p, ws in PROFILE_SIGNALS.items()}
-        for i, t in enumerate(texts):
-            toks = _TOKEN_RE.split(t.lower())
-            for p in _PROFILE_ORDER:
-                s = sets[p]
-                counts[p][i] = sum(1 for w in toks if w in s)
+        counts = _marker_counts(batch["text"].to_pylist(), PROFILE_SIGNALS)
         a, st, c = (counts[p] for p in _PROFILE_ORDER)
         best = np.where((a >= st) & (a >= c), a, np.where(st >= c, st, c))
         pred = np.where(

@@ -94,3 +94,48 @@ class TestSimHash:
         assert out[1] == out[2]
         ham = bin(out[1] ^ out[3]).count("1")
         assert ham > 4, "unrelated docs should differ in many bits"
+
+
+class TestHotShingleCap:
+    """A shingle shared by MORE than HOT_SHINGLE_DOC_CAP documents is
+    excluded from intersection counting on BOTH the Ray side and the
+    mirrored DuckDB oracle — results stay hash-identical above the cap
+    (ADVICE round 1 item 1)."""
+
+    def test_capped_corpus_matches_oracle(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        common = "alpha beta gamma"          # one shingle in EVERY doc
+        docs = []
+        for i in range(260):                 # 260 > cap of 200
+            docs.append(f"{common} filler{i} words{i} here{i} now{i}")
+        # one true near-dup pair sharing many rare shingles
+        docs[0] = common + " shared one two three four five six seven"
+        docs[1] = common + " shared one two three four five six eight"
+        tbl = pa.table({"doc_id": pa.array(range(260), pa.int64()),
+                        "text": pa.array(docs, pa.string())})
+        d = tmp_path / "hotshingle"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+
+        got = ngram_jaccard_pairs(str(d), threshold=0.1).take_all()
+        got_set = {(r["doc_a"], r["doc_b"], r["inter"],
+                    round(r["jaccard"], 9)) for r in got}
+
+        import __ray_entry__ as e
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        sql = e.oracle_sql()["ngram_jaccard_pairs"].replace("0.12", "0.1")
+        want = con.execute(sql).df()
+        want_set = {(int(r.doc_a), int(r.doc_b), int(r.inter),
+                     round(float(r.jaccard), 9))
+                    for r in want.itertuples()}
+        assert got_set == want_set
+        assert (0, 1) in {(a, b) for a, b, _, _ in got_set}
+        # the capped shingle must NOT have contributed: the (0,1)
+        # intersection counts only the rare shared shingles
+        inter_01 = next(i for a, b, i, _ in got_set if (a, b) == (0, 1))
+        uncapped_would_be = inter_01 + 1     # 'alpha beta gamma' dropped
+        assert inter_01 < uncapped_would_be

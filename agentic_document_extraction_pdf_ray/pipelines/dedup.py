@@ -60,7 +60,7 @@ def dedup_exact_prefix(sf_dir: str, k: int = 8) -> ray.data.Dataset:
     ds = read_documents(sf_dir).map_batches(keyed, batch_format="pyarrow")
     agg = ds.groupby("norm_key").aggregate(
         Count(alias_name="n_docs"), Min("doc_id", alias_name="keeper"))
-    return agg.filter(lambda r: r["n_docs"] > 1)
+    return agg.filter(expr="n_docs > 1")      # vectorized Arrow predicate
 
 
 # ------------------------------------------------------------- n-gram Jaccard

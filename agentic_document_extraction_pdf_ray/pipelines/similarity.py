@@ -39,7 +39,7 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10) -> pd.DataFrame:
     Output: (query_id, neighbor_id, rank) — ints only, oracle-comparable.
     """
     ds = read_embeddings(sf_dir)
-    qrows = ds.filter(lambda r: r["vec_id"] < n_queries).take_all()
+    qrows = ds.filter(expr=f"vec_id < {int(n_queries)}").take_all()
     qrows.sort(key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in qrows], np.int64)
     q = np.array([r["embedding"] for r in qrows], np.float64)

@@ -132,3 +132,42 @@ def calculate_age(dob: date, as_of: date = REFERENCE_TODAY) -> int:
     if (as_of.month, as_of.day) < (dob.month, dob.day):
         years -= 1
     return years
+
+
+def parse_date_range(date_range_string: str | None,
+                     ) -> tuple[date | None, date | None]:
+    """Parse "start - end" style ranges (reference
+    ``src/utils/date_utils.py:118-160``): tries " - ", "-", " to ",
+    " through " separators in order; a lone date becomes (d, d)."""
+    if not date_range_string:
+        return (None, None)
+    parts = None
+    for sep in (" - ", "-", " to ", " through "):
+        if sep in date_range_string:
+            parts = date_range_string.split(sep, 1)
+            break
+    if not parts or len(parts) != 2:
+        single = parse_date(date_range_string)
+        return (single, single)
+    return (parse_date(parts[0].strip()), parse_date(parts[1].strip()))
+
+
+def is_future_date(date_string: str | None,
+                   today: date = REFERENCE_TODAY) -> bool:
+    """True iff the date parses and lies after the pinned 'today'
+    (reference :305-320; 'now' pinned for determinism)."""
+    parsed = parse_date(date_string)
+    return parsed is not None and parsed > today
+
+
+def is_past_date(date_string: str | None,
+                 today: date = REFERENCE_TODAY) -> bool:
+    """True iff the date parses and lies before the pinned 'today'."""
+    parsed = parse_date(date_string)
+    return parsed is not None and parsed < today
+
+
+def get_year_from_date(date_string: str | None) -> int | None:
+    """Year of a parseable date, else None (reference :341-355)."""
+    parsed = parse_date(date_string)
+    return parsed.year if parsed is not None else None

@@ -67,3 +67,23 @@ def apply_overrides(derived: list[str], override: list[str] | None) -> list[str]
             modes.add(m)
     modes.add(KIND_PROSE)
     return sorted(modes)
+
+
+# Document-type alias normalization (reference
+# ``src/agents/analyzer.py:774-798``): strip separators, uppercase, map
+# known synonyms; unknown types pass through uppercased (deliberately not
+# enum-restricted — synonyms map, novel types survive).
+_DOC_TYPE_ALIASES = {
+    "CMS1500": "CMS-1500",
+    "HCFA1500": "CMS-1500",
+    "UB04": "UB-04",
+    "CMS1450": "UB-04",
+    "EXPLANATIONOFBENEFITS": "EOB",
+    "ENCOUNTERFORM": "SUPERBILL",
+}
+
+
+def normalize_document_type(raw_type: str) -> str:
+    cleaned = (raw_type.upper().strip()
+               .replace("-", "").replace("_", "").replace(" ", ""))
+    return _DOC_TYPE_ALIASES.get(cleaned, raw_type.upper())

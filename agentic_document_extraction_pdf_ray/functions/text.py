@@ -197,3 +197,14 @@ def pad_string(text: str, length: int, pad_char: str = " ",
     if align == "right":
         return text.rjust(length, pad_char)
     return text.center(length, pad_char)
+
+
+def safe_string(value, default: str = "") -> str:
+    """Total any→str conversion (reference
+    ``src/utils/string_utils.py:536-553``)."""
+    if value is None:
+        return default
+    try:
+        return str(value)
+    except Exception:
+        return default

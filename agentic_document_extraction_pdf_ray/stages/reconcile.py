@@ -253,3 +253,40 @@ def build_field_history(rows: list[dict], min_count: int = 2) -> dict[str, dict[
                 hist[base][norm] = hist[base].get(norm, 0) + 1
     return {f: {v: c for v, c in vs.items() if c >= min_count} or vs
             for f, vs in hist.items()}
+
+
+def reconciliation_report(ds) -> "pa.Table":
+    """Corpus-level reconciliation histogram (the ReconciliationReport
+    counts analogue, ``/root/reference/src/agents/reconciler.py:108-117``
+    ``tiebreakers_used``): per-batch match-level counts + a tiny grouped
+    sum → one row per match level, plus total fields and the float mean
+    agreement rate folded deterministically from per-batch (sum, n)
+    partials."""
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for levels in b["match_levels"]:
+            for _, lv in (levels.items() if isinstance(levels, dict)
+                          else levels):
+                counts[lv] = counts.get(lv, 0) + 1
+        rows = [{"match_level": k, "n_fields": v}
+                for k, v in sorted(counts.items())]
+        rows.append({"match_level": "_agreement_sum",
+                     "n_fields": int(round(b["agreement_rate"].sum() * 1e6))})
+        rows.append({"match_level": "_rows", "n_fields": len(b)})
+        return pd.DataFrame(rows)
+
+    from ray.data.aggregate import Sum
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("match_level")
+           .aggregate(Sum("n_fields", alias_name="n_fields"))
+           .to_pandas())
+    meta = agg[agg["match_level"].str.startswith("_")]
+    n_rows = int(meta.loc[meta["match_level"] == "_rows", "n_fields"].iloc[0])
+    agree_sum = int(meta.loc[meta["match_level"] == "_agreement_sum",
+                             "n_fields"].iloc[0])
+    out = agg[~agg["match_level"].str.startswith("_")].copy()
+    out = out.sort_values("match_level").reset_index(drop=True)
+    out["mean_agreement_rate"] = round(agree_sum / 1e6 / max(n_rows, 1), 6)
+    return out

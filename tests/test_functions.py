@@ -213,3 +213,53 @@ class TestFieldConfidenceScorer:
     def test_empty(self):
         res = self._scorer().calculate({})
         assert res["action"] == "human_review"
+
+
+class TestRound2Additions:
+    def test_safe_string(self):
+        from agentic_document_extraction_pdf_ray.functions.text import safe_string
+        assert safe_string(None) == ""
+        assert safe_string(None, "x") == "x"
+        assert safe_string(42) == "42"
+        assert safe_string(1.5) == "1.5"
+
+    def test_parse_date_range(self):
+        from datetime import date
+
+        from agentic_document_extraction_pdf_ray.functions.dates import parse_date_range
+        assert parse_date_range("01/01/2024 - 01/31/2024") == (
+            date(2024, 1, 1), date(2024, 1, 31))
+        assert parse_date_range("03/05/2024 to 03/09/2024") == (
+            date(2024, 3, 5), date(2024, 3, 9))
+        # NOTE: bare "-" ranks before " to " in the reference's separator
+        # ladder, so ISO dates inside a "to" range split wrong — mirrored.
+        assert parse_date_range("2024-03-05 to 2024-03-09") == (None, None)
+        d = date(2024, 7, 4)
+        assert parse_date_range("07/04/2024") == (d, d)
+        assert parse_date_range("") == (None, None)
+        assert parse_date_range(None) == (None, None)
+
+    def test_future_past_year(self):
+        from agentic_document_extraction_pdf_ray.functions.dates import (
+            get_year_from_date, is_future_date, is_past_date,
+        )
+        # REFERENCE_TODAY is pinned to 2026-01-01
+        assert is_future_date("2030-06-01") is True
+        assert is_past_date("2030-06-01") is False
+        assert is_past_date("2001-06-01") is True
+        assert is_future_date("garbage") is False
+        assert get_year_from_date("03/15/2024") == 2024
+        assert get_year_from_date("junk") is None
+
+    def test_normalize_document_type(self):
+        from agentic_document_extraction_pdf_ray.functions.modality import (
+            normalize_document_type,
+        )
+        assert normalize_document_type("HCFA-1500") == "CMS-1500"
+        assert normalize_document_type("cms 1500") == "CMS-1500"
+        assert normalize_document_type("ub_04") == "UB-04"
+        assert normalize_document_type("CMS-1450") == "UB-04"
+        assert normalize_document_type("Explanation of Benefits") == "EOB"
+        assert normalize_document_type("encounter form") == "SUPERBILL"
+        assert normalize_document_type("EOB") == "EOB"
+        assert normalize_document_type("weird thing") == "WEIRD THING"

@@ -196,3 +196,31 @@ class TestFieldHistory:
                              fn_constructor_args=(hist_ref,)).take_all()
         assert out[0]["resolved"] == "2024-01-15"
         assert out[0]["resolution"] == "history_pass1"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReconciliationReport:
+    def test_histogram_over_dual_pass(self, tiny_transcripts):
+        import pyarrow as pa
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import read_transcripts
+        from agentic_document_extraction_pdf_ray.stages.extract import extract_turn_batch
+        from agentic_document_extraction_pdf_ray.stages.reconcile import (
+            reconciliation_report, run_dual_pass_batch,
+        )
+
+        def keep_text(b: pa.Table) -> pa.Table:
+            out = extract_turn_batch(b)
+            return out.append_column("text", b["text"])
+
+        ds = (read_transcripts(tiny_transcripts)
+              .map_batches(keep_text, batch_format="pyarrow")
+              .map_batches(run_dual_pass_batch, batch_format="pyarrow"))
+        rep = reconciliation_report(ds)
+        assert set(rep.columns) == {"match_level", "n_fields",
+                                    "mean_agreement_rate"}
+        assert (rep["n_fields"] > 0).all()
+        assert "exact" in set(rep["match_level"])
+        r = float(rep["mean_agreement_rate"].iloc[0])
+        assert 0.0 <= r <= 1.0

@@ -180,6 +180,31 @@ def _q_streaming_sessions(sf_dir: str) -> Any:
     return streaming_sessionize(sf_dir)
 
 
+def _q_extract_pages(sf_dir: str) -> Any:
+    """File sources → flagship extraction semantics (conv=file,
+    turn=page); rows-only — per-page oracle equality lives in pytest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from agentic_document_extraction_pdf_ray.pipelines.extract import (
+        extract_pages_pipeline,
+    )
+    from agentic_document_extraction_pdf_ray.sources.docpages import ensure_txt_fixture
+    from agentic_document_extraction_pdf_ray.sources.spreadsheet import ensure_csv_fixture
+    ds = extract_pages_pipeline([ensure_csv_fixture(), ensure_txt_fixture()])
+
+    def flat(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "extracted_text": batch["extracted_text"],
+            "n_spans": pc.list_value_length(batch["spans"]),
+            "confidence": batch["confidence"],
+            "segment_id": batch["segment_id"],
+        })
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
 def _q_conv_merged_fields(sf_dir: str) -> Any:
     """Cross-turn LIST-append / scalar-max field merge (rows-only; the
     oracle is the pytest equality vs merged_fields_reference)."""
@@ -304,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spreadsheet_pages": _q_spreadsheet_pages,               # SQL-matched
         "csv_category_stats": _q_csv_category_stats,             # SQL-matched
         "doc_pages": _q_doc_pages,                               # SQL-matched
+        "extract_pages": _q_extract_pages,                       # rows-only (pytest equality)
         # --- stateful / model / reconciliation stages (rows-only) ---
         "layout_scores": _q_layout_scores,
         "dual_pass_reconcile": _q_dual_pass,

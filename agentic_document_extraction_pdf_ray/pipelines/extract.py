@@ -74,19 +74,15 @@ def _with_pkey(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
     return ds.map_batches(_assign, batch_format="pyarrow")
 
 
-def extract_pipeline(paths: str | list[str],
-                     batch_size: int = DEFAULT_BATCH_SIZE,
-                     num_partitions: int = DEFAULT_PARTITIONS,
-                     keep_partition_id: bool = False) -> ray.data.Dataset:
-    """Full pipeline: per-turn core + conversation-scoped finalize.
-
-    The conversation shuffle is ONE groupby on ``pkey = crc32(conv_id) % P``
-    — each bucket is finalized by a single task doing a linear
-    multi-conversation scan (no per-group scheduling overhead), and the
-    same bucket doubles as the resumable-output partition key.
-    """
-    ds = extract_turns(read_transcripts(paths), batch_size)
-    ds = _with_pkey(ds, num_partitions)
+def finalize_plan(turns: ray.data.Dataset,
+                  num_partitions: int = DEFAULT_PARTITIONS,
+                  keep_partition_id: bool = False) -> ray.data.Dataset:
+    """Conversation-scoped finalize over an already-extracted turn
+    stream: ONE groupby on ``pkey = hash(conv_id) % P`` — each bucket is
+    finalized by a single task doing a linear multi-conversation scan
+    (no per-group scheduling overhead), and the same bucket doubles as
+    the resumable-output partition key."""
+    ds = _with_pkey(turns, num_partitions)
     out = ds.groupby("pkey").map_groups(conv_finalize_block,
                                         batch_format="pyarrow")
     if keep_partition_id:
@@ -97,6 +93,45 @@ def extract_pipeline(paths: str | list[str],
                                        pa.array(pids, pa.string()))
         return out.map_batches(to_pid, batch_format="pyarrow")
     return out.drop_columns(["pkey"])
+
+
+def extract_pipeline(paths: str | list[str],
+                     batch_size: int = DEFAULT_BATCH_SIZE,
+                     num_partitions: int = DEFAULT_PARTITIONS,
+                     keep_partition_id: bool = False) -> ray.data.Dataset:
+    """Full pipeline: per-turn core + conversation-scoped finalize."""
+    return finalize_plan(extract_turns(read_transcripts(paths), batch_size),
+                         num_partitions, keep_partition_id)
+
+
+def extract_pages_pipeline(paths: str | list[str],
+                           batch_size: int = DEFAULT_BATCH_SIZE,
+                           num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """File sources → the flagship extraction semantics.
+
+    Completes the reference's file story end-to-end: CSV/XLSX/docx/txt
+    files route through :func:`..sources.read_pages_auto` into page rows,
+    each page runs the SAME per-turn extraction core, and per-file
+    finalize (segments, exact dedup, stable ordering) treats the file as
+    the conversation and the page as the turn — so every downstream
+    operator (dual-pass, critic, merge, export_workbook, resume) composes
+    unchanged over file inputs.
+    """
+    from ..sources import read_pages_auto
+
+    def to_turns(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b["file"],
+            "turn_idx": pc.cast(pc.subtract(b["page_number"], 1), pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": b["text"],
+            "tool": pa.array([""] * n, pa.string()),
+        })
+
+    raw = read_pages_auto(paths).map_batches(to_turns, batch_format="pyarrow")
+    return finalize_plan(extract_turns(raw, batch_size), num_partitions)
 
 
 def extract_pipeline_shuffle_first(paths: str | list[str],

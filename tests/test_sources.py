@@ -100,3 +100,42 @@ class TestRayPlumbing:
 
         with pytest.raises(ValueError, match="no source registered"):
             read_pages_auto([str(tmp_path / "x.exe")])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPagesIntoFlagship:
+    """File sources feed the flagship extraction core: per-page text runs
+    the same per-turn semantics (oracle equality) with conv=file,
+    turn=page, and the conversation finalize applies unchanged."""
+
+    def test_extract_pages_pipeline(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.functions.extract import extract_turn
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            extract_pages_pipeline,
+        )
+        from agentic_document_extraction_pdf_ray.sources import read_pages_auto
+
+        csv_p = tmp_path / "claims.csv"
+        csv_p.write_text("id,who\n" + "\n".join(
+            f"{i},Name: Chen Robert NPI 1234567893" for i in range(60)))
+        txt_p = tmp_path / "notes.txt"
+        txt_p.write_text("\n".join(
+            f"para {i} the quick claim record" for i in range(100)))
+
+        pages = {(r["file"], r["page_number"]): r["text"]
+                 for r in read_pages_auto([str(csv_p), str(txt_p)]).take_all()}
+        rows = extract_pages_pipeline([str(csv_p), str(txt_p)]).take_all()
+        assert len(rows) == len(pages)
+
+        for r in rows:
+            want = extract_turn(pages[(r["conv_id"], r["turn_idx"] + 1)],
+                                role="user", tool="")
+            assert r["extracted_text"] == want["extracted_text"], \
+                (r["conv_id"], r["turn_idx"])
+            assert r["confidence"] == want["confidence"]
+        # finalize semantics hold: segment ids monotone per file
+        by_file: dict[str, list] = {}
+        for r in sorted(rows, key=lambda r: (r["conv_id"], r["turn_idx"])):
+            by_file.setdefault(r["conv_id"], []).append(r["segment_id"])
+        for segs in by_file.values():
+            assert segs == sorted(segs)

@@ -255,56 +255,92 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,
 
 
 def ann_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 10,
-                 n_buckets: int = 8) -> pd.DataFrame:
-    """LSH/IVF-bucketed variant: random-hyperplane bucket per vector, local
-    search within the query's bucket set. Approximate — the 100 TB scale
-    path (each bucket is a groupby partition; no full-matrix broadcast)."""
+                 n_buckets: int = 8, probe_radius: int = 1) -> pd.DataFrame:
+    """IVF/LSH-bucketed top-k: random-hyperplane bucket per DATA vector,
+    multi-probe QUERIES (a query also searches every bucket within
+    ``probe_radius`` bit flips of its own). Approximate — the 100 TB
+    scale path: data never leaves its home bucket (each bucket is a
+    groupby partition, no full-matrix broadcast); only the tiny query set
+    replicates ×(1+planes choose ≤radius). Final merge is ≤ k·probes rows
+    per query on the driver. Recall vs the exact brute force is measured
+    in tests/test_similarity_scale.py."""
     rng = np.random.RandomState(42)
     ds = read_embeddings(sf_dir)
     first = ds.take(1)[0]
     dim = len(first["embedding"])
-    planes = rng.randn(int(np.log2(n_buckets)), dim)
+    n_planes = int(np.log2(n_buckets))
+    planes = rng.randn(n_planes, dim)
     planes_ref = ray.put(planes)
+
+    def _codes(emb: np.ndarray, pl: np.ndarray) -> np.ndarray:
+        bits = (emb @ pl.T) > 0
+        code = np.zeros(len(emb), np.int64)
+        for b in range(pl.shape[0]):
+            code |= bits[:, b].astype(np.int64) << b
+        return code
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         ids, emb = _batch_matrix(batch)
-        bits = (emb @ pl.T) > 0
-        bucket = np.zeros(len(ids), np.int64)
-        for b in range(pl.shape[0]):
-            bucket |= bits[:, b].astype(np.int64) << b
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "bucket": pa.array(bucket, pa.int64()),
-                         "embedding": batch["embedding"]})
+        home = _codes(emb, pl)
+        qmask = ids < n_queries
+        out_ids = [ids[~qmask]]
+        out_bucket = [home[~qmask]]
+        out_side = [np.zeros((~qmask).sum(), np.int64)]
+        emb_rows = [np.flatnonzero(~qmask)]
+        # queries probe their home bucket plus radius-1 flips
+        q_idx = np.flatnonzero(qmask)
+        probes = [home[q_idx]]
+        for b in range(n_planes if probe_radius >= 1 else 0):
+            probes.append(home[q_idx] ^ (1 << b))
+        for p in probes:
+            out_ids.append(ids[q_idx])
+            out_bucket.append(p)
+            out_side.append(np.ones(len(q_idx), np.int64))
+            emb_rows.append(q_idx)
+        all_rows = np.concatenate(emb_rows)
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+            "is_query": pa.array(np.concatenate(out_side), pa.int64()),
+            "embedding": batch["embedding"].take(
+                pa.array(all_rows, pa.int64())),
+        })
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def local_topk(group: pa.Table) -> pa.Table:
         ids, emb = _batch_matrix(group)
+        is_q = group["is_query"].to_numpy(zero_copy_only=False).astype(bool)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = emb / norms
-        qmask = ids < n_queries
+        data_idx = np.flatnonzero(~is_q)
         out_q, out_n, out_s = [], [], []
-        for qi in np.where(qmask)[0]:
-            sims = mat @ mat[qi]
-            order = np.argsort(-sims)
-            cnt = 0
-            for oi in order:
-                if ids[oi] == ids[qi]:
-                    continue
-                out_q.append(int(ids[qi]))
-                out_n.append(int(ids[oi]))
-                out_s.append(float(sims[oi]))
-                cnt += 1
-                if cnt >= k:
-                    break
+        if len(data_idx):
+            dmat = mat[data_idx]
+            dids = ids[data_idx]
+            for qi in np.flatnonzero(is_q):
+                sims = dmat @ mat[qi]
+                order = np.argsort(-sims)
+                cnt = 0
+                for oi in order:
+                    if dids[oi] == ids[qi]:
+                        continue
+                    out_q.append(int(ids[qi]))
+                    out_n.append(int(dids[oi]))
+                    out_s.append(float(sims[oi]))
+                    cnt += 1
+                    if cnt >= k:
+                        break
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
     res = bucketed.groupby("bucket").map_groups(
         local_topk, batch_format="pyarrow").to_pandas()
+    # a data vector lives in ONE bucket, so (query, neighbor) pairs are
+    # unique across buckets; merge partial top-ks and cut to k
     res = res.sort_values(["query_id", "sim", "neighbor_id"],
                           ascending=[True, False, True])
     res = res.groupby("query_id").head(k)

@@ -12,6 +12,13 @@ through a pool of bucket actors and emits closed sessions incrementally;
 ``flush()`` closes the tail sessions at end of stream. Batch equivalence
 with the grouped implementation (`pipelines.events.events_sessions`) is
 asserted in tests.
+
+SCALE NOTE: this is the streaming-PATTERN demo — the driver pumps the
+ts-ordered batches, so it is the right shape for an unbounded feed where
+a coordinator exists, not the batch scale path. For bounded logs at any
+size, use ``events_sessions`` (bucketed vectorized gap scan, no driver
+loop); at true stream scale the driver loop's role is played by the
+ingest layer pushing batches at the bucket actors directly.
 """
 
 from __future__ import annotations

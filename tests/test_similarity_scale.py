@@ -47,3 +47,21 @@ class TestEmbeddingNearDupLsh:
         assert len(pairs) == len(set(pairs)), \
             "lowest-colliding-table dedup must emit each pair once"
         assert all(a < b for a, b in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfRecall:
+    def test_ivf_topk_recall_vs_exact(self):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            ann_topk, ann_topk_ivf,
+        )
+        exact = ann_topk(SF, k=5, n_queries=10)
+        approx = ann_topk_ivf(SF, k=5, n_queries=10)
+        e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+        recall = len(e & a) / len(e)
+        # radius-1 multi-probe: 0.70 measured on this fixture (was 0.26
+        # single-probe); bound leaves headroom for plane-seed sensitivity
+        assert recall >= 0.6, f"IVF top-k recall {recall:.2f} too low"
+        # every approx neighbor set is per-query complete (5 each)
+        assert approx.groupby("query_id").size().eq(5).all()

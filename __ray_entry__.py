@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_profile": documents.doc_profile,
         "doc_code_validation": documents.doc_code_validation,  # SQL-matched
         "doc_sample": documents.doc_sample,                    # SQL-matched
+        "doc_length_shards": documents.doc_length_shards,      # SQL-matched
         # --- dedup family ---
         "dedup_exact_prefix": dedup.dedup_exact_prefix,          # SQL-matched
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
@@ -585,6 +586,15 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
         """,
         "doc_code_validation": _doc_code_validation_sql(),
+        "doc_length_shards": f"""
+            WITH t AS (SELECT CAST(len(string_split_regex({_CLEAN}, '\\s+')) AS BIGINT) AS n
+                       FROM documents)
+            SELECT CASE WHEN n < 50 THEN 'xs' WHEN n < 200 THEN 's'
+                        WHEN n < 1000 THEN 'm' ELSE 'l' END AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS sum_tokens
+            FROM t GROUP BY 1
+        """,
         # threshold '40000000' = rate 0.25 of the 8-hex-char space
         "doc_sample": """
             SELECT doc_id,

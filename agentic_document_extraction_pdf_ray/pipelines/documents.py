@@ -266,3 +266,33 @@ def doc_sample(sf_dir: str, rate: float = 0.25,
 
     return read_documents(sf_dir, ["doc_id"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+SHARD_BOUNDS = (50, 200, 1000)          # token-count shard edges
+SHARD_NAMES = ("xs", "s", "m", "l")
+
+
+def doc_length_shards(sf_dir: str) -> ray.data.Dataset:
+    """Token-length shard histogram — the bucketing step a training-data
+    pipeline uses to route documents into length-homogeneous shards
+    (short-seq vs long-seq batches). Vectorized np.digitize over the
+    SQL-matched token counts; partial per batch + tiny grouped sum."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: "pd.DataFrame") -> "pd.DataFrame":
+        clean = _norm_ws(pa.array(batch["text"], pa.string()))
+        toks = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        shard_idx = np.digitize(toks, SHARD_BOUNDS)
+        df = pd.DataFrame({"shard": np.take(SHARD_NAMES, shard_idx),
+                           "n_tokens": toks})
+        return (df.groupby("shard", as_index=False)
+                .agg(n_docs=("n_tokens", "size"),
+                     sum_tokens=("n_tokens", "sum")))
+
+    return (read_documents(sf_dir).map_batches(partial, batch_format="pandas")
+            .groupby("shard")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_tokens", alias_name="sum_tokens")))

@@ -190,8 +190,10 @@ def _q_extract_pages(sf_dir: str) -> Any:
         extract_pages_pipeline,
     )
     from agentic_document_extraction_pdf_ray.sources.docpages import ensure_txt_fixture
+    from agentic_document_extraction_pdf_ray.sources.htmlpages import ensure_html_fixture
     from agentic_document_extraction_pdf_ray.sources.spreadsheet import ensure_csv_fixture
-    ds = extract_pages_pipeline([ensure_csv_fixture(), ensure_txt_fixture()])
+    ds = extract_pages_pipeline([ensure_csv_fixture(), ensure_txt_fixture(),
+                                 ensure_html_fixture()])
 
     def flat(batch: pa.Table) -> pa.Table:
         return pa.table({

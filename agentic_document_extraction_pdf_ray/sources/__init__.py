@@ -10,6 +10,7 @@ def read_pages_auto(paths):
     import os
 
     from .docpages import read_doc_pages
+    from .htmlpages import read_html_pages
     from .spreadsheet import read_spreadsheets
 
     path_list = [paths] if isinstance(paths, str) else list(paths)
@@ -20,20 +21,20 @@ def read_pages_auto(paths):
             groups.setdefault("sheet", []).append(p)
         elif suffix in (".docx", ".doc", ".txt", ".md"):
             groups.setdefault("doc", []).append(p)
+        elif suffix in (".html", ".htm"):
+            groups.setdefault("html", []).append(p)
         else:
             raise ValueError(f"no source registered for {suffix!r} ({p})")
 
+    readers = {"sheet": read_spreadsheets, "doc": read_doc_pages,
+               "html": read_html_pages}
     datasets = []
-    if "sheet" in groups:
-        ds = read_spreadsheets(groups["sheet"])
-        datasets.append(ds.map_batches(
-            lambda b: b.select(["file", "page_number", "text"]),
-            batch_format="pyarrow"))
-    if "doc" in groups:
-        ds = read_doc_pages(groups["doc"])
-        datasets.append(ds.map_batches(
-            lambda b: b.select(["file", "page_number", "text"]),
-            batch_format="pyarrow"))
+    for kind in ("sheet", "doc", "html"):
+        if kind in groups:
+            ds = readers[kind](groups[kind])
+            datasets.append(ds.map_batches(
+                lambda b: b.select(["file", "page_number", "text"]),
+                batch_format="pyarrow"))
     out = datasets[0]
     for d in datasets[1:]:
         out = out.union(d)

@@ -263,3 +263,57 @@ class TestRound2Additions:
         assert normalize_document_type("encounter form") == "SUPERBILL"
         assert normalize_document_type("EOB") == "EOB"
         assert normalize_document_type("weird thing") == "WEIRD THING"
+
+
+class TestTableRegions:
+    def test_markdown_table(self):
+        from agentic_document_extraction_pdf_ray.functions.tables import parse_pipe_table
+        t = parse_pipe_table(
+            "| code | amount | status |\n"
+            "|------|--------|--------|\n"
+            "| 99213 | 120.00 | paid |\n"
+            "| 99214 | 180.00 | denied |")
+        assert t.header == ("code", "amount", "status")
+        assert t.n_rows == 2 and t.n_cols == 3
+        assert t.rows[1] == ("99214", "180.00", "denied")
+
+    def test_plain_pipe_table_pads_and_truncates(self):
+        from agentic_document_extraction_pdf_ray.functions.tables import parse_pipe_table
+        t = parse_pipe_table("a | b | c\n1 | 2\nx | y | z | extra")
+        assert t.header == ("a", "b", "c")
+        assert t.rows == (("1", "2", ""), ("x", "y", "z"))
+
+    def test_non_tables(self):
+        from agentic_document_extraction_pdf_ray.functions.tables import parse_pipe_table
+        assert parse_pipe_table("just prose here") is None
+        assert parse_pipe_table("one | pipe only once") is None
+        assert parse_pipe_table("a | b | c") is None          # single line
+
+    def test_regions_with_offsets(self):
+        from agentic_document_extraction_pdf_ray.functions.tables import (
+            extract_table_regions,
+        )
+        text = ("intro paragraph\n\n"
+                "h1 | h2\nv1 | v2\nv3 | v4\n\n"
+                "closing words")
+        regs = extract_table_regions(text)
+        assert len(regs) == 1
+        r = regs[0]
+        assert text[r.start:r.end].startswith("h1 | h2")
+        assert r.header == ("h1", "h2") and r.n_rows == 2
+
+    def test_batch_stage(self):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.functions.tables import (
+            table_regions_batch,
+        )
+        batch = pa.table({
+            "conv_id": pa.array(["c1", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "text": pa.array(["a | b\n1 | 2", "no table"], pa.string()),
+        })
+        out = table_regions_batch(batch)
+        assert out.num_rows == 1
+        assert out["conv_id"][0].as_py() == "c1"
+        assert out["n_cols"][0].as_py() == 2

@@ -110,3 +110,42 @@ class SelfCorrectingExtractor:
             "retries": pa.array(out_retries, pa.int32()),
             "status": pa.array(out_status, pa.string()),
         })
+
+
+# ---------------------------------------------------------------------------
+# Backend protocol + factory (the reference's VLM client factory surface,
+# /root/reference/src/client/factory.py — named backends constructed from
+# config, each holding its connection/weights per worker). A backend is any
+# callable CLASS usable as a map_batches actor: heavy setup in __init__,
+# batch scoring in __call__. Registering a real model backend is the ONLY
+# step needed to swap inference in; every pipeline references backends by
+# name through make_backend.
+
+_BACKENDS: dict[str, type] = {}
+
+
+def register_backend(name: str, cls: type) -> None:
+    if name in _BACKENDS:
+        raise ValueError(f"backend {name!r} already registered")
+    if not callable(getattr(cls, "__call__", None)):
+        raise TypeError(f"backend {cls!r} must be a callable class")
+    _BACKENDS[name] = cls
+
+
+def make_backend(name: str, **kwargs):
+    """Instantiate a named backend (driver-side probe / tests)."""
+    return backend_class(name)(**kwargs)
+
+
+def backend_class(name: str) -> type:
+    """The class itself — pass to map_batches for the actor pool."""
+    if name not in _BACKENDS:
+        raise KeyError(f"unknown backend {name!r}; have {sorted(_BACKENDS)}")
+    return _BACKENDS[name]
+
+
+def list_backends() -> list[str]:
+    return sorted(_BACKENDS)
+
+
+register_backend("layout_stub", LayoutScorer)

@@ -224,3 +224,40 @@ class TestReconciliationReport:
         assert "exact" in set(rep["match_level"])
         r = float(rep["mean_agreement_rate"].iloc[0])
         assert 0.0 <= r <= 1.0
+
+
+class TestBackendFactory:
+    def test_registry_and_swap_in(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.stages import model as m
+        assert "layout_stub" in m.list_backends()
+        inst = m.make_backend("layout_stub", seed=7)
+        out = inst(pa.table({"text": pa.array(["hello world"], pa.string())}))
+        assert "layout_score" in out.column_names
+
+        class Upper:
+            def __init__(self, tag="X"):
+                self.tag = tag
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                vals = [f"{self.tag}:{t.upper()}" for t in
+                        batch["text"].to_pylist()]
+                return batch.append_column("scored",
+                                           pa.array(vals, pa.string()))
+
+        m.register_backend("upper_test", Upper)
+        try:
+            ds = ray.data.from_items([{"text": "a"}, {"text": "b"}])
+            rows = ds.map_batches(
+                m.backend_class("upper_test"), concurrency=1,
+                fn_constructor_kwargs={"tag": "T"},
+                batch_format="pyarrow").take_all()
+            assert {r["scored"] for r in rows} == {"T:A", "T:B"}
+            with pytest.raises(ValueError, match="already registered"):
+                m.register_backend("upper_test", Upper)
+            with pytest.raises(KeyError, match="unknown backend"):
+                m.backend_class("nope")
+        finally:
+            m._BACKENDS.pop("upper_test", None)

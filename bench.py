@@ -68,8 +68,12 @@ def run_bench() -> dict:
     # ~2-3s once per cluster) on a small slice so the timed region
     # measures steady-state pipeline throughput — the quantity that
     # matters at cluster scale, where workers live for the whole job.
-    warm_src = transcripts_path(20_000, seed=42)
-    extract_pipeline(warm_src).materialize()
+    # EXCEPT in scaling mode: the scaling criterion's protocol is
+    # `ray job submit` wall time at two cluster sizes, and a submitted
+    # job pays its startup at BOTH sizes — so those runs stay cold.
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        warm_src = transcripts_path(20_000, seed=42)
+        extract_pipeline(warm_src).materialize()
 
     out_dir = "/tmp/bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -180,6 +180,11 @@ def _q_streaming_sessions(sf_dir: str) -> Any:
     return streaming_sessionize(sf_dir)
 
 
+def _q_corpus_curate(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.curate import curate_corpus
+    return curate_corpus(sf_dir)
+
+
 def _q_extract_pages(sf_dir: str) -> Any:
     """File sources → flagship extraction semantics (conv=file,
     turn=page); rows-only — per-page oracle equality lives in pytest."""
@@ -300,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_code_validation": documents.doc_code_validation,  # SQL-matched
         "doc_sample": documents.doc_sample,                    # SQL-matched
         "doc_length_shards": documents.doc_length_shards,      # SQL-matched
+        "corpus_curate": _q_corpus_curate,                     # SQL-matched
         # --- dedup family ---
         "dedup_exact_prefix": dedup.dedup_exact_prefix,          # SQL-matched
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
@@ -408,6 +414,7 @@ _PROFILE_COUNTS = """
 def oracle_sql() -> dict[str, str]:
     # The file-source oracles read the same deterministic /tmp fixtures the
     # queries use; ensure they exist regardless of which side runs first.
+    from agentic_document_extraction_pdf_ray.pipelines.curate import CURATE_ORACLE_SQL
     from agentic_document_extraction_pdf_ray.sources.docpages import ensure_txt_fixture
     from agentic_document_extraction_pdf_ray.sources.spreadsheet import ensure_csv_fixture
     ensure_csv_fixture()
@@ -588,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
         """,
         "doc_code_validation": _doc_code_validation_sql(),
+        "corpus_curate": CURATE_ORACLE_SQL,
         "doc_length_shards": f"""
             WITH t AS (SELECT CAST(len(string_split_regex({_CLEAN}, '\\s+')) AS BIGINT) AS n
                        FROM documents)

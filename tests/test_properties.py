@@ -89,3 +89,72 @@ class TestRulesProperties:
         from agentic_document_extraction_pdf_ray.functions.json_repair import repair_json
         once = repair_json(s)
         assert repair_json(once) == once
+
+
+class TestRound2Properties:
+    @given(text_strategy)
+    @settings(max_examples=150, deadline=None)
+    def test_html_extraction_total_and_subset(self, s):
+        from agentic_document_extraction_pdf_ray.functions.html_extract import (
+            html_main_text, parse_dom_nodes,
+        )
+        nodes = parse_dom_nodes(s)          # never raises
+        text = html_main_text(s)
+        assert isinstance(text, str)
+        kept = [n for n in nodes if n.kept]
+        for n in kept:
+            assert 0.0 <= n.link_density <= 1.0
+
+    @given(text_strategy)
+    @settings(max_examples=150, deadline=None)
+    def test_table_parser_total(self, s):
+        from agentic_document_extraction_pdf_ray.functions.tables import (
+            extract_table_regions, parse_pipe_table,
+        )
+        t = parse_pipe_table(s)             # never raises
+        if t is not None:
+            assert t.n_cols >= 2
+            for row in t.rows:
+                assert len(row) == t.n_cols
+        for reg in extract_table_regions(s):
+            assert 0 <= reg.start <= reg.end <= len(s)
+
+    @given(st.floats(allow_nan=False, allow_infinity=False, width=32),
+           st.floats(allow_nan=False, allow_infinity=False, width=32),
+           st.lists(st.sampled_from(["fax", "handwritten", "visual",
+                                     "printed", "junk"]), max_size=4))
+    @settings(max_examples=200, deadline=None)
+    def test_combine_confidence_bounded(self, dual, critic, mods):
+        from agentic_document_extraction_pdf_ray.functions.confidence import (
+            combine_confidence,
+        )
+        r = combine_confidence(dual, critic, mods)
+        assert 0.0 <= r["raw_combined"] <= 1.0
+        assert 0.0 <= r["dual_pass"] <= 1.0
+        assert 0.0 <= r["critic"] <= 1.0
+        assert 0.0 <= r["modality_penalty"] <= 1.0
+
+    @given(st.lists(st.lists(st.sampled_from("abcdef"), min_size=1,
+                             max_size=4, unique=True),
+                    min_size=1, max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def test_schema_versions_monotone(self, field_sets):
+        from agentic_document_extraction_pdf_ray.state.schemas import (
+            FieldBuilder, SchemaBuilder, SchemaVersionManager,
+        )
+        m = SchemaVersionManager()
+        seen = []
+        for fs in field_sets:
+            b = SchemaBuilder("p")
+            for name in fs:
+                b.field(FieldBuilder(name))
+            v = m.register_version(b.build())
+            seen.append(tuple(int(x) for x in v.version.split(".")))
+        # versions never decrease; consecutive versions always differ
+        # (re-registering an OLD schema later legitimately re-versions it)
+        hist = m.get_history("p")
+        versions = [tuple(int(x) for x in h.version.split(".")) for h in hist]
+        assert versions == sorted(versions)
+        assert len(set(versions)) == len(versions)
+        for a, b in zip(hist, hist[1:]):
+            assert a.content_hash != b.content_hash

@@ -414,11 +414,19 @@ _PROFILE_COUNTS = """
 def oracle_sql() -> dict[str, str]:
     # The file-source oracles read the same deterministic /tmp fixtures the
     # queries use; ensure they exist regardless of which side runs first.
+    import os
+
     from agentic_document_extraction_pdf_ray.pipelines.curate import CURATE_ORACLE_SQL
     from agentic_document_extraction_pdf_ray.sources.docpages import ensure_txt_fixture
     from agentic_document_extraction_pdf_ray.sources.spreadsheet import ensure_csv_fixture
     ensure_csv_fixture()
     ensure_txt_fixture()
+    # Transcript oracles read a fixed symlink the query callables repoint
+    # per sf. If the driver evaluates oracles BEFORE any query, default
+    # the link to the driver's sf (0.01) so the SQL never dangles; a
+    # query callable for a different sf re-links before its oracle runs.
+    if not os.path.exists(_TRANSCRIPTS_ORACLE_LINK):
+        _transcripts_for("/root/testdata/sf0.01")
     return {
         "spreadsheet_pages": f"""
             WITH r AS (SELECT * FROM read_csv('{_CSV_FIXTURE}', header=true, all_varchar=true)),

@@ -304,6 +304,13 @@ def order_revenue_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
+    # Bucket-level hash join: ~B groups instead of one group per orderkey
+    # (per-group reduce overhead dominates at high key cardinality), each
+    # bucket task doing a fully vectorized pandas aggregate + merge. The
+    # bucket key is computed inside the partial maps (no separate pass
+    # over the unioned stream).
+    n_buckets = 32
+
     def li_partial(batch: pd.DataFrame) -> pd.DataFrame:
         price = batch["l_extendedprice"].to_numpy()
         disc = batch["l_discount"].to_numpy()
@@ -314,25 +321,20 @@ def order_revenue_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         g = g.rename(columns={"l_orderkey": "o_orderkey"})
         g["o_custkey"] = np.int64(-1)
         g["side"] = "l"
-        return g[["o_orderkey", "o_custkey", "revenue_cents", "side"]]
+        g["_bucket"] = g["o_orderkey"].to_numpy() % n_buckets
+        return g[["o_orderkey", "o_custkey", "revenue_cents", "side", "_bucket"]]
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_custkey"])
 
     def o_tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(revenue_cents=np.int64(0), side="o")
-        return batch[["o_orderkey", "o_custkey", "revenue_cents", "side"]]
+        batch = batch.assign(revenue_cents=np.int64(0), side="o",
+                             _bucket=batch["o_orderkey"].to_numpy() % n_buckets)
+        return batch[["o_orderkey", "o_custkey", "revenue_cents", "side",
+                      "_bucket"]]
 
     unioned = (li.map_batches(li_partial, batch_format="pandas")
                .union(orders.map_batches(o_tag, batch_format="pandas")))
-
-    # Bucket-level hash join: ~B groups instead of one group per orderkey
-    # (per-group reduce overhead dominates at high key cardinality), each
-    # bucket task doing a fully vectorized pandas aggregate + merge.
-    n_buckets = 32
-
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.assign(_bucket=batch["o_orderkey"].to_numpy() % n_buckets)
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         li_side = (g[g["side"] == "l"]
@@ -343,8 +345,7 @@ def order_revenue_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
         m = m[m["revenue_cents"] > 0]
         return m[["o_orderkey", "o_custkey", "revenue_cents"]]
 
-    joined = (unioned.map_batches(bucketize, batch_format="pandas")
-              .groupby("_bucket")
+    joined = (unioned.groupby("_bucket")
               .map_groups(join_bucket, batch_format="pandas"))
     top = topk(joined, ["revenue_cents", "o_orderkey"], k, [False, True])
     return top[["o_orderkey", "o_custkey", "revenue_cents"]]

@@ -422,11 +422,18 @@ def oracle_sql() -> dict[str, str]:
     ensure_csv_fixture()
     ensure_txt_fixture()
     # Transcript oracles read a fixed symlink the query callables repoint
-    # per sf. If the driver evaluates oracles BEFORE any query, default
-    # the link to the driver's sf (0.01) so the SQL never dangles; a
-    # query callable for a different sf re-links before its oracle runs.
+    # per sf (KNOWN LIMIT: the static SQL can only describe one sf at a
+    # time, so query-then-oracle evaluation per sf is assumed — the
+    # driver's and pytest's order). If the driver evaluates oracles
+    # BEFORE any query, default the link to the driver's sf (0.01) so
+    # the SQL never dangles; a query callable for a different sf
+    # re-links before its oracle runs.
     if not os.path.exists(_TRANSCRIPTS_ORACLE_LINK):
-        _transcripts_for("/root/testdata/sf0.01")
+        try:
+            _transcripts_for("/root/testdata/sf0.01")
+        except FileNotFoundError:
+            pass            # host without testdata: transcript oracles
+            # only run where their queries (which create the link) do
     return {
         "spreadsheet_pages": f"""
             WITH r AS (SELECT * FROM read_csv('{_CSV_FIXTURE}', header=true, all_varchar=true)),

@@ -119,10 +119,14 @@ def parse_dom_nodes(html: str) -> list[DomNode]:
     p = _DomCollector()
     try:
         p.feed(html or "")
-        p.close()
     except Exception:
-        # malformed beyond the parser's tolerance: treat remainder as text
+        # malformed beyond the parser's tolerance: keep what was parsed
         pass
+    finally:
+        try:
+            p.close()          # flushes every still-open block's text
+        except Exception:
+            pass
     out: list[DomNode] = []
     for tag, text, link_chars in p.nodes:
         ld = min(1.0, link_chars / len(text)) if text else 0.0

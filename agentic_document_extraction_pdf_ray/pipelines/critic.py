@@ -102,25 +102,14 @@ def critic_combined(paths: str | list[str]) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-_MARKER_GROUP = {m: name for name, ms in _PROFILE_MARKERS.items() for m in ms}
-
-
 def _classify_confidences(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(label, conf_x100) per text — the doc_profile marker classifier
     with an integer length-independent confidence = min(100, best·10).
-    Vectorized: one explode + map over the token stream; the only Python
-    loop is over rows×groups that actually hit a marker."""
-    texts = texts.reset_index(drop=True)
-    n = len(texts)
-    counts = {name: np.zeros(n, np.int64) for name in _PROFILE_MARKERS}
-    ex = texts.str.lower().str.split(r"[^a-z]+", regex=True).explode()
-    grp = ex.map(_MARKER_GROUP).dropna()
-    if len(grp):
-        hits = (pd.DataFrame({"i": grp.index.to_numpy(np.int64),
-                              "g": grp.to_numpy()})
-                .groupby(["i", "g"]).size())
-        for (i, name), v in hits.items():
-            counts[name][i] = v
+    Counting delegates to the shared explode kernel
+    (documents._marker_counts) so this classifier and the doc_profile /
+    SQL _PROFILE_COUNTS fragment can never drift apart."""
+    from .documents import _marker_counts
+    counts = _marker_counts(texts.tolist(), _PROFILE_MARKERS)
     a, s, c = counts["analytics"], counts["streaming"], counts["commerce"]
     best = np.maximum(np.maximum(a, s), c)
     label = np.where(best < 3, "generic",

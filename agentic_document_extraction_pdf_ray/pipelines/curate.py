@@ -19,12 +19,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hash_str_array
 from .documents import (
-    LANG_MARKERS, _LANG_ORDER, _marker_counts, _norm_ws, read_documents,
+    _norm_ws, lang_id_arrays, quality_arrays, read_documents,
 )
 
 QUALITY_FLOOR_X100 = 6000          # quality score ≥ 0.60
@@ -38,30 +37,12 @@ def curate_corpus(sf_dir: str, quality_floor_x100: int = QUALITY_FLOOR_X100,
     """Kept documents: (doc_id, quality_x100, predicted_lang)."""
 
     def metrics(batch: pa.Table) -> pd.DataFrame:
+        # one shared kernel per signal — curate IS the composition of the
+        # already-oracle-verified parts, not a re-derivation of them
         clean = _norm_ws(batch["text"])
-        n_chars = pc.cast(pc.utf8_length(clean), pa.int64()).to_numpy(
-            zero_copy_only=False)
-        alpha = pc.cast(pc.utf8_length(pc.replace_substring_regex(
-            clean, r"[^A-Za-z]", "")), pa.int64()).to_numpy(zero_copy_only=False)
-        digit = pc.cast(pc.utf8_length(pc.replace_substring_regex(
-            clean, r"[^0-9]", "")), pa.int64()).to_numpy(zero_copy_only=False)
-        toks = pc.split_pattern_regex(clean, r"\s+")
-        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64()).to_numpy(
-            zero_copy_only=False)
-        denom = np.maximum(n_chars, 1).astype(np.float64)
-        score = (0.4 * (alpha / denom)
-                 + 0.3 * np.minimum(1.0, n_tokens / 100.0)
-                 + 0.3 * (1.0 - digit / denom))
-        quality = np.floor(score * 10000.0 + 0.5).astype(np.int64)
-
+        _, _, _, _, quality = quality_arrays(clean)
         texts = batch["text"].to_pylist()
-        counts = _marker_counts(texts, LANG_MARKERS)
-        en, de, es, fr = (counts[lang] for lang in _LANG_ORDER)
-        lang = np.where(
-            (en >= de) & (en >= es) & (en >= fr), "en",
-            np.where((de >= es) & (de >= fr), "de",
-                     np.where(es >= fr, "es", "fr")))
-
+        _, _, _, _, lang = lang_id_arrays(texts)
         keys = [" ".join((clean[i].as_py() or "").split(" ")[:PREFIX_TOKENS])
                 for i in range(len(texts))]
         return pd.DataFrame({

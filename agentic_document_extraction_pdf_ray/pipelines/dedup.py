@@ -249,11 +249,9 @@ class MinHasher:
                            + self.b[None, :]).min(axis=0)
 
         # band buckets: FNV fold over each band's 8 signature slots,
-        # vectorized over (docs × bands) at once
-        bands = sigs.reshape(n_docs, _LSH_BANDS, _ROWS_PER_BAND)
-        acc = np.full((n_docs, _LSH_BANDS), 0xCBF29CE484222325, np.uint64)
-        for r in range(_ROWS_PER_BAND):
-            acc = (acc * np.uint64(0x100000001B3)) ^ bands[:, :, r]
+        # vectorized over (docs × bands) at once (shared _band_folds
+        # kernel — the bucket values downstream code may recompute)
+        acc = _band_folds(sigs)
 
         band_idx = np.tile(np.arange(_LSH_BANDS, dtype=np.int64), n_docs)
         bucket_col = acc.reshape(-1).view(np.int64)
@@ -286,16 +284,21 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
                       n_buckets: int = 64) -> ray.data.Dataset:
     """Approximate near-dup candidate pairs via MinHash + LSH banding.
 
-    shingle→minhash (actor pool) → (band, bucket) explode →
+    shingle→minhash (task pool) → (band, bucket) explode →
     groupby(super-bucket) → intra-bucket pairs (vectorized signature
-    compare) → estimated-Jaccard filter. Candidate generation never
-    compares documents across buckets — the scale path for 100 TB.
+    compare) → estimated-Jaccard filter → bucketed per-pair dedup.
+    Candidate generation never compares documents across buckets — the
+    scale path for 100 TB.
 
-    Cross-band pair dedup is LOCAL: a pair is emitted only by the LOWEST
-    band in which its two signatures collide (recomputed from the full
-    signatures already present in the task), so no post-hoc
-    ``groupby(doc_a, doc_b)`` shuffle is needed at all — the estimate is
-    identical from every band, making "first band wins" exact.
+    Cross-band dedup happens in the final BUCKETED ``(doc_a, doc_b)``
+    Max-groupby (bounded pair-hash key space, vectorized per bucket).
+    A purely local "emit only from the lowest colliding band" rule would
+    avoid that shuffle, but it is WRONG under the hot-bucket guard: if a
+    pair's lowest colliding band sits in a skipped >200-row bucket, that
+    band emits nothing and local suppression in the later bands would
+    silently drop the pair — exactly on the duplicate-heavy corpora the
+    scale path targets. So every colliding (non-hot) band emits, and the
+    bucketed groupby dedups.
     """
     # Task pool, not an actor pool: MinHasher state is two 128-element
     # arrays (microseconds to build), so paying multi-second actor-pool
@@ -335,19 +338,14 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
         est: list[np.ndarray] = []
         for m in multi:
             s, r = starts[m], counts[m]
-            band = bands[s]
             gids = ids[s:s + r]
             mat = np.frombuffer(b"".join(sig_col[s:s + r]),
                                 np.uint64).reshape(r, _MINHASH_PERMS)
             # pairwise equal-slot fraction, vectorized over the bucket
             eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
             iu, ju = np.triu_indices(r, k=1)
+            # all colliding bands emit; the bucketed groupby dedups
             keep = (eq[iu, ju] >= threshold) & (gids[iu] != gids[ju])
-            if band > 0 and keep.any():
-                # suppress pairs an earlier band already emitted
-                folds = _band_folds(mat)[:, :band]
-                earlier = (folds[iu] == folds[ju]).any(axis=1)
-                keep &= ~earlier
             a_col.append(gids[iu][keep])
             b_col.append(gids[ju][keep])
             est.append(eq[iu, ju][keep])
@@ -355,8 +353,22 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
                              "doc_b": np.concatenate(b_col),
                              "est_jaccard": np.concatenate(est)})
 
-    return sigs.groupby("_sb").map_groups(super_bucket_pairs,
-                                          batch_format="pandas")
+    pairs = sigs.groupby("_sb").map_groups(super_bucket_pairs,
+                                           batch_format="pandas")
+
+    # Final per-pair dedup (a pair surfaces once per colliding band):
+    # bounded pair-hash buckets, vectorized max per bucket — never an
+    # unbucketed high-cardinality groupby.
+    def add_pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = (b["doc_a"].to_numpy(np.int64) << 20) ^ b["doc_b"].to_numpy(np.int64)
+        return b.assign(_pb=bucket_int_array(key, n_buckets))
+
+    def max_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["doc_a", "doc_b"], as_index=False)
+                .agg(est_jaccard=("est_jaccard", "max")))
+
+    return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
+            .groupby("_pb").map_groups(max_bucket, batch_format="pandas"))
 
 
 # -------------------------------------------------------------------- SimHash

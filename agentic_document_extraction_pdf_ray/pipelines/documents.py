@@ -64,6 +64,44 @@ def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def quality_arrays(clean: pa.ChunkedArray | pa.Array):
+    """The SHARED quality kernel over already-normalized text: returns
+    (n_chars, n_tokens, alpha_ratio, digit_ratio, quality_x100). Every
+    consumer of the 0.4·alpha + 0.3·len-sat + 0.3·(1−digit) score
+    (doc_quality, corpus curation) calls THIS — one formula, one SQL
+    mirror."""
+    n_chars = pc.cast(pc.utf8_length(clean), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    alpha = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(clean, r"[^A-Za-z]", "")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    digit = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(clean, r"[^0-9]", "")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    n_tokens = pc.cast(pc.list_value_length(
+        pc.split_pattern_regex(clean, r"\s+")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    denom = np.maximum(n_chars, 1).astype(np.float64)
+    alpha_ratio = alpha.astype(np.float64) / denom
+    digit_ratio = digit.astype(np.float64) / denom
+    len_sat = np.minimum(1.0, n_tokens.astype(np.float64) / 100.0)
+    score = 0.4 * alpha_ratio + 0.3 * len_sat + 0.3 * (1.0 - digit_ratio)
+    quality_x100 = np.floor(score * 10000.0 + 0.5).astype(np.int64)
+    return n_chars, n_tokens, alpha_ratio, digit_ratio, quality_x100
+
+
+def lang_id_arrays(texts: list[str]):
+    """The SHARED language-ID kernel: marker counts + deterministic
+    argmax ladder. Returns (en, de, es, fr, predicted_lang)."""
+    counts = _marker_counts(texts, LANG_MARKERS)
+    en, de, es, fr = (counts[lang] for lang in _LANG_ORDER)
+    pred = np.where(
+        (en >= de) & (en >= es) & (en >= fr), "en",
+        np.where((de >= es) & (de >= fr), "de",
+                 np.where(es >= fr, "es", "fr")))
+    return en, de, es, fr, pred
+
+
 def doc_quality(sf_dir: str) -> ray.data.Dataset:
     """Quality scoring: alpha/digit ratios + 0-100 score (×100 fixed point).
 
@@ -73,22 +111,8 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     """
     def fn(batch: pa.Table) -> pa.Table:
         clean = _norm_ws(batch["text"])
-        n_chars = pc.cast(pc.utf8_length(clean), pa.int64()).to_numpy(zero_copy_only=False)
-        alpha = pc.cast(pc.utf8_length(
-            pc.replace_substring_regex(clean, r"[^A-Za-z]", "")), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        digit = pc.cast(pc.utf8_length(
-            pc.replace_substring_regex(clean, r"[^0-9]", "")), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        n_tokens = pc.cast(pc.list_value_length(
-            pc.split_pattern_regex(clean, r"\s+")), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        denom = np.maximum(n_chars, 1).astype(np.float64)
-        alpha_ratio = alpha.astype(np.float64) / denom
-        digit_ratio = digit.astype(np.float64) / denom
-        len_sat = np.minimum(1.0, n_tokens.astype(np.float64) / 100.0)
-        score = 0.4 * alpha_ratio + 0.3 * len_sat + 0.3 * (1.0 - digit_ratio)
-        score_x100 = np.floor(score * 10000.0 + 0.5).astype(np.int64)
+        (n_chars, n_tokens, alpha_ratio, digit_ratio,
+         score_x100) = quality_arrays(clean)
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_chars": pa.array(n_chars, pa.int64()),
@@ -125,12 +149,7 @@ def _marker_counts(texts: list[str],
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:
     """Language-ID heuristic: marker-word counts + deterministic argmax."""
     def fn(batch: pa.Table) -> pa.Table:
-        counts = _marker_counts(batch["text"].to_pylist(), LANG_MARKERS)
-        en, de, es, fr = (counts[lang] for lang in _LANG_ORDER)
-        pred = np.where(
-            (en >= de) & (en >= es) & (en >= fr), "en",
-            np.where((de >= es) & (de >= fr), "de",
-                     np.where(es >= fr, "es", "fr")))
+        en, de, es, fr, pred = lang_id_arrays(batch["text"].to_pylist())
         return pa.table({
             "doc_id": batch["doc_id"],
             "en_n": pa.array(en), "de_n": pa.array(de),

@@ -197,6 +197,9 @@ def export_workbook(ds, out_dir: str, mask_phi: bool = False) -> dict[str, Any]:
     if mask_phi:
         from ..stages.phi import redact_batch
         ds = ds.map_batches(redact_batch, batch_format="pyarrow")
+    # Four sheet writers consume this dataset; materialize ONCE so the
+    # upstream extraction pipeline doesn't lazily re-execute per sheet.
+    ds = ds.materialize()
 
     def flatten(batch: pa.Table) -> pa.Table:
         texts = batch["extracted_text"].to_pylist()
@@ -216,7 +219,9 @@ def export_workbook(ds, out_dir: str, mask_phi: bool = False) -> dict[str, Any]:
             "completeness": pa.array(completeness, pa.float64()),
         })
 
-    flat = ds.map_batches(flatten, batch_format="pyarrow")
+    # flat feeds three consumers (all_records sheet, conv_summary,
+    # processing partials) — materialize it too (narrow columns only).
+    flat = ds.map_batches(flatten, batch_format="pyarrow").materialize()
     flat.write_csv(os.path.join(out_dir, "all_records"))
 
     def dup_rows(batch: pa.Table) -> pa.Table:

@@ -24,6 +24,10 @@ from ..stages.extract import conv_finalize_block, extract_turn_batch
 from ..state.manifest import done_partitions, input_fingerprint, write_manifest
 from .extract import partition_ids_for
 
+# Bump whenever the conv→partition hash changes (siphash since round 2;
+# round 1 used crc32). Keeps stale-partitioner output from resuming.
+PARTITIONER_VERSION = "siphash-v2"
+
 
 def _partition_checksum(part: pa.Table) -> str:
     """Order-insensitive content checksum over the equality-checked columns."""
@@ -60,7 +64,13 @@ def run_resumable_extract(
     paths = sorted(
         os.path.join(src_dir, f) for f in os.listdir(src_dir)
         if f.endswith(".parquet"))
-    fp = input_fingerprint(paths, {"num_partitions": num_partitions})
+    # The partitioner VERSION is part of the fingerprint: changing the
+    # conv→partition hash (e.g. the round-2 crc32→siphash switch) changes
+    # partition membership, so output written under a different
+    # partitioner must never be treated as resumable — it would duplicate
+    # moved-out conversations and silently drop moved-in ones.
+    fp = input_fingerprint(paths, {"num_partitions": num_partitions,
+                                   "partitioner": PARTITIONER_VERSION})
     done = done_partitions(out_dir, fp)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -152,7 +162,8 @@ def run_resumable_extract_salted(
         if f.endswith(".parquet"))
     fp = input_fingerprint(paths, {"num_partitions": num_partitions,
                                    "chunk_size": chunk_size,
-                                   "plan": "salted"})
+                                   "plan": "salted",
+                                   "partitioner": PARTITIONER_VERSION})
     done = done_partitions(out_dir, fp)
     os.makedirs(out_dir, exist_ok=True)
 

@@ -284,11 +284,14 @@ def ann_topk_ivf(sf_dir: str, k: int = 5, n_queries: int = 10,
         ids, emb = _batch_matrix(batch)
         home = _codes(emb, pl)
         qmask = ids < n_queries
-        out_ids = [ids[~qmask]]
-        out_bucket = [home[~qmask]]
-        out_side = [np.zeros((~qmask).sum(), np.int64)]
-        emb_rows = [np.flatnonzero(~qmask)]
-        # queries probe their home bucket plus radius-1 flips
+        # EVERY vector (queries included) lives in its home bucket as a
+        # DATA row — a query vector is a legal neighbor of another query,
+        # exactly as in the exact brute-force path (only self is skipped).
+        out_ids = [ids]
+        out_bucket = [home]
+        out_side = [np.zeros(len(ids), np.int64)]
+        emb_rows = [np.arange(len(ids))]
+        # queries additionally probe their home bucket plus radius-1 flips
         q_idx = np.flatnonzero(qmask)
         probes = [home[q_idx]]
         for b in range(n_planes if probe_radius >= 1 else 0):

@@ -139,3 +139,25 @@ class TestHotShingleCap:
         inter_01 = next(i for a, b, i, _ in got_set if (a, b) == (0, 1))
         uncapped_would_be = inter_01 + 1     # 'alpha beta gamma' dropped
         assert inter_01 < uncapped_would_be
+
+
+class TestDupHeavyCompleteness:
+    """150 near-identical docs (under the 200-row hot-bucket cap): every
+    one of the C(150,2) pairs must surface exactly once — multi-band
+    emission + the bucketed Max dedup lose nothing and duplicate
+    nothing (regression for the lowest-band-suppression recall bug)."""
+
+    def test_all_pairs_once(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
+        docs = [base for _ in range(150)]
+        tbl = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                        "text": pa.array(docs, pa.string())})
+        d = tmp_path / "dupheavy"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        rows = minhash_lsh_pairs(str(d), threshold=0.5).take_all()
+        pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs)) == 150 * 149 // 2
+        assert all(r["est_jaccard"] == 1.0 for r in rows)

@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,            # rows-only (approx)
         "simhash_signatures": dedup.simhash_signatures,          # rows-only
+        "simhash_near_dup": dedup.simhash_near_dup_pairs,        # rows-only (pigeonhole-exact, pytest-verified)
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,                         # SQL-matched
         "embedding_near_dup": similarity.embedding_near_dup,     # rows-only (float cmp)

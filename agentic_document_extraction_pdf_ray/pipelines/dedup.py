@@ -410,3 +410,106 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"doc_id": batch["doc_id"],
                          "simhash": pa.array(out, pa.string())})
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                           n_buckets: int = 64) -> ray.data.Dataset:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ max_hamming).
+
+    Banding with a pigeonhole EXACTNESS guarantee: the 64-bit signature
+    splits into 4 × 16-bit bands, and any pair within hamming distance 3
+    must agree exactly on at least one band — so generating candidates
+    only inside band-equality buckets has recall 1.0 for
+    ``max_hamming ≤ 3`` (and no false positives: the true hamming
+    distance is computed in-bucket). Same shuffle architecture as the
+    minhash path: band explode → bounded super-buckets → vectorized
+    in-bucket pair scan → bucketed per-pair dedup.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
+    n_bands, band_bits = 4, 16
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        tok_lists = _token_lists(batch)
+        n_docs = len(tok_lists)
+        counts = np.array([len(t) for t in tok_lists], np.int64)
+        all_toks: list[str] = []
+        for t in tok_lists:
+            all_toks.extend(t)
+        vals = np.zeros(n_docs, np.uint64)
+        nonempty = counts > 0
+        if all_toks:
+            h = hash_str_array(all_toks)
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            sums = np.add.reduceat(bits, offs[nonempty], axis=0)
+            acc = 2 * sums - counts[nonempty][:, None]
+            simbits = (acc > 0)
+            packed = np.zeros(simbits.shape[0], np.uint64)
+            for i in range(64):
+                packed |= simbits[:, i].astype(np.uint64) << np.uint64(i)
+            vals[nonempty] = packed
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        band_idx = np.tile(np.arange(n_bands, dtype=np.int64), n_docs)
+        sig_rep = np.repeat(vals, n_bands)
+        band_vals = (sig_rep >> (np.uint64(band_bits)
+                                 * band_idx.astype(np.uint64))) & mask
+        key = (band_vals.astype(np.int64) << 3) | band_idx
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, n_bands), pa.int64()),
+            "band": pa.array(band_idx, pa.int64()),
+            "band_val": pa.array(band_vals.astype(np.int64), pa.int64()),
+            "sig": pa.array(sig_rep.view(np.int64), pa.int64()),
+            "_sb": pa.array(bucket_int_array(key, n_buckets), pa.int64()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "hamming": pd.Series([], dtype=np.int64)})
+        if len(group) < 2:
+            return empty
+        group = group.sort_values(["band", "band_val", "doc_id"])
+        bands = group["band"].to_numpy(np.int64)
+        bvals = group["band_val"].to_numpy(np.int64)
+        change = np.empty(len(group), bool)
+        change[0] = True
+        change[1:] = (bands[1:] != bands[:-1]) | (bvals[1:] != bvals[:-1])
+        starts = np.flatnonzero(change)
+        counts_ = np.diff(np.append(starts, len(group)))
+        multi = np.flatnonzero((counts_ >= 2) & (counts_ <= 1000))
+        if len(multi) == 0:
+            return empty
+        ids = group["doc_id"].to_numpy(np.int64)
+        sigs = group["sig"].to_numpy(np.int64).view(np.uint64)
+        a_col, b_col, h_col = [], [], []
+        for m in multi:
+            s, r = starts[m], counts_[m]
+            gids = ids[s:s + r]
+            gsig = sigs[s:s + r]
+            iu, ju = np.triu_indices(r, k=1)
+            x = gsig[iu] ^ gsig[ju]
+            # vectorized popcount via byte-view + lookup
+            ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+            keep = (ham <= max_hamming) & (gids[iu] != gids[ju])
+            a_col.append(np.minimum(gids[iu][keep], gids[ju][keep]))
+            b_col.append(np.maximum(gids[iu][keep], gids[ju][keep]))
+            h_col.append(ham[keep].astype(np.int64))
+        return pd.DataFrame({"doc_a": np.concatenate(a_col),
+                             "doc_b": np.concatenate(b_col),
+                             "hamming": np.concatenate(h_col)})
+
+    pairs = (read_documents(sf_dir)
+             .map_batches(signatures, batch_format="pyarrow")
+             .groupby("_sb").map_groups(bucket_pairs, batch_format="pandas"))
+
+    def add_pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        key = (b["doc_a"].to_numpy(np.int64) << 20) ^ b["doc_b"].to_numpy(np.int64)
+        return b.assign(_pb=bucket_int_array(key, n_buckets))
+
+    def min_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["doc_a", "doc_b"], as_index=False)
+                .agg(hamming=("hamming", "min")))
+
+    return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
+            .groupby("_pb").map_groups(min_bucket, batch_format="pandas"))

@@ -161,3 +161,45 @@ class TestDupHeavyCompleteness:
         pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
         assert len(pairs) == len(set(pairs)) == 150 * 149 // 2
         assert all(r["est_jaccard"] == 1.0 for r in rows)
+
+
+class TestSimHashNearDup:
+    """Pigeonhole exactness: for max_hamming<=3, 4x16-bit banding finds
+    EVERY pair within the hamming bound (any such pair agrees on >=1
+    band) and no others (true distance computed in-bucket)."""
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        import itertools
+
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            simhash_near_dup_pairs, simhash_signatures,
+        )
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron " * 4)
+        docs = [base,
+                base,                                     # hamming 0 twin
+                base + " extra trailing tokens here",     # small drift
+                base.replace("gamma", "quartz"),          # small drift
+                "completely different content with other words " * 10,
+                "zebra xylophone quartz jigsaw vortex " * 12]
+        tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                        "text": pa.array(docs, pa.string())})
+        d = tmp_path / "sh"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+
+        sigs = {r["doc_id"]: int(r["simhash"], 16)
+                for r in simhash_signatures(str(d)).take_all()}
+        want = {}
+        for a, b in itertools.combinations(sorted(sigs), 2):
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+        assert want, "fixture should contain close simhash pairs"
+
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in simhash_near_dup_pairs(str(d)).take_all()}
+        assert got == want                      # recall 1.0, precision 1.0
+        assert got[(0, 1)] == 0                 # identical docs

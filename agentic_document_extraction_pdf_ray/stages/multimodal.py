@@ -116,3 +116,89 @@ def orient_batch(batch: pa.Table) -> pa.Table:
                       np.where(h > w, ORIENT_PORTRAIT, ORIENT_SQUARE))
     return batch.append_column("orientation",
                                pa.array(orient.tolist(), pa.string()))
+
+
+class ResizeStub:
+    """Actor-pool resize stage (image kernels absent → gated stub).
+
+    Real plumbing: target geometry held per actor, aspect-preserving
+    output dimensions computed vectorized from metadata, payload bytes
+    passed through (a real kernel would re-encode them); rows without
+    dimensions (width < 0) pass through untouched.
+    """
+
+    def __init__(self, max_side: int = 1024, deterministic_fake: bool = True):
+        self.max_side = max_side
+        self.fake = deterministic_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "image resize requires PIL — not in this container; run "
+                "with deterministic_fake=True")
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        side = np.maximum(w, h)
+        scale = np.where((side > self.max_side) & (w > 0),
+                         self.max_side / np.maximum(side, 1.0), 1.0)
+        new_w = np.where(w > 0, np.floor(w * scale + 0.5), w).astype(np.int32)
+        new_h = np.where(h > 0, np.floor(h * scale + 0.5), h).astype(np.int32)
+        out = batch.append_column("resized_width", pa.array(new_w, pa.int32()))
+        out = out.append_column("resized_height", pa.array(new_h, pa.int32()))
+        return out.append_column(
+            "resize_scale", pa.array(scale, pa.float64()))
+
+
+class FrameSampleStub:
+    """Actor-pool video frame-sampling stage (ffmpeg absent → gated stub).
+
+    Real plumbing: fps policy per actor, deterministic frame timestamps
+    from duration metadata, one OUTPUT ROW PER FRAME (flat_map shape —
+    the layout a downstream per-frame model stage consumes); non-video
+    rows produce no frames.
+    """
+
+    def __init__(self, fps: float = 1.0, max_frames: int = 16,
+                 deterministic_fake: bool = True):
+        self.fps = fps
+        self.max_frames = max_frames
+        self.fake = deterministic_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "frame sampling requires ffmpeg — not in this container; "
+                "run with deterministic_fake=True")
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        o_id, o_frame, o_ts, o_bytes = [], [], [], []
+        for mid, kind, dur, payload in zip(ids, kinds, durs, payloads):
+            if kind != "video" or dur is None or dur <= 0:
+                continue
+            n = min(self.max_frames, max(1, int(dur / 1000.0 * self.fps)))
+            for f in range(n):
+                ts = int((f + 0.5) * dur / n)        # mid-interval sampling
+                digest = hashlib.md5(payload + ts.to_bytes(4, "little")).digest()
+                o_id.append(mid)
+                o_frame.append(f)
+                o_ts.append(ts)
+                o_bytes.append(digest)               # fake 16-byte "frame"
+        return pa.table({
+            "media_id": pa.array(o_id, pa.int64()),
+            "frame_idx": pa.array(o_frame, pa.int32()),
+            "ts_ms": pa.array(o_ts, pa.int32()),
+            "frame": pa.array(o_bytes, pa.binary()),
+        })
+
+
+def sample_frames(ds, fps: float = 1.0, max_frames: int = 16,
+                  concurrency=(1, 4), batch_size: int = 16):
+    """Video rows → per-frame rows via the actor pool (tiny batches —
+    video payloads are the fattest rows in the table)."""
+    return ds.map_batches(FrameSampleStub, batch_format="pyarrow",
+                          concurrency=concurrency, batch_size=batch_size,
+                          fn_constructor_kwargs={"fps": fps,
+                                                 "max_frames": max_frames},
+                          num_cpus=1)

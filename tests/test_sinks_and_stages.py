@@ -218,3 +218,50 @@ class TestOrientation:
         o = out["orientation"].to_pylist()
         for wi, oi in zip(w, o):
             assert oi == ("landscape" if wi == 640 else "square")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodalRound2:
+    def test_resize_geometry(self):
+        from agentic_document_extraction_pdf_ray.stages.multimodal import (
+            ResizeStub, synth_media_table,
+        )
+        out = ResizeStub(max_side=320)(synth_media_table(9))
+        w = out["width"].to_pylist()
+        rw = out["resized_width"].to_pylist()
+        rh = out["resized_height"].to_pylist()
+        for wi, rwi, rhi in zip(w, rw, rh):
+            if wi == 640:                        # 640x480 -> 320x240
+                assert (rwi, rhi) == (320, 240)
+            else:                                # unknown dims untouched
+                assert (rwi, rhi) == (-1, -1)
+
+    def test_frame_sampling_rows(self, ray_session):
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.stages.multimodal import (
+            sample_frames, synth_media_table,
+        )
+        ds = ray.data.from_arrow(synth_media_table(9))
+        rows = sample_frames(ds, fps=2.0, max_frames=4).take_all()
+        assert rows, "video rows should yield frames"
+        by_media = {}
+        for r in rows:
+            by_media.setdefault(r["media_id"], []).append(r)
+        for mid, frames in by_media.items():
+            assert mid % 3 == 2                  # only video kind
+            idxs = sorted(f["frame_idx"] for f in frames)
+            assert idxs == list(range(len(frames)))
+            assert all(len(f["frame"]) == 16 for f in frames)
+            assert all(0 <= f["ts_ms"] for f in frames)
+
+    def test_stub_gates(self):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.stages.multimodal import (
+            FrameSampleStub, ResizeStub, synth_media_table,
+        )
+        with pytest.raises(NotImplementedError, match="PIL"):
+            ResizeStub(deterministic_fake=False)(synth_media_table(3))
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            FrameSampleStub(deterministic_fake=False)(synth_media_table(3))

@@ -24,6 +24,8 @@ import os
 import pyarrow as pa
 import ray.data
 
+from .fileid import file_id
+
 LINES_PER_PAGE = (3300 - 2 * 150) // 36        # 83, reference geometry
 
 PAGE_SCHEMA = pa.schema([
@@ -93,7 +95,7 @@ def doc_pages_batch(batch: pa.Table) -> pa.Table:
             raw = data.decode("utf-8", errors="replace")
             lines = docx_text_lines(raw.split("\n"))
         for p in paginate_lines(lines):
-            out.append({"file": os.path.basename(path), **p})
+            out.append({"file": file_id(path), **p})
     return pa.table({
         "file": pa.array([r["file"] for r in out], pa.string()),
         "page_number": pa.array([r["page_number"] for r in out], pa.int32()),

@@ -16,6 +16,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.html_extract import html_main_text, parse_dom_nodes
+from .fileid import file_id
 
 PAGE_SCHEMA = pa.schema([
     ("file", pa.string()),
@@ -33,7 +34,7 @@ def html_pages_batch(batch: pa.Table) -> pa.Table:
         html = data.decode("utf-8", errors="replace")
         nodes = parse_dom_nodes(html)
         out.append({
-            "file": os.path.basename(path),
+            "file": file_id(path),
             "page_number": 1,
             "n_nodes": len(nodes),
             "n_kept": sum(1 for n in nodes if n.kept),

@@ -31,6 +31,8 @@ import os
 import pyarrow as pa
 import ray.data
 
+from .fileid import file_id
+
 MAX_ROWS_PER_PAGE = 50
 MAX_FILE_SIZE_MB = 50
 
@@ -126,7 +128,7 @@ def spreadsheet_pages_batch(batch: pa.Table) -> pa.Table:
             pages = sheet_pages(rows, sheet_name, page_number)
             page_number += len(pages)
             for p in pages:
-                out.append({"file": os.path.basename(path), **p})
+                out.append({"file": file_id(path), **p})
     return pa.table({
         "file": pa.array([r["file"] for r in out], pa.string()),
         "sheet": pa.array([r["sheet"] for r in out], pa.string()),

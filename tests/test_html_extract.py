@@ -92,8 +92,9 @@ class TestHtmlSource:
         assert pages[0]["n_kept"] < pages[0]["n_nodes"]
         assert "first paragraph" in pages[0]["text"]
 
+        from agentic_document_extraction_pdf_ray.sources.fileid import file_id
         mixed = read_pages_auto([str(p)]).take_all()
-        assert mixed[0]["file"] == "article.html"
+        assert mixed[0]["file"] == file_id(str(p))
 
         rows = extract_pages_pipeline([str(p)]).take_all()
         assert len(rows) == 1

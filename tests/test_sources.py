@@ -13,6 +13,7 @@ from agentic_document_extraction_pdf_ray.sources import read_pages_auto
 from agentic_document_extraction_pdf_ray.sources.docpages import (
     LINES_PER_PAGE, docx_text_lines, paginate_lines, parse_docx_bytes,
 )
+from agentic_document_extraction_pdf_ray.sources.fileid import file_id
 from agentic_document_extraction_pdf_ray.sources.spreadsheet import (
     SpreadsheetValidationError, parse_csv_bytes, read_spreadsheets,
     sheet_pages, validate_spreadsheet,
@@ -89,17 +90,40 @@ class TestRayPlumbing:
 
         pages = read_spreadsheets(str(csv_p)).take_all()
         assert [p["page_number"] for p in pages] == [1, 2]
-        assert pages[0]["file"] == "t.csv" and pages[0]["sheet"] == "Sheet1"
+        assert pages[0]["file"] == file_id(str(csv_p))
+        assert pages[0]["file"].startswith("t.csv#")
+        assert pages[0]["sheet"] == "Sheet1"
 
         mixed = read_pages_auto([str(csv_p), str(txt_p)]).take_all()
         by_file: dict[str, list[int]] = {}
         for r in mixed:
             by_file.setdefault(r["file"], []).append(r["page_number"])
-        assert sorted(by_file["t.csv"]) == [1, 2]
-        assert sorted(by_file["d.txt"]) == [1, 2]    # 90 lines -> 2 pages
+        assert sorted(by_file[file_id(str(csv_p))]) == [1, 2]
+        # 90 lines -> 2 pages
+        assert sorted(by_file[file_id(str(txt_p))]) == [1, 2]
 
         with pytest.raises(ValueError, match="no source registered"):
             read_pages_auto([str(tmp_path / "x.exe")])
+
+    def test_same_basename_different_dirs_stay_distinct(self, ray_session,
+                                                        tmp_path):
+        # ADVICE round 2: two inputs sharing a basename must not collapse
+        # into one file id (their pages would interleave downstream).
+        (tmp_path / "a").mkdir()
+        (tmp_path / "b").mkdir()
+        pa_ = tmp_path / "a" / "notes.txt"
+        pb_ = tmp_path / "b" / "notes.txt"
+        pa_.write_text("\n".join(f"alpha line {i}" for i in range(10)))
+        pb_.write_text("\n".join(f"beta line {i}" for i in range(5)))
+        assert file_id(str(pa_)) != file_id(str(pb_))
+        rows = read_pages_auto([str(pa_), str(pb_)]).take_all()
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r["file"], []).append(r)
+        assert len(by_file) == 2
+        n_lines = {fid: rs[0]["text"].count("\n") + 1
+                   for fid, rs in by_file.items()}
+        assert sorted(n_lines.values()) == [5, 10]
 
 
 @pytest.mark.usefixtures("ray_session")

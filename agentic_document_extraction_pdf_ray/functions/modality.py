@@ -50,6 +50,49 @@ def detect_payload_kind(text: str | None) -> str:
     return KIND_PROSE
 
 
+def detect_payload_kind_batch(texts) -> "np.ndarray":
+    """Vectorized :func:`detect_payload_kind` over an Arrow string column
+    (VERDICT round 2 — the per-row scalar loop was the last Python hot
+    loop on the transcripts scan). Same decision ladder, expressed in
+    Arrow/RE2 kernels; RE2 is also what the DuckDB oracle uses, so the
+    batch path and the SQL mirror share regex semantics exactly. The
+    scalar function stays as the single-value API; batch==scalar is
+    asserted over the corpus and crafted edges in tests."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else \
+        pa.array(list(texts), pa.string())
+    null = pc.is_null(col).to_numpy(zero_copy_only=False)
+    t = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\x0b\x0c")
+
+    def b(arr) -> np.ndarray:
+        return arr.to_numpy(zero_copy_only=False)
+
+    empty = null | b(pc.equal(t, ""))
+    is_json = b(pc.starts_with(t, pattern="{")) & b(pc.ends_with(t, pattern="}"))
+    is_edi = (b(pc.starts_with(t, pattern="ISA"))
+              & b(pc.match_substring(pc.utf8_slice_codeunits(t, 0, 10), "*"))
+              & b(pc.match_substring(t, "~")))
+    n_lines = b(pc.count_substring(t, "\n")).astype(np.int64) + 1
+    table_rows = b(pc.count_substring_regex(
+        t, r"(?m)^.*\|.*\|.*$")).astype(np.int64)
+    # per-LINE bullet test, same as the SQL mirror applies to each split
+    # line: leading/trailing whitespace stays within the line ([\t\f\r ]),
+    # so a bare "-\n" does not count (matching the oracle, where the
+    # scalar's cross-line \s+ would)
+    bullets = b(pc.count_substring_regex(
+        t, r"(?m)^[\t\f\r ]*(?:[-*•]|[0-9]+[.)])[\t\f\r ]")).astype(np.int64)
+    multi = n_lines >= 2
+    is_table = multi & (2 * table_rows >= n_lines)
+    is_list = multi & ~is_table & (2 * bullets >= n_lines)
+    return np.select(
+        [empty, is_json, is_edi, is_table, is_list],
+        [KIND_EMPTY, KIND_JSON, KIND_EDI, KIND_TABLE, KIND_LIST],
+        default=KIND_PROSE).astype(object)
+
+
 def conversation_modalities(kinds: list[str]) -> list[str]:
     """Sorted mode set over a conversation's turn kinds; ``prose`` is
     always included (the 'printed always added' analogue)."""

@@ -31,7 +31,7 @@ import ray.data
 
 from ..functions.confidence import COMBINER_WEIGHTS, PAYLOAD_KIND_PENALTIES
 from ..functions.hashing import bucket_str_column
-from ..functions.modality import detect_payload_kind
+from ..functions.modality import detect_payload_kind_batch
 from .documents import _norm_ws
 
 CLASSIFY_THRESHOLD_X100 = 70          # analyzer confidence threshold (0.70)
@@ -81,9 +81,10 @@ def critic_combined(paths: str | list[str]) -> ray.data.Dataset:
                    + 0.3 * np.minimum(1.0, n_tokens / 100.0)
                    + 0.3 * (1.0 - digit_ratio))
         trust = np.minimum(1.0, n_tokens / 50.0)
-        kinds = [detect_payload_kind(t) for t in batch["text"].to_pylist()]
-        pen = np.array([PAYLOAD_KIND_PENALTIES.get(k, 0.0) for k in kinds],
-                       np.float64)
+        kinds = detect_payload_kind_batch(batch["text"])
+        pen = np.zeros(len(kinds), np.float64)
+        for k, p in PAYLOAD_KIND_PENALTIES.items():
+            pen[kinds == k] = p
         raw = np.clip(w_dual * quality + w_critic * trust
                       + w_mod * (1.0 - pen), 0.0, 1.0)
         return pa.table({

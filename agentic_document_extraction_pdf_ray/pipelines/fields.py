@@ -84,46 +84,91 @@ def explode_field_values(batch: pa.Table) -> pa.Table:
     })
 
 
+def _round6(vals) -> np.ndarray:
+    return np.round(np.asarray(vals, np.float64), 6)
+
+
+def _seg_mean6(vals: np.ndarray, starts: np.ndarray,
+               counts: np.ndarray) -> np.ndarray:
+    """Per-segment mean of ``vals`` rounded to 6 decimals. ONE summation
+    kernel (``np.add.reduceat``) shared by the distributed fold and the
+    single-process reference, so both sides sum in identical order and
+    the equality tests compare bit-identical floats."""
+    if len(vals) == 0:
+        return np.zeros(0, np.float64)
+    sums = np.add.reduceat(np.asarray(vals, np.float64), starts)
+    return _round6(sums / counts)
+
+
+_EMPTY_MERGED = {
+    "conv_id": object, "field": object, "kind": object,
+    "value": object, "n_values": np.int64, "confidence": np.float64,
+}
+
+
 def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
     """Fold one conv-hash bucket: list families append in
-    (turn, intra) order with a distinct-turn running-mean confidence;
-    scalars keep the strictly-max-confidence earliest turn."""
+    (turn, intra) order with a distinct-turn mean confidence; scalars
+    keep the strictly-max-confidence earliest turn. Fully vectorized
+    (VERDICT round 2 #1): groupby-agg string joins for the list append,
+    segment-sum (``_seg_mean6``) for confidences, and a stable
+    sort + ``drop_duplicates`` argmax for scalars — no per-group dict
+    building."""
     g = g.sort_values(["conv_id", "field", "turn_idx", "intra_idx"],
                       kind="mergesort")
-    out_rows = []
-    for (conv, field, is_list), rows in g.groupby(
-            ["conv_id", "field", "is_list"], sort=False):
-        if bool(is_list):
-            turn_confs = rows.drop_duplicates("turn_idx")["turn_conf"].tolist()
-            out_rows.append({
-                "conv_id": conv, "field": field, "kind": "list",
-                "value": VALUE_SEP.join(rows["value"]),
-                "n_values": np.int64(len(rows)),
-                # plain-Python fold in turn order — bit-identical to the
-                # single-process oracle (pandas .mean() sums pairwise)
-                "confidence": round(sum(turn_confs) / len(turn_confs), 6),
-            })
-        else:
-            # strictly-greater replacement == max conf, earliest turn wins
-            best = rows.iloc[int(np.lexsort(
-                (rows["turn_idx"].to_numpy(),
-                 -rows["turn_conf"].to_numpy()))[0])]
-            out_rows.append({
-                "conv_id": conv, "field": field, "kind": "scalar",
-                "value": best["value"],
-                "n_values": np.int64(1),
-                "confidence": round(float(best["turn_conf"]), 6),
-            })
-    if not out_rows:
-        return pd.DataFrame({
-            "conv_id": pd.Series([], dtype=object),
-            "field": pd.Series([], dtype=object),
-            "kind": pd.Series([], dtype=object),
-            "value": pd.Series([], dtype=object),
-            "n_values": pd.Series([], dtype=np.int64),
-            "confidence": pd.Series([], dtype=np.float64),
-        })
-    return pd.DataFrame(out_rows)
+    frames: list[pd.DataFrame] = []
+
+    lst = g[g["is_list"]]
+    if len(lst):
+        agg = (lst.groupby(["conv_id", "field"], sort=False)
+               .agg(value=("value", VALUE_SEP.join),
+                    n_values=("value", "size"))
+               .reset_index())
+        # distinct-turn confidences, still in (conv, field, turn) order
+        d = lst.drop_duplicates(["conv_id", "field", "turn_idx"])
+        conv_a = d["conv_id"].to_numpy()
+        field_a = d["field"].to_numpy()
+        change = np.empty(len(d), bool)
+        change[0] = True
+        change[1:] = (conv_a[1:] != conv_a[:-1]) | (field_a[1:] != field_a[:-1])
+        starts = np.flatnonzero(change)
+        seg_counts = np.diff(np.append(starts, len(d)))
+        # groupby(sort=False) over the sorted frame iterates groups in
+        # first-appearance == segment order, so agg rows align 1:1 with
+        # the boundary segments
+        assert len(agg) == len(starts)
+        frames.append(pd.DataFrame({
+            "conv_id": agg["conv_id"].to_numpy(),
+            "field": agg["field"].to_numpy(),
+            "kind": "list",
+            "value": agg["value"].to_numpy(),
+            "n_values": agg["n_values"].to_numpy(np.int64),
+            "confidence": _seg_mean6(d["turn_conf"].to_numpy(np.float64),
+                                     starts, seg_counts),
+        }))
+
+    scl = g[~g["is_list"]]
+    if len(scl):
+        # strictly-greater replacement == max conf, earliest turn wins:
+        # stable sort on (-conf, turn) then keep-first per (conv, field)
+        scl = scl.assign(_negc=-scl["turn_conf"].to_numpy(np.float64))
+        best = (scl.sort_values(["conv_id", "field", "_negc", "turn_idx"],
+                                kind="mergesort")
+                .drop_duplicates(["conv_id", "field"], keep="first"))
+        frames.append(pd.DataFrame({
+            "conv_id": best["conv_id"].to_numpy(),
+            "field": best["field"].to_numpy(),
+            "kind": "scalar",
+            "value": best["value"].to_numpy(),
+            "n_values": np.ones(len(best), np.int64),
+            "confidence": _round6(best["turn_conf"].to_numpy(np.float64)),
+        }))
+
+    if not frames:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in _EMPTY_MERGED.items()})
+    out = pd.concat(frames, ignore_index=True)
+    return out[list(_EMPTY_MERGED)]
 
 
 def conv_merged_fields(paths: str | list[str],
@@ -158,18 +203,22 @@ def merged_fields_reference(turn_rows: list[dict]) -> list[dict]:
         vals.sort(key=lambda t: (t[0], t[1]))
         if is_list:
             turn_confs = {t: c for t, _, _, c in vals}
+            confs = np.asarray(list(turn_confs.values()), np.float64)
             out.append({
                 "conv_id": conv, "field": family, "kind": "list",
                 "value": VALUE_SEP.join(v for _, _, v, _ in vals),
                 "n_values": len(vals),
-                "confidence": round(
-                    sum(turn_confs.values()) / len(turn_confs), 6),
+                # same segment-sum kernel as the distributed fold
+                # (_seg_mean6) so the equality tests compare identical
+                # float bits
+                "confidence": float(_seg_mean6(
+                    confs, np.array([0]), np.array([len(confs)]))[0]),
             })
         else:
             best = max(vals, key=lambda t: (t[3], -t[0]))
             out.append({
                 "conv_id": conv, "field": family, "kind": "scalar",
                 "value": best[2], "n_values": 1,
-                "confidence": round(best[3], 6),
+                "confidence": float(_round6(best[3])),
             })
     return out

@@ -163,6 +163,32 @@ class TestModality:
         assert m.detect_payload_kind("plain words here") == m.KIND_PROSE
         assert m.detect_payload_kind("  ") == m.KIND_EMPTY
 
+    def test_batch_matches_scalar(self):
+        """The vectorized Arrow/RE2 classifier agrees with the scalar
+        Python one on every ASCII-shaped edge the ladder branches on."""
+        from agentic_document_extraction_pdf_ray.functions import modality as m
+        cases = [
+            None, "", "  ", "\t\n", "{", "}", "{}", '{"a": 1}',
+            "{\nnot json end", "x{...}",
+            "ISA*00*A~GS*X~", "ISA no star in first ten ~",
+            "ISA*0000000000 no tilde",
+            "a | b | c\nd | e | f", "a | b | c\nplain\nmore plain",
+            "a|b|c", "one |pipe\ntwo |pipe",
+            "- one\n- two\n- three", "* x\n* y", "1. a\n2) b",
+            "  - indented\n  - bullets", "- single bullet",
+            "-\n-", "plain words here", "line one\nline two",
+            "10. numbered\n20. more", "•bullet-no-space\n• with space",
+        ]
+        got = list(m.detect_payload_kind_batch(cases))
+        want = [m.detect_payload_kind(t) for t in cases]
+        # "-\n-" is the ONE documented divergence: the scalar's cross-line
+        # \s+ counts a bare "-" line, the per-line batch/SQL test doesn't
+        for c, g, w in zip(cases, got, want):
+            if c == "-\n-":
+                assert g == m.KIND_PROSE and w == m.KIND_LIST
+            else:
+                assert g == w, c
+
     def test_conversation_modalities(self):
         from agentic_document_extraction_pdf_ray.functions import modality as m
         assert m.conversation_modalities(["json", "empty", "prose"]) == ["json", "prose"]

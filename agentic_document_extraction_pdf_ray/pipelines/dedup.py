@@ -279,6 +279,32 @@ def _band_folds(mat: np.ndarray) -> np.ndarray:
     return acc
 
 
+def _pair_index_chunks(r: int, block: int = 1024):
+    """Yield (ii, jj) index-array chunks covering ALL i<j pairs of
+    ``range(r)`` with at most ``block²`` pairs per chunk.
+
+    This replaces the round-2 hot-bucket SKIP (ADVICE round 2, medium):
+    a duplicate family larger than the per-bucket cap used to make every
+    bucket holding it hot, silently dropping the whole family's pairs —
+    exactly on the duplicate-heavy corpora the scale path targets. Large
+    buckets are now processed completely in bounded-memory blocks. The
+    work (and output) is inherently Θ(r²) in the family size — that is
+    the all-pairs output contract; compose exact dedup first when
+    identical-copy families dominate.
+    """
+    if r <= block:
+        yield np.triu_indices(r, k=1)
+        return
+    for b0 in range(0, r, block):
+        e0 = min(b0 + block, r)
+        iu, ju = np.triu_indices(e0 - b0, k=1)
+        yield b0 + iu, b0 + ju
+        for b1 in range(e0, r, block):
+            e1 = min(b1 + block, r)
+            yield (np.repeat(np.arange(b0, e0), e1 - b1),
+                   np.tile(np.arange(b1, e1), e0 - b0))
+
+
 def minhash_lsh_pairs(sf_dir: str, n: int = 3,
                       threshold: float = 0.12,
                       n_buckets: int = 64) -> ray.data.Dataset:
@@ -292,13 +318,15 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
 
     Cross-band dedup happens in the final BUCKETED ``(doc_a, doc_b)``
     Max-groupby (bounded pair-hash key space, vectorized per bucket).
-    A purely local "emit only from the lowest colliding band" rule would
-    avoid that shuffle, but it is WRONG under the hot-bucket guard: if a
-    pair's lowest colliding band sits in a skipped >200-row bucket, that
-    band emits nothing and local suppression in the later bands would
-    silently drop the pair — exactly on the duplicate-heavy corpora the
-    scale path targets. So every colliding (non-hot) band emits, and the
-    bucketed groupby dedups.
+    Every colliding band emits its pairs and the bucketed groupby dedups
+    — a purely local "emit only from the lowest colliding band" rule was
+    tried and rejected in round 2 because it can suppress pairs whose
+    lowest band happens to be elsewhere. Hot band buckets (duplicate
+    families of ANY size) are scanned completely in bounded-memory index
+    chunks (``_pair_index_chunks``) — the former >200-row skip silently
+    dropped whole families once every band bucket went hot. The scan and
+    its output are inherently Θ(family²); compose exact dedup first when
+    identical-copy families dominate the corpus.
     """
     # Task pool, not an actor pool: MinHasher state is two 128-element
     # arrays (microseconds to build), so paying multi-second actor-pool
@@ -328,7 +356,7 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
         change[1:] = (bands[1:] != bands[:-1]) | (buckets[1:] != buckets[:-1])
         counts = np.diff(np.append(np.flatnonzero(change), len(group)))
         starts = np.flatnonzero(change)
-        multi = np.flatnonzero((counts >= 2) & (counts <= 200))
+        multi = np.flatnonzero(counts >= 2)
         if len(multi) == 0:
             return empty
         ids = group["doc_id"].to_numpy(np.int64)
@@ -341,14 +369,16 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
             gids = ids[s:s + r]
             mat = np.frombuffer(b"".join(sig_col[s:s + r]),
                                 np.uint64).reshape(r, _MINHASH_PERMS)
-            # pairwise equal-slot fraction, vectorized over the bucket
-            eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(r, k=1)
-            # all colliding bands emit; the bucketed groupby dedups
-            keep = (eq[iu, ju] >= threshold) & (gids[iu] != gids[ju])
-            a_col.append(gids[iu][keep])
-            b_col.append(gids[ju][keep])
-            est.append(eq[iu, ju][keep])
+            # per-pair equal-slot fraction over bounded index chunks —
+            # hot buckets (duplicate families of ANY size) are processed
+            # completely, not skipped (ADVICE round 2)
+            for ii, jj in _pair_index_chunks(r, block=512):
+                eqf = (mat[ii] == mat[jj]).mean(axis=1)
+                # all colliding bands emit; the bucketed groupby dedups
+                keep = (eqf >= threshold) & (gids[ii] != gids[jj])
+                a_col.append(gids[ii][keep])
+                b_col.append(gids[jj][keep])
+                est.append(eqf[keep])
         return pd.DataFrame({"doc_a": np.concatenate(a_col),
                              "doc_b": np.concatenate(b_col),
                              "est_jaccard": np.concatenate(est)})
@@ -421,9 +451,17 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
     must agree exactly on at least one band — so generating candidates
     only inside band-equality buckets has recall 1.0 for
     ``max_hamming ≤ 3`` (and no false positives: the true hamming
-    distance is computed in-bucket). Same shuffle architecture as the
-    minhash path: band explode → bounded super-buckets → vectorized
-    in-bucket pair scan → bucketed per-pair dedup.
+    distance is computed in-bucket). The exactness is UNCONDITIONAL:
+    oversized equal-band buckets are scanned in bounded-memory index
+    chunks, never skipped. Same shuffle architecture as the minhash
+    path: band explode → bounded super-buckets → vectorized in-bucket
+    pair scan → bucketed per-pair dedup.
+
+    Scale note: 16-bit bands give only 2^16 buckets per band, so
+    candidate verification is Θ(Σ r²) ≈ n²/2^16 per band once n ≫ 2^16.
+    That is the known cost of pigeonhole SimHash search; for corpora
+    where it dominates, collapse exact duplicates first (identical docs
+    share all four bands) or extend to two-level banding.
     """
     shifts = np.arange(64, dtype=np.uint64)
     n_bands, band_bits = 4, 16
@@ -477,7 +515,7 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
         change[1:] = (bands[1:] != bands[:-1]) | (bvals[1:] != bvals[:-1])
         starts = np.flatnonzero(change)
         counts_ = np.diff(np.append(starts, len(group)))
-        multi = np.flatnonzero((counts_ >= 2) & (counts_ <= 1000))
+        multi = np.flatnonzero(counts_ >= 2)
         if len(multi) == 0:
             return empty
         ids = group["doc_id"].to_numpy(np.int64)
@@ -487,14 +525,19 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
             s, r = starts[m], counts_[m]
             gids = ids[s:s + r]
             gsig = sigs[s:s + r]
-            iu, ju = np.triu_indices(r, k=1)
-            x = gsig[iu] ^ gsig[ju]
-            # vectorized popcount via byte-view + lookup
-            ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
-            keep = (ham <= max_hamming) & (gids[iu] != gids[ju])
-            a_col.append(np.minimum(gids[iu][keep], gids[ju][keep]))
-            b_col.append(np.maximum(gids[iu][keep], gids[ju][keep]))
-            h_col.append(ham[keep].astype(np.int64))
+            # bounded-memory index chunks — oversized equal-band buckets
+            # (duplicate families beyond the former 1000-row cap) are
+            # scanned completely, preserving the pigeonhole exactness
+            # claim unconditionally (ADVICE round 2, medium)
+            for ii, jj in _pair_index_chunks(r):
+                x = gsig[ii] ^ gsig[jj]
+                # vectorized popcount via byte-view + unpack
+                ham = np.unpackbits(x.view(np.uint8)).reshape(
+                    len(x), 64).sum(axis=1)
+                keep = (ham <= max_hamming) & (gids[ii] != gids[jj])
+                a_col.append(np.minimum(gids[ii][keep], gids[jj][keep]))
+                b_col.append(np.maximum(gids[ii][keep], gids[jj][keep]))
+                h_col.append(ham[keep].astype(np.int64))
         return pd.DataFrame({"doc_a": np.concatenate(a_col),
                              "doc_b": np.concatenate(b_col),
                              "hamming": np.concatenate(h_col)})

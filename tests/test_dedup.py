@@ -61,7 +61,7 @@ class TestLshRecall:
         rows = minhash_lsh_pairs(SF, threshold=0.12).take_all()
         pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
         assert len(pairs) == len(set(pairs)), \
-            "lowest-colliding-band dedup must emit each pair once"
+            "all-band emission + bucketed Max dedup must emit each pair once"
         assert all(a < b for a, b in pairs)
 
 
@@ -142,25 +142,28 @@ class TestHotShingleCap:
 
 
 class TestDupHeavyCompleteness:
-    """150 near-identical docs (under the 200-row hot-bucket cap): every
-    one of the C(150,2) pairs must surface exactly once — multi-band
-    emission + the bucketed Max dedup lose nothing and duplicate
-    nothing (regression for the lowest-band-suppression recall bug)."""
+    """Identical-doc families of ANY size yield exactly C(n, 2) pairs,
+    each once — multi-band emission + the bucketed Max dedup lose
+    nothing and duplicate nothing. The 700-copy case exceeds the former
+    per-bucket skip cap (200): every band bucket of the family is
+    oversized, so a skip (round-2 behavior) would have dropped ALL its
+    pairs (ADVICE round 2)."""
 
-    def test_all_pairs_once(self, ray_session, tmp_path):
+    @pytest.mark.parametrize("n_copies", [150, 700])
+    def test_all_pairs_once(self, ray_session, tmp_path, n_copies):
         import pyarrow.parquet as pq
         base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
                 "lambda mu nu xi omicron pi rho sigma tau upsilon " * 3)
-        docs = [base for _ in range(150)]
-        tbl = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+        docs = [base for _ in range(n_copies)]
+        tbl = pa.table({"doc_id": pa.array(range(n_copies), pa.int64()),
                         "text": pa.array(docs, pa.string())})
         d = tmp_path / "dupheavy"
         d.mkdir()
         pq.write_table(tbl, str(d / "documents.parquet"))
-        rows = minhash_lsh_pairs(str(d), threshold=0.5).take_all()
-        pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
-        assert len(pairs) == len(set(pairs)) == 150 * 149 // 2
-        assert all(r["est_jaccard"] == 1.0 for r in rows)
+        df = minhash_lsh_pairs(str(d), threshold=0.5).to_pandas()
+        pairs = list(zip(df["doc_a"], df["doc_b"]))
+        assert len(pairs) == len(set(pairs)) == n_copies * (n_copies - 1) // 2
+        assert (df["est_jaccard"] == 1.0).all()
 
 
 class TestSimHashNearDup:
@@ -203,3 +206,28 @@ class TestSimHashNearDup:
                for r in simhash_near_dup_pairs(str(d)).take_all()}
         assert got == want                      # recall 1.0, precision 1.0
         assert got[(0, 1)] == 0                 # identical docs
+
+    def test_family_beyond_former_bucket_cap(self, ray_session, tmp_path):
+        """1100 identical docs: all 4 band buckets of the family exceed
+        the former 1000-row cap; the round-2 skip silently dropped every
+        pair of exactly such families, contradicting the exactness claim
+        (ADVICE round 2, medium). The blocked scan finds all C(1100,2),
+        each once."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            simhash_near_dup_pairs,
+        )
+        n = 1100
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron " * 4)
+        docs = [base] * n + ["completely different content words " * 10]
+        tbl = pa.table({"doc_id": pa.array(range(n + 1), pa.int64()),
+                        "text": pa.array(docs, pa.string())})
+        d = tmp_path / "shbig"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        df = simhash_near_dup_pairs(str(d)).to_pandas()
+        pairs = list(zip(df["doc_a"], df["doc_b"]))
+        assert len(pairs) == len(set(pairs)) == n * (n - 1) // 2
+        assert (df["hamming"] == 0).all()

@@ -45,8 +45,35 @@ class TestEmbeddingNearDupLsh:
         rows = embedding_near_dup_lsh(SF, threshold=THRESH).take_all()
         pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
         assert len(pairs) == len(set(pairs)), \
-            "lowest-colliding-table dedup must emit each pair once"
+            "bucketed candidate-pair dedup must emit each pair once"
         assert all(a < b for a, b in pairs)
+
+    def test_degenerate_bucket_complete_and_deduped(self, ray_session,
+                                                    tmp_path):
+        """300 identical vectors collide in EVERY table's same code
+        bucket (the degenerate case ADVICE round 2 flagged): the chunked
+        id-only candidate scan plus bucketed dedup must emit exactly
+        C(300,2) pairs once each, with exact cosine 1.0."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        n = 300
+        rng = np.random.RandomState(3)
+        vec = rng.randn(16)
+        em = np.tile(vec, (n, 1))
+        tbl = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(r) for r in em],
+                                  pa.list_(pa.float64())),
+            "label": pa.array(["x"] * n, pa.string()),
+        })
+        d = tmp_path / "degenerate"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+        df = embedding_near_dup_lsh(str(d), threshold=0.9).to_pandas()
+        pairs = list(zip(df["doc_a"], df["doc_b"]))
+        assert len(pairs) == len(set(pairs)) == n * (n - 1) // 2
+        assert np.allclose(df["cosine"], 1.0)
 
 
 @pytest.mark.usefixtures("ray_session")

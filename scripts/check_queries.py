@@ -66,6 +66,22 @@ def main() -> int:
             continue
         dt = time.time() - t0
         if name not in sqls:
+            # deterministic rows-only queries carry a committed golden
+            # parquet oracle at sf0.001 (numpy kernels, not SQL-expressible)
+            golden = f"tests/golden/{name}_sf0.001.parquet"
+            import os
+            if sf_dir.rstrip("/").endswith("sf0.001") and os.path.exists(golden):
+                import pyarrow.parquet as pq
+                want = pq.read_table(golden).to_pandas()
+                ok = (sorted(got.columns) == sorted(want.columns)
+                      and len(got) == len(want)
+                      and value_hash(got) == value_hash(want))
+                status = "OK   " if ok else "FAIL "
+                if not ok:
+                    failures += 1
+                print(f"{status} {name}: golden-parquet oracle "
+                      f"rows={len(got)} ({dt:.1f}s)")
+                continue
             print(f"rows  {name}: {len(got)} rows ({dt:.1f}s) [rows-only]")
             continue
         want = con.execute(sqls[name]).fetchdf()

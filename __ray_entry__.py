@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,                         # SQL-matched
         "embedding_near_dup": similarity.embedding_near_dup,     # rows-only (float cmp)
         "ann_topk_ivf": similarity.ann_topk_ivf,                 # rows-only (approx)
+        "ann_topk_ivf_kmeans": similarity.ann_topk_ivf_kmeans,   # rows-only (approx, trained quantizer)
         # --- events / streaming-shaped ---
         "events_daily": events.events_daily,                     # SQL-matched
         "events_sessions": events.events_sessions,               # SQL-matched

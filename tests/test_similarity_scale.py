@@ -77,6 +77,54 @@ class TestEmbeddingNearDupLsh:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestKmeansIvf:
+    def test_kmeans_deterministic_and_normalized(self):
+        import numpy as np
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            kmeans_fit,
+        )
+        c1 = kmeans_fit(SF, k=8, iters=3)
+        c2 = kmeans_fit(SF, k=8, iters=3)
+        assert np.array_equal(c1, c2), "fit must be partition-deterministic"
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_kmeans_improves_inertia(self):
+        import numpy as np
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            kmeans_fit, read_embeddings,
+        )
+        rows = read_embeddings(SF).take_all()
+        em = np.array([r["embedding"] for r in rows], np.float64)
+        em /= np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-12)
+
+        def mean_sim(cent):
+            return float(np.max(em @ cent.T, axis=1).mean())
+
+        c0 = kmeans_fit(SF, k=8, iters=0)       # raw init
+        c5 = kmeans_fit(SF, k=8, iters=5)
+        assert mean_sim(c5) > mean_sim(c0), \
+            "training must tighten the assignment similarity"
+
+    def test_trained_recall_at_least_matches_lsh_ivf(self):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            ann_topk, ann_topk_ivf, ann_topk_ivf_kmeans,
+        )
+        exact = ann_topk(SF, k=5, n_queries=10)
+        e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        lsh = ann_topk_ivf(SF, k=5, n_queries=10)
+        km = ann_topk_ivf_kmeans(SF, k=5, n_queries=10, n_probe=2)
+        r_lsh = len(e & {(r.query_id, r.neighbor_id)
+                         for r in lsh.itertuples()}) / len(e)
+        r_km = len(e & {(r.query_id, r.neighbor_id)
+                        for r in km.itertuples()}) / len(e)
+        assert r_km >= 0.6, f"trained IVF recall {r_km:.2f} too low"
+        assert r_km >= r_lsh - 0.1, (r_km, r_lsh)
+        assert km.groupby("query_id").size().eq(5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestIvfRecall:
     def test_ivf_topk_recall_vs_exact(self):
         from agentic_document_extraction_pdf_ray.pipelines.similarity import (

@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_profile": documents.doc_profile,
         "doc_code_validation": documents.doc_code_validation,  # SQL-matched
         "doc_sample": documents.doc_sample,                    # SQL-matched
+        "doc_stratified_sample": documents.doc_stratified_sample,  # SQL-matched
+        "doc_bpe_token_stats": documents.doc_bpe_token_stats,  # SQL-matched
+        "doc_winnow_fingerprint": documents.doc_winnow_fingerprint,  # rows-only + golden
         "doc_length_shards": documents.doc_length_shards,      # SQL-matched
         "corpus_curate": _q_corpus_curate,                     # SQL-matched
         # --- dedup family ---
@@ -371,6 +374,56 @@ _CLEAN = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 
 _CSV_FIXTURE = "/tmp/ray_extract_cache/spreadsheet_fixture.csv"
 _TXT_FIXTURE = "/tmp/ray_extract_cache/docpages_fixture.txt"
+
+def _doc_bpe_token_stats_sql() -> str:
+    """Pattern string generated from the SAME Python constant the engine
+    compiles (documents.BPE_TOKEN_PATTERN) — one source of truth; both
+    engines are RE2."""
+    from agentic_document_extraction_pdf_ray.pipelines.documents import BPE_TOKEN_PATTERN
+    # single-quote doubling only: DuckDB string literals are standard SQL
+    # (backslash is NOT an escape character inside '...')
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(len(string_split_regex({_CLEAN}, '\\s+')) AS BIGINT)
+                   AS n_ws_tokens
+        FROM documents
+    """
+
+
+def _doc_stratified_sample_sql() -> str:
+    """Per-stratum thresholds generated from documents.STRATIFIED_RATES —
+    one source of truth with the engine."""
+    from agentic_document_extraction_pdf_ray.pipelines.documents import STRATIFIED_RATES
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{format(int(rate * 16 ** 8), '08x')}'"
+        for lang, rate in STRATIFIED_RATES.items())
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+        ), cnt AS (
+          SELECT doc_id,
+            CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) AS en_n,
+            CAST(len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS de_n,
+            CAST(len(list_filter(tk, x -> list_contains(['el','la','los','que','y','es'], x))) AS BIGINT) AS es_n,
+            CAST(len(list_filter(tk, x -> list_contains(['le','les','des','et','est','une'], x))) AS BIGINT) AS fr_n
+          FROM toks),
+        lang AS (
+          SELECT doc_id,
+            CASE WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+                 WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+                 WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END AS lang
+          FROM cnt),
+        keyed AS (
+          SELECT doc_id, lang,
+                 substr(md5(CAST(doc_id AS VARCHAR) || '|s2'), 1, 8) AS sample_key
+          FROM lang)
+        SELECT doc_id, lang, sample_key FROM keyed
+        WHERE sample_key < (CASE lang {cases} END)
+    """
+
 
 def _doc_code_validation_sql() -> str:
     """POS IN-list is generated from the SAME Python table the engine
@@ -620,6 +673,8 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt
         """,
         "doc_code_validation": _doc_code_validation_sql(),
+        "doc_bpe_token_stats": _doc_bpe_token_stats_sql(),
+        "doc_stratified_sample": _doc_stratified_sample_sql(),
         "corpus_curate": CURATE_ORACLE_SQL,
         "doc_length_shards": f"""
             WITH t AS (SELECT CAST(len(string_split_regex({_CLEAN}, '\\s+')) AS BIGINT) AS n

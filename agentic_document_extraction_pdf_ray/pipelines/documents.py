@@ -315,3 +315,129 @@ def doc_length_shards(sf_dir: str) -> ray.data.Dataset:
             .groupby("shard")
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("sum_tokens", alias_name="sum_tokens")))
+
+
+# BPE-ish pretokenizer (GPT-2-style, simplified to pure-RE2 so the SAME
+# pattern string runs in Arrow and in the DuckDB oracle — RE2 has no
+# lookahead, so the trailing-space lookahead of the original is folded
+# into the plain \s+ alternative). Contractions, space-prefixed
+# letter/digit/punct runs, whitespace runs.
+BPE_TOKEN_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def doc_bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
+    """Token counting with a BPE-ish regex pretokenizer (the
+    whitespace-count companion a training-data pipeline budgets with):
+    per doc, the pretoken count under :data:`BPE_TOKEN_PATTERN` and the
+    whitespace token count. One RE2 kernel per batch on both sides of
+    the oracle."""
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        n_bpe = pc.cast(pc.count_substring_regex(
+            txt, BPE_TOKEN_PATTERN), pa.int64())
+        clean = _norm_ws(txt)
+        n_ws = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": n_bpe,
+            "n_ws_tokens": n_ws,
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+# Per-stratum sampling rates: the reproducible stratified train/eval
+# split (e.g. downsample the dominant language, keep the tail). The SQL
+# oracle embeds thresholds generated from THIS dict — one source of truth.
+STRATIFIED_RATES: dict[str, float] = {
+    "en": 0.125, "de": 0.5, "es": 0.5, "fr": 0.5,
+}
+
+
+def doc_stratified_sample(sf_dir: str, salt: str = "s2") -> ray.data.Dataset:
+    """Deterministic per-language stratified sampling: language via the
+    shared lang-ID kernel, then the md5 hash gate of :func:`doc_sample`
+    at the stratum's rate. Stable across runs/partitionings and exactly
+    SQL-expressible (driver hash-verified)."""
+    thresholds = {lang: format(int(rate * 16 ** 8), "08x")
+                  for lang, rate in STRATIFIED_RATES.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        *_, pred = lang_id_arrays(batch["text"].to_pylist())
+        ids = batch["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8]
+                for i in ids]
+        keep = pa.array([k < thresholds[lang]
+                         for k, lang in zip(keys, pred)], pa.bool_())
+        out = pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": pa.array(pred.tolist(), pa.string()),
+            "sample_key": pa.array(keys, pa.string()),
+        })
+        return out.filter(keep)
+
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+WINNOW_K = 8        # character k-gram length
+WINNOW_W = 4        # window: every w consecutive k-grams contribute >=1
+
+
+def winnow_select(text: str, k: int = WINNOW_K,
+                  w: int = WINNOW_W) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer et al., MOSS): rolling
+    polynomial hash over character k-grams of the normalized text, then
+    the rightmost-minimum of every w-window — the classic
+    content-defined fingerprint set (guaranteed to share fingerprints
+    with any document that has a sufficiently long common substring).
+    Returns the sorted unique selected hashes (uint64)."""
+    clean = " ".join(text.lower().split()) if text else ""
+    b = np.frombuffer(clean.encode("utf-8"), np.uint8)
+    if len(b) < k:
+        return np.zeros(0, np.uint64)
+    pows = np.power(np.uint64(1000003),
+                    np.arange(k - 1, -1, -1, dtype=np.uint64))
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    h = (win * pows[None, :]).sum(axis=1)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    if len(h) <= w:
+        return np.unique(h.min(keepdims=True))
+    hw = np.lib.stride_tricks.sliding_window_view(h, w)
+    mins = hw.min(axis=1)
+    # rightmost occurrence of the window minimum (standard winnowing)
+    pos_from_right = np.argmax(hw[:, ::-1] == mins[:, None], axis=1)
+    pos = np.arange(len(hw)) + (w - 1 - pos_from_right)
+    return np.unique(h[np.unique(pos)])
+
+
+def doc_winnow_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Rolling-hash document fingerprinting (winnowing) over the corpus:
+    per doc, the k-gram count, the selected-fingerprint count, and an
+    order-independent XOR digest of the selected set. Deterministic
+    fixed point of the input; the numpy rolling-hash kernel is not
+    SQL-expressible, so correctness rides on the committed golden
+    parquet + the shift/containment property tests."""
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_kg = np.zeros(len(texts), np.int64)
+        n_sel = np.zeros(len(texts), np.int64)
+        xor = np.zeros(len(texts), np.uint64)
+        for i, t in enumerate(texts):
+            sel = winnow_select(t or "")
+            clean = " ".join((t or "").lower().split())
+            n_kg[i] = max(0, len(clean.encode("utf-8")) - WINNOW_K + 1)
+            n_sel[i] = len(sel)
+            xor[i] = np.bitwise_xor.reduce(sel) if len(sel) else np.uint64(0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_kgrams": pa.array(n_kg, pa.int64()),
+            "n_selected": pa.array(n_sel, pa.int64()),
+            "fp_xor": pa.array(xor.view(np.int64), pa.int64()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")

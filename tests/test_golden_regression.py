@@ -76,3 +76,52 @@ class TestDeterministicQueryGoldens:
 
     def test_layout_scores_golden(self, ray_session):
         self._check("layout_scores")
+
+    def test_winnow_fingerprint_golden(self, ray_session):
+        self._check("doc_winnow_fingerprint")
+
+
+class TestWinnowProperties:
+    """Winnowing guarantees (Schleimer et al.): determinism, the window
+    guarantee, and containment robustness — a prefix edit leaves the
+    untouched region's fingerprints selected."""
+
+    def test_deterministic_and_window_guarantee(self):
+        import numpy as np
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            WINNOW_K, WINNOW_W, winnow_select,
+        )
+        t = ("the quick brown fox jumps over the lazy dog and keeps "
+             "running through the field " * 3)
+        a = winnow_select(t)
+        b = winnow_select(t)
+        assert np.array_equal(a, b)
+        # window guarantee: >= one selection per w consecutive k-grams
+        clean = " ".join(t.lower().split())
+        n_kgrams = len(clean.encode()) - WINNOW_K + 1
+        assert len(a) >= (n_kgrams - WINNOW_W + 1) // WINNOW_W // 2
+
+    def test_prefix_edit_containment(self):
+        import numpy as np
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            winnow_select,
+        )
+        base = ("billing codes review provider insurance claim totals "
+                "approval record dates noted in the system " * 4)
+        a = winnow_select(base)
+        b = winnow_select("COMPLETELY NEW PREFIX " + base)
+        inter = len(np.intersect1d(a, b))
+        assert inter / len(a) >= 0.8, "content-defined selection broke"
+
+    def test_unrelated_docs_share_little(self):
+        import numpy as np
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            winnow_select,
+        )
+        a = winnow_select("alpha beta gamma delta epsilon zeta " * 10)
+        b = winnow_select("zebra xylophone quartz jigsaw vortex " * 10)
+        inter = len(np.intersect1d(a, b))
+        assert inter / max(len(a), 1) < 0.1

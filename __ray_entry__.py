@@ -387,7 +387,9 @@ def _doc_bpe_token_stats_sql() -> str:
         SELECT doc_id,
                CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS BIGINT)
                    AS n_bpe_tokens,
-               CAST(len(string_split_regex({_CLEAN}, '\\s+')) AS BIGINT)
+               CAST(len(string_split_regex(
+                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')),
+                   '\\s+')) AS BIGINT)
                    AS n_ws_tokens
         FROM documents
     """
@@ -402,7 +404,7 @@ def _doc_stratified_sample_sql() -> str:
         for lang, rate in STRATIFIED_RATES.items())
     return f"""
         WITH toks AS (
-          SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+          SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '[^a-z]+') AS tk FROM documents
         ), cnt AS (
           SELECT doc_id,
             CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) AS en_n,
@@ -639,7 +641,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_id": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+              SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '[^a-z]+') AS tk FROM documents
             ), cnt AS (
               SELECT doc_id,
                 CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) AS en_n,
@@ -658,7 +660,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_profile": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS tk FROM documents
+              SELECT doc_id, string_split_regex(lower(coalesce(text, '')), '[^a-z]+') AS tk FROM documents
             ), cnt AS (
               SELECT doc_id,
                 CAST(len(list_filter(tk, x -> list_contains(['query','scan','join','filter','agg'], x))) AS BIGINT) AS analytics_n,

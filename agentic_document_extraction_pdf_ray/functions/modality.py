@@ -54,10 +54,13 @@ def detect_payload_kind_batch(texts) -> "np.ndarray":
     """Vectorized :func:`detect_payload_kind` over an Arrow string column
     (VERDICT round 2 — the per-row scalar loop was the last Python hot
     loop on the transcripts scan). Same decision ladder, expressed in
-    Arrow/RE2 kernels; RE2 is also what the DuckDB oracle uses, so the
-    batch path and the SQL mirror share regex semantics exactly. The
-    scalar function stays as the single-value API; batch==scalar is
-    asserted over the corpus and crafted edges in tests."""
+    Arrow/RE2 kernels with the SAME trim set (`` \\t\\n\\r``) and regex
+    engine as the DuckDB oracle — the batch path IS the SQL mirror's
+    semantics. The scalar function stays as the single-value API; it
+    additionally strips Unicode whitespace and accepts Unicode digits
+    (Python ``str.strip``/``\\d``), so scalar-vs-batch can diverge on
+    non-ASCII whitespace/digit payloads — documented and asserted in
+    tests; the oracle-checked production paths use the batch form."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -65,7 +68,7 @@ def detect_payload_kind_batch(texts) -> "np.ndarray":
     col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else \
         pa.array(list(texts), pa.string())
     null = pc.is_null(col).to_numpy(zero_copy_only=False)
-    t = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r\x0b\x0c")
+    t = pc.utf8_trim(pc.fill_null(col, ""), " \t\n\r")
 
     def b(arr) -> np.ndarray:
         return arr.to_numpy(zero_copy_only=False)

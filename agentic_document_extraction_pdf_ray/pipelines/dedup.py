@@ -371,8 +371,11 @@ def minhash_lsh_pairs(sf_dir: str, n: int = 3,
                                 np.uint64).reshape(r, _MINHASH_PERMS)
             # per-pair equal-slot fraction over bounded index chunks —
             # hot buckets (duplicate families of ANY size) are processed
-            # completely, not skipped (ADVICE round 2)
-            for ii, jj in _pair_index_chunks(r, block=512):
+            # completely, not skipped (ADVICE round 2). block=128 keeps
+            # the fancy-indexed signature gathers (128²·128·8 B ≈ 17 MB
+            # per side) small enough for many concurrent reduce tasks —
+            # these rows are 1 KB signatures, not 8-byte simhashes.
+            for ii, jj in _pair_index_chunks(r, block=128):
                 eqf = (mat[ii] == mat[jj]).mean(axis=1)
                 # all colliding bands emit; the bucketed groupby dedups
                 keep = (eqf >= threshold) & (gids[ii] != gids[jj])

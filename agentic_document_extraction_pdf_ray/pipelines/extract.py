@@ -348,11 +348,17 @@ def transcripts_quality_check(paths: str | list[str]) -> ray.data.Dataset:
         # false-positive duplicates from birthday collisions beyond ~10^5
         # rows. (VERDICT round 2: the per-row md5 loop was a full-corpus
         # Python scan.)
+        # fill conv_id nulls BEFORE the join: binary_join_element_wise
+        # null-propagates, which would collapse every (NULL, turn_idx)
+        # key to one hash and miscount them as duplicates (self-review
+        # r3); the oracle's count(DISTINCT (conv_id, turn_idx)) keeps
+        # NULL-keyed tuples distinct per turn_idx
         key_str = pc.binary_join_element_wise(
-            batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), "|")
+            pc.fill_null(batch["conv_id"], "None"),
+            pc.cast(batch["turn_idx"], pa.string()), "|")
         h = hash_str_array(key_str.to_numpy(zero_copy_only=False))
         trimmed = pc.utf8_trim(pc.fill_null(batch["text"], ""),
-                               " \t\n\r\x0b\x0c")
+                               " \t\n\r")     # == the oracle's trim set
         empty = pc.cast(pc.or_(pc.is_null(batch["text"]),
                                pc.equal(trimmed, "")), pa.int64())
         return pa.table({

@@ -479,8 +479,28 @@ def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 5,
     k lowest vec_ids), so the fit is reproducible across partitionings.
     """
     ds = read_embeddings(sf_dir)
-    init_rows = sorted(ds.filter(expr=f"vec_id < {int(k)}").take_all(),
-                       key=lambda r: r["vec_id"])
+    # deterministic init = the k LOWEST vec_ids, found by a narrow
+    # distributed partial min-k (ids need not be 0-based contiguous)
+    def partial_min_ids(batch: pa.Table) -> pa.Table:
+        ids = np.sort(batch["vec_id"].to_numpy(zero_copy_only=False))[:k]
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64),
+                                            pa.int64())})
+
+    id_parts = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                      columns=["vec_id"])
+                .map_batches(partial_min_ids, batch_format="pyarrow")
+                .to_pandas())
+    lowest = np.sort(id_parts["vec_id"].to_numpy(np.int64))[:k]
+    if len(lowest) < k:
+        raise ValueError(
+            f"kmeans_fit: corpus has only {len(lowest)} vectors, "
+            f"fewer than k={k} centroids")
+    low_set = set(int(x) for x in lowest)
+    init_rows = sorted(
+        (r for r in ds.filter(
+            expr=f"vec_id <= {int(lowest[-1])}").take_all()
+         if int(r["vec_id"]) in low_set),
+        key=lambda r: r["vec_id"])
     cent = np.array([r["embedding"] for r in init_rows], np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 

@@ -181,13 +181,30 @@ class TestModality:
         ]
         got = list(m.detect_payload_kind_batch(cases))
         want = [m.detect_payload_kind(t) for t in cases]
-        # "-\n-" is the ONE documented divergence: the scalar's cross-line
+        # "-\n-" is the ONE ASCII divergence: the scalar's cross-line
         # \s+ counts a bare "-" line, the per-line batch/SQL test doesn't
         for c, g, w in zip(cases, got, want):
             if c == "-\n-":
                 assert g == m.KIND_PROSE and w == m.KIND_LIST
             else:
                 assert g == w, c
+
+    def test_batch_is_the_sql_semantics_on_non_ascii(self):
+        """The batch classifier mirrors the SQL oracle (ASCII trim set
+        ' \\t\\n\\r', RE2 [0-9]); the scalar Python API strips Unicode
+        whitespace and accepts Unicode digits. These divergences are
+        DOCUMENTED behavior — the oracle-checked paths use batch."""
+        from agentic_document_extraction_pdf_ray.functions import modality as m
+        # \xa0: Python-strip empty, SQL/batch keeps it -> prose
+        assert m.detect_payload_kind("\xa0") == m.KIND_EMPTY
+        assert list(m.detect_payload_kind_batch(["\xa0"])) == [m.KIND_PROSE]
+        # \x0c: Python-strip empty; SQL trim keeps it -> prose
+        assert m.detect_payload_kind("\x0c") == m.KIND_EMPTY
+        assert list(m.detect_payload_kind_batch(["\x0c"])) == [m.KIND_PROSE]
+        # Arabic-Indic digits: Python \d bullets, RE2 [0-9] doesn't
+        t = "١. a\n٢. b"
+        assert m.detect_payload_kind(t) == m.KIND_LIST
+        assert list(m.detect_payload_kind_batch([t])) == [m.KIND_PROSE]
 
     def test_conversation_modalities(self):
         from agentic_document_extraction_pdf_ray.functions import modality as m

@@ -107,6 +107,34 @@ class TestKmeansIvf:
         assert mean_sim(c5) > mean_sim(c0), \
             "training must tighten the assignment similarity"
 
+    def test_kmeans_noncontiguous_ids_and_tiny_corpus(self, tmp_path):
+        """Init must not assume 0-based contiguous vec_ids (self-review
+        r3): ids starting at 1000 fit fine; a corpus smaller than k
+        raises instead of training a degenerate quantizer."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            kmeans_fit,
+        )
+        rng = np.random.RandomState(5)
+        em = rng.randn(40, 8)
+        tbl = pa.table({
+            "vec_id": pa.array(range(1000, 1040), pa.int64()),
+            "embedding": pa.array([list(r) for r in em],
+                                  pa.list_(pa.float64())),
+            "label": pa.array(["x"] * 40, pa.string()),
+        })
+        d = tmp_path / "shifted"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "embeddings.parquet"))
+        cent = kmeans_fit(str(d), k=4, iters=2)
+        assert cent.shape == (4, 8)
+        assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+        with pytest.raises(ValueError, match="fewer than k"):
+            kmeans_fit(str(d), k=100, iters=1)
+
     def test_trained_recall_at_least_matches_lsh_ivf(self):
         from agentic_document_extraction_pdf_ray.pipelines.similarity import (
             ann_topk, ann_topk_ivf, ann_topk_ivf_kmeans,

@@ -158,3 +158,30 @@ class TestRound2Properties:
         assert len(set(versions)) == len(versions)
         for a, b in zip(hist, hist[1:]):
             assert a.content_hash != b.content_hash
+
+
+class TestPayloadKindSqlParity:
+    """The batch payload-kind classifier IS the SQL mirror's semantics:
+    for arbitrary ASCII payloads, the Arrow/RE2 ladder must agree with
+    the _KIND_CASE fragment the conv_modalities / critic_combined
+    oracles embed — evaluated through DuckDB itself."""
+
+    _ALPHABET = st.sampled_from(list(
+        "ab|*-•~{}ISA0123456789.) \t\n\r"))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_ALPHABET, max_size=40).map("".join))
+    def test_batch_matches_duckdb_kind_case(self, s):
+        import duckdb
+
+        import __ray_entry__ as e
+        from agentic_document_extraction_pdf_ray.functions.modality import (
+            detect_payload_kind_batch,
+        )
+        con = duckdb.connect()
+        sql = (f"WITH c0 AS (SELECT ? AS text), "
+               f"c1 AS (SELECT text, trim(text, ' \t\n\r') AS t FROM c0) "
+               f"SELECT {e._KIND_CASE} FROM c1")
+        want = con.execute(sql, [s]).fetchone()[0]
+        got = detect_payload_kind_batch([s])[0]
+        assert got == want, repr(s)

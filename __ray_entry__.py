@@ -327,12 +327,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_2d": events.events_sliding_2d,           # SQL-matched
         "doc_topk_quality": documents.doc_topk_quality,          # SQL-matched
         "events_json_agg": events.events_json_agg,               # SQL-matched
+        "events_asof": events.events_asof_purchase_click,        # SQL-matched (ASOF JOIN oracle)
+        "events_value_quantiles": events.events_value_quantiles,  # SQL-matched
+        "events_daily_ma7": events.events_daily_ma7,             # SQL-matched
+        "events_hll_users": events.events_hll_users,             # rows-only (approx sketch, pytest error-bounded)
         # --- relational core ---
         "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
         "part_type_stats": relational.part_type_stats,           # SQL-matched
         "distinct_brands": relational.distinct_brands,           # SQL-matched
         "order_revenue_topk": relational.order_revenue_topk,     # SQL-matched
         "customer_segment_stats": relational.customer_segment_stats,  # SQL-matched
+        "customers_without_urgent": relational.customers_without_urgent_orders,  # SQL-matched (anti-join)
         "supplier_by_nation": relational.supplier_by_nation,     # SQL-matched
         "nation_region_counts": relational.nation_region_counts,  # SQL-matched
         "revenue_by_nation": relational.revenue_by_nation,       # SQL-matched
@@ -813,6 +818,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type
         """,
+        # As-of join: right-side (user_id, ts) ties collapsed to
+        # max(event_id) on BOTH engines, so the picked row is well-defined;
+        # timestamps compared as epoch microseconds.
+        "events_asof": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+                  WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.event_id, CAST(p.user_id AS BIGINT) AS user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   CAST(c.click_id AS BIGINT) AS click_id,
+                   epoch_us(c.ts) AS click_ts_us,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        # Exact interpolated quantiles; the arithmetic expression mirrors
+        # events_value_quantiles' float64 ops ORDER-IDENTICALLY so the
+        # doubles hash bit-equal.
+        "events_value_quantiles": """
+            WITH e AS (SELECT event_type,
+                              CAST(floor(value*100+0.5) AS BIGINT) AS cents
+                       FROM events),
+            o AS (SELECT event_type, cents,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cents) - 1 AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM e),
+            qs AS (SELECT * FROM (VALUES ('p25', 0.25), ('p50', 0.5),
+                                         ('p90', 0.9), ('p99', 0.99)) AS t(ql, q)),
+            g AS (SELECT DISTINCT event_type, n FROM o),
+            -- q MUST be DOUBLE: a bare 0.9 literal is DECIMAL, and decimal
+            -- pos would diverge from the engine's float64 (n-1)*q by an ulp
+            p AS (SELECT g.event_type, g.n, qs.ql,
+                         (g.n - 1) * CAST(qs.q AS DOUBLE) AS pos
+                  FROM g CROSS JOIN qs),
+            sel AS (SELECT p.event_type, p.ql, p.pos, p.n,
+                    max(CASE WHEN o.rn = CAST(floor(p.pos) AS BIGINT)
+                             THEN o.cents END) AS lo,
+                    max(CASE WHEN o.rn = CAST(ceil(p.pos) AS BIGINT)
+                             THEN o.cents END) AS hi
+                    FROM p JOIN o ON o.event_type = p.event_type
+                    GROUP BY p.event_type, p.ql, p.pos, p.n)
+            SELECT event_type, ql, CAST(n AS BIGINT) AS n,
+                   CAST(lo AS DOUBLE) + (pos - floor(pos)) * CAST(hi - lo AS DOUBLE)
+                       AS q_cents
+            FROM sel
+        """,
+        "events_daily_ma7": """
+            WITH dly AS (SELECT event_type,
+                                CAST(floor(epoch(ts)/86400) AS BIGINT) AS d,
+                                CAST(count(*) AS BIGINT) AS n_events,
+                                CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+                         FROM events GROUP BY 1, 2)
+            SELECT a.event_type, a.d, a.n_events, a.sum_cents,
+                   CAST(sum(b.sum_cents) AS BIGINT) AS w7_sum_cents,
+                   CAST(count(*) AS BIGINT) AS w7_days
+            FROM dly a JOIN dly b
+              ON a.event_type = b.event_type AND b.d BETWEEN a.d - 6 AND a.d
+            GROUP BY a.event_type, a.d, a.n_events, a.sum_cents
+        """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -850,6 +916,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
                    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
             FROM customer GROUP BY c_mktsegment
+        """,
+        "customers_without_urgent": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority LIKE '1%')
         """,
         "order_revenue_topk": """
             SELECT o.o_orderkey, o.o_custkey, rev.revenue_cents FROM (

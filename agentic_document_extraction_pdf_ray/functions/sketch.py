@@ -1,0 +1,75 @@
+"""Mergeable cardinality sketch: HyperLogLog (Flajolet et al. 2007).
+
+A distinct-count over a 100 TB stream must not shuffle the keys: an exact
+``count(distinct user_id)`` per group is an all-to-all exchange of every
+key occurrence. The HLL register array is a fixed ``2**P``-byte mergeable
+summary: every ``map_batches`` task folds its batch into one register row
+per group (map-side partial), and the final groupby merges register rows
+with an element-wise ``max`` — the only data that ever moves is
+``n_groups × n_blocks`` rows of 4 KiB each.
+
+All kernels are vectorized numpy over uint64 hashes; no per-row Python.
+Estimator: standard bias-corrected harmonic mean with the linear-counting
+small-range correction. With P=12 (4096 registers) the asymptotic relative
+standard error is 1.04/sqrt(4096) ≈ 1.6%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HLL_P = 12                      # 4096 registers, ~1.6% standard error
+HLL_M = 1 << HLL_P
+_U64_ONE = np.uint64(1)
+_REG_CAP = 64 - HLL_P + 1       # max storable rank (remainder is 64-P bits)
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0). Six shift passes —
+    branch-free, no float round-trip (a float64 mantissa is 53 bits, so
+    ``log2`` misplaces the top bit near powers of two)."""
+    x = x.copy()
+    out = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        step = np.uint64(s)
+        m = x >= (_U64_ONE << step)
+        out[m] += s
+        x[m] >>= step
+    return out + (x > 0)
+
+
+def hll_fold(hashes: np.ndarray, reg: np.ndarray | None = None) -> np.ndarray:
+    """Fold uint64 hashes into a register array (new one if not given).
+
+    Register index = top P bits; rank = leading-zero count of the
+    remaining 64-P bits + 1 (capped when the remainder is all zeros).
+    """
+    if reg is None:
+        reg = np.zeros(HLL_M, np.uint8)
+    h = hashes.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rem = h << np.uint64(HLL_P)          # remainder shifted to the top
+    rank = np.minimum(64 - _bitlen_u64(rem) + 1, _REG_CAP).astype(np.uint8)
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_merge(regs: np.ndarray) -> np.ndarray:
+    """Merge a (k, M) stack of register arrays: element-wise max.
+
+    HLL's defining property — merge(fold(A), fold(B)) == fold(A ∪ B) —
+    is what makes the map-side partial exact (not an approximation of
+    the sketch itself)."""
+    return regs.max(axis=0)
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    """Bias-corrected estimate with linear-counting small-range fix."""
+    m = float(reg.size)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv_sum = np.ldexp(1.0, -reg.astype(np.int64)).sum()
+    est = alpha * m * m / inv_sum
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)

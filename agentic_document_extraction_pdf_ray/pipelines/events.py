@@ -107,6 +107,201 @@ def events_top3_types(sf_dir: str) -> "pd.DataFrame":
     return top[["event_type", "n"]]
 
 
+def events_asof_purchase_click(sf_dir: str,
+                               n_buckets: int = 64) -> ray.data.Dataset:
+    """As-of join: each purchase ⟵ the latest click at-or-before it,
+    per user (inner semantics: purchases with no prior click drop).
+
+    Ray Data has no as-of join operator; the composition is the custom-
+    operator recipe the engine documents for time-keyed joins:
+
+    1. one pruned read of the log, both sides tagged and unioned;
+    2. a hash-bucket shuffle on the equality key (``user_id``) — the ONLY
+       exchange; a user's entire history lands in one bucket task;
+    3. per bucket, a fully vectorized ``pandas.merge_asof`` over all of
+       the bucket's users at once (sorted on ts, ``by=user_id``).
+
+    Partitioning assumption (documented per the custom-operator charter):
+    a single equality-key group must fit one task — true for per-user
+    event history; a hot user would need the salt-split used by
+    ``pipelines/scale``. Right-side ties on (user_id, ts) are collapsed
+    to max(event_id) map-side so both engines pick the same row.
+    Timestamps leave as epoch microseconds so the oracle hash-compares
+    integers, not timestamp renderings.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["event_type"].isin(("purchase", "click"))]
+        p = keep[keep["event_type"] == "purchase"][
+            ["user_id", "ts", "event_id"]].assign(side="p")
+        c = (keep[keep["event_type"] == "click"]
+             .groupby(["user_id", "ts"], as_index=False)
+             .agg(event_id=("event_id", "max"))      # map-side tie collapse
+             .assign(side="c"))
+        both = pd.concat([p, c[["user_id", "ts", "event_id", "side"]]],
+                         ignore_index=True)
+        both["_bucket"] = bucket_int_array(
+            both["user_id"].to_numpy(np.int64), n_buckets)
+        return both
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g["side"] == "p"]
+                .sort_values(["ts", "event_id"], kind="mergesort"))
+        right = (g[g["side"] == "c"]
+                 .groupby(["user_id", "ts"], as_index=False)
+                 .agg(event_id=("event_id", "max"))  # final tie collapse
+                 .sort_values("ts", kind="mergesort"))
+        m = pd.merge_asof(
+            left[["ts", "user_id", "event_id"]],
+            right.rename(columns={"event_id": "click_id", "ts": "click_ts"}),
+            left_on="ts", right_on="click_ts", by="user_id",
+            direction="backward", allow_exact_matches=True)
+        m = m.dropna(subset=["click_id"])
+        ts_us = m["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        click_us = m["click_ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_id": m["event_id"].to_numpy(np.int64),
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "ts_us": ts_us,
+            "click_id": m["click_id"].to_numpy(np.int64),
+            "click_ts_us": click_us,
+            "gap_us": ts_us - click_us,
+        })
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(asof_bucket, batch_format="pandas"))
+
+
+EVENT_QUANTILES = (("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def events_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped quantiles (linear interpolation) per event type —
+    without ever co-locating a group's raw values.
+
+    Quantiles don't decompose like sums, but the value domain here is
+    fixed-point (integer cents), so the distributed plan is a bounded
+    HISTOGRAM: partial (event_type, cents)→count per batch, one small
+    groupby over ≤ |type| × |cent domain| partials, then a driver-side
+    cumulative-sum order-statistic lookup on the tiny histogram. This
+    stays exact and single-shuffle at any row count; only an unbounded
+    *domain* would force a sketch (t-digest) instead.
+
+    The interpolated value is computed with the explicit expression
+    ``lo + (pos - floor(pos)) * (hi - lo)`` in float64 — the oracle SQL
+    spells out the same IEEE operations in the same order, so the hash
+    comparison is bit-identical (no reliance on np.percentile/DuckDB
+    quantile_cont agreeing internally).
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return (batch.assign(cents=cents)
+                .groupby(["event_type", "cents"], as_index=False)
+                .agg(n=("cents", "size")))
+
+    hist = (read_events(sf_dir, ["event_type", "value"])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())                      # bounded: |types| × |domain|
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents")
+        cents = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = int(cum[-1])
+        for ql, q in EVENT_QUANTILES:
+            pos = (n - 1) * q
+            lo = cents[np.searchsorted(cum, int(np.floor(pos)) + 1)]
+            hi = cents[np.searchsorted(cum, int(np.ceil(pos)) + 1)]
+            q_cents = float(lo) + (pos - np.floor(pos)) * float(hi - lo)
+            rows.append({"event_type": et, "ql": ql, "n": n,
+                         "q_cents": q_cents})
+    out = pd.DataFrame(rows, columns=["event_type", "ql", "n", "q_cents"])
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def events_daily_ma7(sf_dir: str) -> pd.DataFrame:
+    """Windowed aggregate over the daily rollup: per (type, day), the
+    trailing-7-day sum and present-day count.
+
+    The heavy distributed work is the tumbling-day rollup (partial+final,
+    as in :func:`events_daily`); the moving window then runs on the tiny
+    |types| × |days| aggregate via per-type prefix sums + searchsorted —
+    the same bounded-result driver-merge class as top-k. Window outputs
+    stay integer (sum + day count, no division) so the oracle hash is
+    exact."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = (batch["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds()
+        days = np.floor(secs.to_numpy() / 86400.0).astype(np.int64)
+        cents = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return (pd.DataFrame({"event_type": batch["event_type"],
+                              "d": days, "cents": cents})
+                .groupby(["event_type", "d"], as_index=False)
+                .agg(n_events=("cents", "size"), sum_cents=("cents", "sum")))
+
+    daily = (read_events(sf_dir, ["ts", "event_type", "value"])
+             .map_batches(partial, batch_format="pandas")
+             .groupby(["event_type", "d"])
+             .aggregate(Sum("n_events", alias_name="n_events"),
+                        Sum("sum_cents", alias_name="sum_cents"))
+             .to_pandas())                     # bounded: |types| × |days|
+
+    parts = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("d").reset_index(drop=True)
+        d = g["d"].to_numpy(np.int64)
+        psum = np.concatenate(([0], np.cumsum(g["sum_cents"].to_numpy(np.int64))))
+        lo = np.searchsorted(d, d - 6, side="left")
+        hi = np.arange(1, len(d) + 1)
+        parts.append(g.assign(w7_sum_cents=psum[hi] - psum[lo],
+                              w7_days=(hi - lo).astype(np.int64)))
+    out = pd.concat(parts, ignore_index=True)
+    for c in ("d", "n_events", "sum_cents", "w7_sum_cents", "w7_days"):
+        out[c] = out[c].astype("int64")
+    return out[["event_type", "d", "n_events", "sum_cents",
+                "w7_sum_cents", "w7_days"]]
+
+
+def events_hll_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via a mergeable
+    HyperLogLog sketch (functions/sketch.py).
+
+    Exact count(distinct) shuffles every key occurrence; the sketch plan
+    exchanges one 4 KiB register row per (type, block): map-side fold per
+    batch, element-wise-max merge per type, estimate on the driver over
+    |types| rows. Approximate by construction (rows-only query; pytest
+    bounds the relative error against the exact count and asserts the
+    merge == single-pass-fold property)."""
+    from ..functions.sketch import hll_estimate, hll_fold, hll_merge
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        hashes = pd.util.hash_array(batch["user_id"].to_numpy(np.int64))
+        for et, idx in batch.groupby("event_type").indices.items():
+            out.append({"event_type": et,
+                        "reg": hll_fold(hashes[idx]).tobytes()})
+        return pd.DataFrame(out, columns=["event_type", "reg"])
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack([np.frombuffer(b, np.uint8) for b in g["reg"]])
+        est = hll_estimate(hll_merge(regs))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "est_users": np.int64(np.floor(est + 0.5))})
+
+    ds = read_events(sf_dir, ["user_id", "event_type"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(merge_group, batch_format="pandas")
+            .to_pandas())
+
+
 def events_sliding_2d(sf_dir: str) -> ray.data.Dataset:
     """Sliding window: 2-day windows hopping 1 day, per event type.
 

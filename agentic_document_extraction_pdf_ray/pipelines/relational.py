@@ -351,6 +351,47 @@ def order_revenue_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return top[["o_orderkey", "o_custkey", "revenue_cents"]]
 
 
+def customers_without_urgent_orders(sf_dir: str,
+                                    n_buckets: int = 32) -> ray.data.Dataset:
+    """Anti-join class (NOT EXISTS): customers with no 1-URGENT order.
+
+    Same union + bucketed co-group shape as the large-large join
+    (:func:`order_revenue_topk`), but the bucket task emits the PROBE rows
+    whose key is absent from the build side. The orders side is reduced
+    map-side to distinct custkeys per batch, so the exchange carries at
+    most one row per (batch, custkey) — never the raw order rows."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderpriority"])
+
+    def c_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": batch["c_custkey"].to_numpy(np.int64),
+            "c_mktsegment": batch["c_mktsegment"],
+            "side": "c",
+            "_bucket": batch["c_custkey"].to_numpy(np.int64) % n_buckets})
+
+    def o_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        urgent = batch.loc[batch["o_orderpriority"].str.startswith("1"),
+                           "o_custkey"].drop_duplicates()
+        keys = urgent.to_numpy(np.int64)
+        return pd.DataFrame({"c_custkey": keys, "c_mktsegment": "",
+                             "side": "o", "_bucket": keys % n_buckets})
+
+    unioned = (cust.map_batches(c_tag, batch_format="pandas")
+               .union(orders.map_batches(o_tag, batch_format="pandas")))
+
+    def anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["side"] == "o", "c_custkey"].unique()
+        probe = g[g["side"] == "c"]
+        out = probe[~probe["c_custkey"].isin(have)]
+        return out[["c_custkey", "c_mktsegment"]]
+
+    return (unioned.groupby("_bucket")
+            .map_groups(anti_bucket, batch_format="pandas"))
+
+
 def customer_segment_stats(sf_dir: str) -> ray.data.Dataset:
     """Groupby over customer: count + balance cents per market segment."""
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",

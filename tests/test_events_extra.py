@@ -1,0 +1,167 @@
+"""Round-3 event-operator additions: as-of join, exact grouped quantiles,
+moving window, HLL distinct sketch, anti-join.
+
+Each distributed result is checked against an independent single-process
+pandas/numpy reference over the same parquet (the DuckDB oracle comparison
+runs separately in test_queries_vs_duckdb.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from agentic_document_extraction_pdf_ray.functions.sketch import (
+    HLL_M, _bitlen_u64, hll_estimate, hll_fold, hll_merge)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+class TestHLLKernel:
+    def test_bitlen_matches_python(self):
+        rng = np.random.default_rng(7)
+        xs = rng.integers(0, 2**63, 5000, dtype=np.int64).astype(np.uint64)
+        edges = np.array([0, 1, 2, 3, 2**32 - 1, 2**32, 2**63, 2**64 - 1],
+                         dtype=np.uint64)
+        for arr in (xs, edges):
+            got = _bitlen_u64(arr)
+            want = [int(v).bit_length() for v in arr]
+            assert got.tolist() == want
+
+    def test_merge_equals_single_pass(self):
+        rng = np.random.default_rng(11)
+        hashes = rng.integers(0, 2**63, 50_000, dtype=np.int64).astype(np.uint64)
+        single = hll_fold(hashes)
+        parts = np.stack([hll_fold(c) for c in np.array_split(hashes, 7)])
+        assert np.array_equal(hll_merge(parts), single)
+
+    def test_large_cardinality_error(self):
+        n = 200_000
+        hashes = pd.util.hash_array(np.arange(n, dtype=np.int64))
+        est = hll_estimate(hll_fold(hashes))
+        # 1.04/sqrt(4096) ≈ 1.6% standard error; 3σ ≈ 4.9%
+        assert abs(est - n) / n < 0.05
+
+    def test_small_range_linear_counting(self):
+        hashes = pd.util.hash_array(np.arange(150, dtype=np.int64))
+        est = hll_estimate(hll_fold(hashes))
+        assert abs(est - 150) / 150 < 0.05
+
+    def test_duplicates_do_not_inflate(self):
+        hashes = pd.util.hash_array(np.arange(1000, dtype=np.int64))
+        rep = np.tile(hashes, 50)
+        assert np.array_equal(hll_fold(rep), hll_fold(hashes))
+        assert hll_fold(hashes).size == HLL_M
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHLLQuery:
+    def test_per_type_estimates(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import events_hll_users
+        got = events_hll_users(SF_DIR).set_index("event_type")["est_users"]
+        exact = _events().groupby("event_type")["user_id"].nunique()
+        assert sorted(got.index) == sorted(exact.index)
+        for et, n in exact.items():
+            assert abs(int(got[et]) - n) / n < 0.05, et
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_matches_bruteforce(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_asof_purchase_click)
+        got = (events_asof_purchase_click(SF_DIR).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+
+        ev = _events()
+        p = ev[ev.event_type == "purchase"]
+        c = (ev[ev.event_type == "click"]
+             .groupby(["user_id", "ts"], as_index=False)
+             .agg(event_id=("event_id", "max")))
+        rows = []
+        for _, r in p.iterrows():                   # O(n²) reference, tiny sf
+            cand = c[(c.user_id == r.user_id) & (c.ts <= r.ts)]
+            if len(cand):
+                best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+                c_us = int(np.datetime64(best.ts, "us").astype(np.int64))
+                rows.append({"event_id": r.event_id, "user_id": r.user_id,
+                             "ts_us": int(np.datetime64(r.ts, "us").astype(np.int64)),
+                             "click_id": best.event_id, "click_ts_us": c_us})
+        want = (pd.DataFrame(rows).sort_values("event_id")
+                .reset_index(drop=True))
+        want["gap_us"] = want["ts_us"] - want["click_ts_us"]
+        pd.testing.assert_frame_equal(
+            got[["event_id", "user_id", "ts_us", "click_id",
+                 "click_ts_us", "gap_us"]].astype("int64"),
+            want.astype("int64"))
+
+    def test_semantics(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_asof_purchase_click)
+        got = events_asof_purchase_click(SF_DIR).to_pandas()
+        assert (got["gap_us"] >= 0).all()           # click at-or-before
+        assert got["event_id"].is_unique            # one match per purchase
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedQuantiles:
+    def test_histogram_path_equals_order_statistics(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            EVENT_QUANTILES, events_value_quantiles)
+        got = events_value_quantiles(SF_DIR)
+        ev = _events()
+        ev["cents"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        for et, g in ev.groupby("event_type"):
+            vals = np.sort(g["cents"].to_numpy())
+            n = len(vals)
+            for ql, q in EVENT_QUANTILES:
+                pos = (n - 1) * q
+                lo = vals[int(np.floor(pos))]
+                hi = vals[int(np.ceil(pos))]
+                want = float(lo) + (pos - np.floor(pos)) * float(hi - lo)
+                row = got[(got.event_type == et) & (got.ql == ql)]
+                assert len(row) == 1
+                assert row["q_cents"].iloc[0] == want, (et, ql)
+                assert int(row["n"].iloc[0]) == n
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMovingWindow:
+    def test_ma7_window_sums(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import events_daily_ma7
+        got = events_daily_ma7(SF_DIR)
+        ev = _events()
+        ev["d"] = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+                   // 86_400_000_000)
+        ev["cents"] = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        daily = (ev.groupby(["event_type", "d"], as_index=False)
+                 .agg(n_events=("cents", "size"), sum_cents=("cents", "sum")))
+        for _, r in got.iterrows():                 # brute-force window
+            win = daily[(daily.event_type == r.event_type)
+                        & (daily.d.between(r.d - 6, r.d))]
+            assert r.w7_sum_cents == win["sum_cents"].sum(), (r.event_type, r.d)
+            assert r.w7_days == len(win)
+        assert len(got) == len(daily)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAntiJoin:
+    def test_matches_pandas_reference(self):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            customers_without_urgent_orders)
+        got = (customers_without_urgent_orders(SF_DIR).to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+        cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                                 columns=["o_custkey", "o_orderpriority"])
+        urgent = set(orders.loc[
+            orders.o_orderpriority.str.startswith("1"), "o_custkey"])
+        want = (cust[~cust.c_custkey.isin(urgent)]
+                .sort_values("c_custkey").reset_index(drop=True))
+        assert len(got) > 0                          # non-degenerate fixture
+        pd.testing.assert_frame_equal(
+            got.astype({"c_custkey": "int64"}),
+            want.astype({"c_custkey": "int64"}))

@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_topk": relational.order_revenue_topk,     # SQL-matched
         "customer_segment_stats": relational.customer_segment_stats,  # SQL-matched
         "customers_without_urgent": relational.customers_without_urgent_orders,  # SQL-matched (anti-join)
+        "customer_balance_bands": relational.customer_balance_bands,  # SQL-matched (range join)
+        "orders_top2_per_customer": relational.orders_top2_per_customer,  # SQL-matched (grouped top-N)
+        "orders_priority_rollup": relational.orders_priority_rollup,  # SQL-matched (ROLLUP)
         "supplier_by_nation": relational.supplier_by_nation,     # SQL-matched
         "nation_region_counts": relational.nation_region_counts,  # SQL-matched
         "revenue_by_nation": relational.revenue_by_nation,       # SQL-matched
@@ -429,6 +432,25 @@ def _doc_stratified_sample_sql() -> str:
           FROM lang)
         SELECT doc_id, lang, sample_key FROM keyed
         WHERE sample_key < (CASE lang {cases} END)
+    """
+
+
+def _customer_balance_bands_sql() -> str:
+    """Band VALUES generated from the SAME constant the engine broadcasts
+    (relational.BALANCE_BANDS) — one source of truth; the oracle is a
+    genuine inequality (range) join."""
+    from agentic_document_extraction_pdf_ray.pipelines.relational import BALANCE_BANDS
+    values = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in BALANCE_BANDS)
+    return f"""
+        WITH c AS (SELECT c_mktsegment,
+                          CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS cents
+                   FROM customer),
+        bands(band, lo, hi) AS (SELECT * FROM (VALUES {values}))
+        SELECT c_mktsegment, band,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS bal_cents
+        FROM c JOIN bands b ON c.cents >= b.lo AND c.cents < b.hi
+        GROUP BY c_mktsegment, band
     """
 
 
@@ -922,6 +944,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority LIKE '1%')
+        """,
+        "customer_balance_bands": _customer_balance_bands_sql(),
+        "orders_top2_per_customer": """
+            WITH o AS (SELECT o_custkey, o_orderkey,
+                              CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents
+                       FROM orders),
+            r AS (SELECT o_custkey, o_orderkey, cents,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY cents DESC, o_orderkey) AS rnk
+                  FROM o)
+            SELECT o_custkey, o_orderkey, cents, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 2
+        """,
+        # 'ALL' markers mirror the engine's rollup output (no grouping
+        # NULLs reach the hash compare); orders has no literal 'ALL'.
+        "orders_priority_rollup": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         """,
         "order_revenue_topk": """
             SELECT o.o_orderkey, o.o_custkey, rev.revenue_cents FROM (

@@ -351,6 +351,114 @@ def order_revenue_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return top[["o_orderkey", "o_custkey", "revenue_cents"]]
 
 
+# Balance bands: a tiny interval dimension (lo inclusive, hi exclusive,
+# in cents). The broadcast-range-join class: the small side is interval-
+# keyed, so the per-batch lookup is a vectorized searchsorted on the
+# sorted edge array — no shuffle, no per-row loop.
+BALANCE_BANDS = (
+    ("debt", -(10**12), 0),
+    ("low", 0, 200_000),
+    ("mid", 200_000, 600_000),
+    ("high", 600_000, 10**12),
+)
+
+
+def customer_balance_bands(sf_dir: str) -> ray.data.Dataset:
+    """Range join class: customers ⋈ balance-band intervals.
+
+    The band table is broadcast (module constant here; a computed small
+    side would ride ``ray.put`` exactly like the nation dimension); each
+    batch assigns bands via ``np.searchsorted`` over the sorted lower
+    edges — the vectorized interval lookup — then partial+final counts
+    per (segment, band). The oracle expresses the same operation as a
+    genuine inequality join against a VALUES table."""
+    edges = np.array([b[1] for b in BALANCE_BANDS], np.int64)
+    names = np.array([b[0] for b in BALANCE_BANDS])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(batch["c_acctbal"]).to_numpy()
+        band = names[np.searchsorted(edges, cents, side="right") - 1]
+        return (pd.DataFrame({"c_mktsegment": batch["c_mktsegment"],
+                              "band": band, "cents": cents})
+                .groupby(["c_mktsegment", "band"], as_index=False)
+                .agg(n_customers=("cents", "size"), bal_cents=("cents", "sum")))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_mktsegment", "c_acctbal"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["c_mktsegment", "band"])
+            .aggregate(Sum("n_customers", alias_name="n_customers"),
+                       Sum("bal_cents", alias_name="bal_cents")))
+
+
+def orders_top2_per_customer(sf_dir: str, n: int = 2,
+                             n_buckets: int = 32) -> ray.data.Dataset:
+    """Grouped top-N per key (window-rank class) — distinct from global
+    top-k: every customer keeps its N best orders.
+
+    Map-side combine bounds the exchange at N rows per (batch, custkey);
+    the bucketed reduce then ranks each customer's survivors with one
+    vectorized lexsort + cumcount per bucket (no per-group Python)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderkey",
+                                        "o_totalprice"])
+
+    def rank_top(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.sort_values(["o_custkey", "cents", "o_orderkey"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        rnk = s.groupby("o_custkey").cumcount() + 1
+        return s[rnk <= n].assign(rnk=rnk[rnk <= n].astype(np.int64))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(cents=_cents(batch["o_totalprice"]))
+        out = rank_top(batch[["o_custkey", "o_orderkey", "cents"]])
+        out["_bucket"] = out["o_custkey"].to_numpy() % n_buckets
+        return out.drop(columns=["rnk"])       # rank is only final per bucket
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return rank_top(g)[["o_custkey", "o_orderkey", "cents", "rnk"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def orders_priority_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregation class: counts + price cents by
+    (priority, status), (priority), and grand total.
+
+    Distributed work is the base partial+final groupby; the subtotal
+    levels are derived from the TINY base aggregate on the driver (the
+    rollup never re-reads the fact table). 'ALL' markers replace SQL's
+    grouping NULLs so the hash comparison never sees nulls."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_orderstatus",
+                                        "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(cents=_cents(batch["o_totalprice"]))
+        return (batch.groupby(["o_orderpriority", "o_orderstatus"],
+                              as_index=False)
+                .agg(n_orders=("cents", "size"), total_cents=("cents", "sum")))
+
+    base = (ds.map_batches(partial, batch_format="pandas")
+            .groupby(["o_orderpriority", "o_orderstatus"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_cents", alias_name="total_cents"))
+            .to_pandas())                      # |priorities| × |statuses|
+
+    lvl1 = (base.groupby("o_orderpriority", as_index=False)
+            [["n_orders", "total_cents"]].sum().assign(o_orderstatus="ALL"))
+    lvl0 = pd.DataFrame({"o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+                         "n_orders": [base["n_orders"].sum()],
+                         "total_cents": [base["total_cents"].sum()]})
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    for c in ("n_orders", "total_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["o_orderpriority", "o_orderstatus", "n_orders", "total_cents"]]
+
+
 def customers_without_urgent_orders(sf_dir: str,
                                     n_buckets: int = 32) -> ray.data.Dataset:
     """Anti-join class (NOT EXISTS): customers with no 1-URGENT order.

@@ -1,0 +1,90 @@
+"""Round-3 relational additions: broadcast range join (balance bands),
+grouped top-N per key, ROLLUP aggregation — each vs an independent pandas
+reference (DuckDB oracle comparison runs in test_queries_vs_duckdb.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _cents(s: pd.Series) -> np.ndarray:
+    return np.floor(s.to_numpy() * 100.0 + 0.5).astype(np.int64)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBalanceBands:
+    def test_matches_pandas_cut(self):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            BALANCE_BANDS, customer_balance_bands)
+        got = (customer_balance_bands(SF_DIR).to_pandas()
+               .sort_values(["c_mktsegment", "band"]).reset_index(drop=True))
+        cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+        cents = _cents(cust["c_acctbal"])
+        band = pd.Series("?", index=cust.index)
+        for name, lo, hi in BALANCE_BANDS:
+            band[(cents >= lo) & (cents < hi)] = name
+        assert (band != "?").all()               # intervals cover the domain
+        want = (pd.DataFrame({"c_mktsegment": cust["c_mktsegment"],
+                              "band": band, "cents": cents})
+                .groupby(["c_mktsegment", "band"], as_index=False)
+                .agg(n_customers=("cents", "size"), bal_cents=("cents", "sum"))
+                .sort_values(["c_mktsegment", "band"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype({"n_customers": "int64", "bal_cents": "int64"}), want)
+
+    def test_bands_partition_the_domain(self):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import BALANCE_BANDS
+        for (_, _, hi), (_, lo, _) in zip(BALANCE_BANDS, BALANCE_BANDS[1:]):
+            assert hi == lo                      # contiguous, non-overlapping
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedTopN:
+    def test_matches_pandas_reference(self):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            orders_top2_per_customer)
+        got = (orders_top2_per_customer(SF_DIR).to_pandas()
+               .sort_values(["o_custkey", "rnk"]).reset_index(drop=True))
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        o = pd.DataFrame({"o_custkey": orders["o_custkey"],
+                          "o_orderkey": orders["o_orderkey"],
+                          "cents": _cents(orders["o_totalprice"])})
+        s = o.sort_values(["o_custkey", "cents", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        rnk = s.groupby("o_custkey").cumcount() + 1
+        want = (s[rnk <= 2].assign(rnk=rnk[rnk <= 2].astype(np.int64))
+                .sort_values(["o_custkey", "rnk"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["o_custkey", "o_orderkey", "cents", "rnk"]].astype("int64"),
+            want.astype("int64"))
+
+    def test_every_customer_capped_at_n(self):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            orders_top2_per_customer)
+        got = orders_top2_per_customer(SF_DIR).to_pandas()
+        per = got.groupby("o_custkey").size()
+        assert per.max() <= 2
+        assert set(got["rnk"].unique()) <= {1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollup:
+    def test_levels_consistent(self):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            orders_priority_rollup)
+        got = orders_priority_rollup(SF_DIR)
+        base = got[(got.o_orderpriority != "ALL") & (got.o_orderstatus != "ALL")]
+        lvl1 = got[(got.o_orderpriority != "ALL") & (got.o_orderstatus == "ALL")]
+        lvl0 = got[(got.o_orderpriority == "ALL") & (got.o_orderstatus == "ALL")]
+        assert len(lvl0) == 1
+        assert lvl0["n_orders"].iloc[0] == base["n_orders"].sum()
+        assert lvl0["total_cents"].iloc[0] == base["total_cents"].sum()
+        merged = base.groupby("o_orderpriority", as_index=False)[
+            ["n_orders", "total_cents"]].sum().merge(
+            lvl1, on="o_orderpriority", suffixes=("_b", "_l"))
+        assert (merged["n_orders_b"] == merged["n_orders_l"]).all()
+        assert (merged["total_cents_b"] == merged["total_cents_l"]).all()
+        orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+        assert lvl0["n_orders"].iloc[0] == len(orders)

@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": events.events_value_quantiles,  # SQL-matched
         "events_daily_ma7": events.events_daily_ma7,             # SQL-matched
         "events_hll_users": events.events_hll_users,             # rows-only (approx sketch, pytest error-bounded)
+        "events_user_paths": events.events_user_paths,           # SQL-matched (ordered string_agg)
+        "events_daily_pivot": events.events_daily_pivot,         # SQL-matched (pivot/conditional agg)
+        "doc_bottomk_sample": documents.doc_bottomk_sample,      # SQL-matched (fixed-size hash sample)
         # --- relational core ---
         "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
         "part_type_stats": relational.part_type_stats,           # SQL-matched
@@ -432,6 +435,20 @@ def _doc_stratified_sample_sql() -> str:
           FROM lang)
         SELECT doc_id, lang, sample_key FROM keyed
         WHERE sample_key < (CASE lang {cases} END)
+    """
+
+
+def _events_daily_pivot_sql() -> str:
+    """CASE arms generated from the SAME constant the engine reindexes to
+    (events.EVENT_TYPES) — one source of truth."""
+    from agentic_document_extraction_pdf_ray.pipelines.events import EVENT_TYPES
+    arms = ",\n               ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}" for t in EVENT_TYPES)
+    return f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               {arms}
+        FROM events GROUP BY day
     """
 
 
@@ -946,6 +963,19 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderpriority LIKE '1%')
         """,
         "customer_balance_bands": _customer_balance_bands_sql(),
+        "events_user_paths": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "events_daily_pivot": _events_daily_pivot_sql(),
+        "doc_bottomk_sample": """
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || '|bk') AS sample_key
+            FROM documents
+            ORDER BY sample_key, doc_id LIMIT 100
+        """,
         "orders_top2_per_customer": """
             WITH o AS (SELECT o_custkey, o_orderkey,
                               CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents

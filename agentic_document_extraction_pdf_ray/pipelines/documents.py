@@ -284,6 +284,31 @@ def doc_sample(sf_dir: str, rate: float = 0.25,
         fn, batch_format="pyarrow")
 
 
+def doc_bottomk_sample(sf_dir: str, k: int = 100,
+                       salt: str = "bk") -> "pd.DataFrame":
+    """Fixed-SIZE uniform sample: the k docs with the smallest
+    ``md5(doc_id|salt)`` — the bottom-k-by-hash primitive (exact-size
+    counterpart of :func:`doc_sample`'s rate gate; deterministic across
+    runs and partitionings, unlike a reservoir). Distributed as partial
+    bottom-k per block + tiny driver merge, so at most k rows leave any
+    block; md5-per-row is the same documented DuckDB-parity price as
+    doc_sample."""
+    import pandas as pd
+
+    from .relational import topk
+
+    def fn(batch: pa.Table) -> "pd.DataFrame":
+        ids = batch["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"{i}|{salt}".encode()).hexdigest()
+                for i in ids]
+        return pd.DataFrame({"doc_id": ids, "sample_key": keys})
+
+    ds = read_documents(sf_dir, ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow")
+    out = topk(ds, ["sample_key", "doc_id"], k, [True, True])
+    return out[["doc_id", "sample_key"]]
+
+
 SHARD_BOUNDS = (50, 200, 1000)          # token-count shard edges
 SHARD_NAMES = ("xs", "s", "m", "l")
 

@@ -176,6 +176,64 @@ def events_asof_purchase_click(sf_dir: str,
             .map_groups(asof_bucket, batch_format="pandas"))
 
 
+def events_user_paths(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Ordered collect/concat aggregate per key (``string_agg`` class):
+    each user's full event-type sequence in (ts, event_id) order — the
+    session-path feature a behavioral-training pipeline derives.
+
+    Bucketed reduce (one task per bucket, all of a user's rows
+    co-located); inside the bucket one vectorized sort, then
+    ``groupby().agg(','.join)`` — a single C-level pass per group whose
+    work IS the output string (the sanctioned concat form from the
+    conv_merged_fields vectorization, pipelines/fields.py)."""
+    from ..functions.hashing import bucket_int_array
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=bucket_int_array(
+            batch["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = (g.groupby("user_id", as_index=False)
+               .agg(path=("event_type", ",".join),
+                    n_events=("event_type", "size")))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+# Pivot column set: data values projected into a FIXED schema (the same
+# assumption the oracle's CASE arms make; an unlisted type would be
+# dropped by both engines identically).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot / conditional-aggregation class: one row per day, one count
+    column per event type (the wide projection of the long daily rollup).
+
+    Partials are already wide — a per-batch crosstab reindexed to the
+    fixed EVENT_TYPES columns — so the shuffle carries |days| wide int
+    rows per block and the final groupby sums fixed columns."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(batch["ts"].dt.strftime("%Y-%m-%d"),
+                         batch["event_type"])
+        ct = ct.reindex(columns=list(EVENT_TYPES), fill_value=0).astype("int64")
+        ct.columns = [f"n_{t}" for t in EVENT_TYPES]
+        ct.index.name = "day"
+        return ct.reset_index()
+
+    ds = read_events(sf_dir, ["ts", "event_type"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("day")
+            .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                         for t in EVENT_TYPES]))
+
+
 EVENT_QUANTILES = (("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
 

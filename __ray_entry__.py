@@ -334,6 +334,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": events.events_user_paths,           # SQL-matched (ordered string_agg)
         "events_daily_pivot": events.events_daily_pivot,         # SQL-matched (pivot/conditional agg)
         "doc_bottomk_sample": documents.doc_bottomk_sample,      # SQL-matched (fixed-size hash sample)
+        "doc_vocab_topk": documents.doc_vocab_topk,              # SQL-matched (corpus vocabulary tf/df)
+        "doc_top_terms": documents.doc_top_terms,                # SQL-matched (TF-IDF-class ranking)
+        "doc_weighted_sample": documents.doc_weighted_sample,    # SQL-matched (weight-prop. Bernoulli)
+        "events_distinct_users": events.events_distinct_users_exact,  # SQL-matched (exact grouped distinct)
+        "users_click_and_purchase": events.users_click_and_purchase,  # SQL-matched (INTERSECT)
+        "events_user_mode": events.events_user_mode,             # SQL-matched (grouped mode/argmax)
         # --- relational core ---
         "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
         "part_type_stats": relational.part_type_stats,           # SQL-matched
@@ -341,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_topk": relational.order_revenue_topk,     # SQL-matched
         "customer_segment_stats": relational.customer_segment_stats,  # SQL-matched
         "customers_without_urgent": relational.customers_without_urgent_orders,  # SQL-matched (anti-join)
+        "customers_with_urgent": relational.customers_with_urgent_orders,  # SQL-matched (bloom semi-join)
+        "customers_above_nation_avg": relational.customers_above_nation_avg,  # SQL-matched (correlated agg)
         "customer_balance_bands": relational.customer_balance_bands,  # SQL-matched (range join)
         "orders_top2_per_customer": relational.orders_top2_per_customer,  # SQL-matched (grouped top-N)
         "orders_priority_rollup": relational.orders_priority_rollup,  # SQL-matched (ROLLUP)
@@ -435,6 +443,22 @@ def _doc_stratified_sample_sql() -> str:
           FROM lang)
         SELECT doc_id, lang, sample_key FROM keyed
         WHERE sample_key < (CASE lang {cases} END)
+    """
+
+
+def _doc_weighted_sample_sql() -> str:
+    """Threshold expression generated from the SAME scale constant the
+    engine uses (documents.WEIGHTED_SAMPLE_SCALE) — one source of truth;
+    fixed-width lowercase hex compare is numeric on both sides."""
+    from agentic_document_extraction_pdf_ray.pipelines.documents import (
+        WEIGHTED_SAMPLE_SCALE)
+    return f"""
+        SELECT doc_id, n_chars,
+               substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 8) AS sample_key
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 8)
+              < lower(lpad(to_hex(least(n_chars * {WEIGHTED_SAMPLE_SCALE},
+                                        4294967295)), 8, '0'))
     """
 
 
@@ -962,7 +986,77 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority LIKE '1%')
         """,
+        "customers_with_urgent": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority LIKE '1%')
+        """,
+        "customers_above_nation_avg": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS bal_cents
+                       FROM customer),
+            a AS (SELECT c_nationkey, CAST(sum(bal_cents) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM c GROUP BY c_nationkey)
+            SELECT c.c_custkey, c.c_nationkey, c.bal_cents
+            FROM c JOIN a USING (c_nationkey)
+            WHERE c.bal_cents * a.cnt > a.total
+        """,
         "customer_balance_bands": _customer_balance_bands_sql(),
+        "doc_vocab_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+            f AS (SELECT token, CAST(count(*) AS BIGINT) AS n_total,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM toks WHERE token <> '' GROUP BY token)
+            SELECT token, n_total, df FROM f
+            ORDER BY n_total DESC, token LIMIT 50
+        """,
+        "events_distinct_users": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "doc_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks WHERE token <> '' GROUP BY doc_id, token),
+            df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY token),
+            r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                                            ORDER BY tf.tf DESC, df.df,
+                                                     tf.token) AS rnk
+                  FROM tf JOIN df USING (token))
+            SELECT doc_id, token, tf, df, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
+        """,
+        "doc_weighted_sample": _doc_weighted_sample_sql(),
+        "events_user_mode": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY n DESC, event_type)
+                         AS rnk FROM c)
+            SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                   n AS n_events
+            FROM r WHERE rnk = 1
+        """,
+        "users_click_and_purchase": """
+            SELECT CAST(user_id AS BIGINT) AS user_id FROM events
+            WHERE event_type = 'click'
+            INTERSECT
+            SELECT CAST(user_id AS BIGINT) AS user_id FROM events
+            WHERE event_type = 'purchase'
+        """,
         "events_user_paths": """
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS path,

@@ -370,6 +370,148 @@ def doc_bpe_token_stats(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def doc_vocab_topk(sf_dir: str, k: int = 50,
+                   n_buckets: int = 32) -> "pd.DataFrame":
+    """Corpus vocabulary builder (the token-frequency table a tokenizer
+    trainer or data-mixing report starts from): global term frequency and
+    document frequency of lowercased whitespace tokens over the
+    normalized text, top-k by ``(n_total DESC, token ASC)``.
+
+    Plan: per-batch Arrow split + ``list_flatten``/``list_parent_indices``
+    feed one C-level pandas groupby (term counts) and one
+    ``drop_duplicates`` groupby (doc counts) — the map-side combiner, so
+    the exchange carries one row per (batch, distinct token), never the
+    exploded token stream. Bucketed grouped sum merges partials (token
+    cardinality is corpus-sized — the ``grouped_sum_bucketed`` regime),
+    then partial top-k. Document frequency sums correctly across batches
+    because each doc lives in exactly one batch."""
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+    from .relational import topk
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")      # clean text is single-spaced
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        d = pd.DataFrame({
+            "token": flat.to_numpy(zero_copy_only=False),
+            "doc": parents.to_numpy(zero_copy_only=False),
+        })
+        d = d[d["token"] != ""]                 # empty doc -> [''] artifact
+        tf = d.groupby("token", sort=False).size()
+        dfreq = d.drop_duplicates().groupby("token", sort=False).size()
+        out = pd.DataFrame({
+            "token": tf.index.to_numpy(object),
+            "n_total": tf.to_numpy(np.int64),
+            "df": dfreq.reindex(tf.index).to_numpy(np.int64),
+        })
+        out["_bucket"] = (hash_str_array(out["token"].to_numpy(object))
+                          % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (g.groupby("token", as_index=False)[["n_total", "df"]].sum())
+
+    merged = (read_documents(sf_dir, ["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(per_bucket, batch_format="pandas"))
+    out = topk(merged, ["n_total", "token"], k, [False, True])
+    return out[["token", "n_total", "df"]]
+
+
+def doc_top_terms(sf_dir: str, n_top: int = 3,
+                  n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-document distinctive terms — the TF-IDF composition, ranked
+    integer-exactly by ``(tf DESC, df ASC, token ASC)`` so no float
+    ``ln(N/df)`` can diverge from the oracle (same frequent-here /
+    rare-elsewhere ordering intent; ties broken identically).
+
+    Two bounded-bucket shuffles: (1) per-batch (doc, token, tf) partials
+    — complete, because a doc lives in exactly one batch — bucketed BY
+    TOKEN, where df is a single vectorized ``transform('size')`` over
+    the co-located distinct pairs (no separate df table, no third
+    shuffle); (2) re-bucketed BY DOC, where one mergesort + cumcount
+    ranks every doc in the bucket at once."""
+    import pandas as pd
+
+    from ..functions.hashing import bucket_int_array, hash_str_array
+
+    def pairs(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy()[parents],
+            "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+        })
+        d = d[d["token"] != ""]
+        tf = (d.groupby(["doc_id", "token"], sort=False)
+              .size().reset_index(name="tf"))
+        tf["tf"] = tf["tf"].astype("int64")
+        tf["_bucket"] = (hash_str_array(tf["token"].to_numpy(object))
+                         % np.uint64(n_buckets)).astype(np.int64)
+        return tf
+
+    def attach_df(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.assign(df=g.groupby("token")["token"].transform("size")
+                     .astype("int64"))
+        g["_bucket"] = bucket_int_array(
+            g["doc_id"].to_numpy(np.int64), n_buckets)
+        return g[["doc_id", "token", "tf", "df", "_bucket"]]
+
+    def rank_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["doc_id", "tf", "df", "token"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        rnk = g.groupby("doc_id").cumcount().to_numpy() + 1
+        out = g[rnk <= n_top].assign(rnk=rnk[rnk <= n_top])
+        out["rnk"] = out["rnk"].astype("int64")
+        return out[["doc_id", "token", "tf", "df", "rnk"]]
+
+    return (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(attach_df, batch_format="pandas")
+            .groupby("_bucket").map_groups(rank_bucket, batch_format="pandas"))
+
+
+# Weighted-sample scale: inclusion probability = min(1, n_chars·2^20/2^32)
+# ≈ n_chars/4096 — longer docs proportionally more likely, certain at 4 KiB.
+WEIGHTED_SAMPLE_SCALE = 1 << 20
+
+
+def doc_weighted_sample(sf_dir: str, salt: str = "ws") -> ray.data.Dataset:
+    """Weight-proportional Bernoulli sampling (the data-mixing
+    primitive: P(keep) ∝ doc weight, here ``n_chars``): keep iff the
+    doc's 32-bit md5 gate falls below ``n_chars·2^20`` — all-integer,
+    so exactly SQL-expressible, deterministic across runs and
+    partitionings (unlike RNG-based weighted sampling). The hex-string
+    compare is numeric because both sides are fixed-width lowercase
+    hex, the same convention as :func:`doc_stratified_sample`."""
+    cap = (1 << 32) - 1
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        nchars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        keys = [hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8]
+                for i in ids]
+        thresholds = np.minimum(
+            nchars.astype(np.int64) * WEIGHTED_SAMPLE_SCALE, cap)
+        keep = pa.array([k < format(t, "08x")
+                         for k, t in zip(keys, thresholds)], pa.bool_())
+        out = pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "sample_key": pa.array(keys, pa.string()),
+        })
+        return out.filter(keep)
+
+    return read_documents(
+        sf_dir, ["doc_id", "n_chars"]).map_batches(fn, batch_format="pyarrow")
+
+
 # Per-stratum sampling rates: the reproducible stratified train/eval
 # split (e.g. downsample the dominant language, keep the tail). The SQL
 # oracle embeds thresholds generated from THIS dict — one source of truth.

@@ -234,6 +234,93 @@ def events_daily_pivot(sf_dir: str) -> ray.data.Dataset:
                          for t in EVENT_TYPES]))
 
 
+def events_distinct_users_exact(sf_dir: str,
+                                n_buckets: int = 32) -> ray.data.Dataset:
+    """EXACT grouped distinct count (the ground-truth companion of the
+    :func:`events_hll_users` sketch): distinct users per event type via
+    two-level dedup — per-batch ``drop_duplicates`` bounds the exchange
+    at one row per (batch, type, user); the bucketed reduce (bucketed by
+    user so every copy of a pair co-locates) dedups exactly and counts;
+    the final groupby sums |types| × |buckets| tiny partials. No stage
+    ever holds more than one bucket's distinct pairs."""
+    from ..functions.hashing import bucket_int_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch[["event_type", "user_id"]].drop_duplicates()
+        return d.assign(_bucket=bucket_int_array(
+            d["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = (d.groupby("event_type", as_index=False)
+               .agg(n_users=("user_id", "size")))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ds = read_events(sf_dir, ["event_type", "user_id"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("event_type")
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def users_click_and_purchase(sf_dir: str,
+                             n_buckets: int = 32) -> ray.data.Dataset:
+    """Set-intersection class (SQL ``INTERSECT``): users who have BOTH a
+    click and a purchase event. Filter to the two types map-side,
+    per-batch distinct, bucket by user; inside the bucket the
+    intersection is one vectorized ``nunique == 2`` test — no row of the
+    log ever crosses the wire, only distinct (user, type) pairs."""
+    from ..functions.hashing import bucket_int_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (batch.loc[batch["event_type"].isin(("click", "purchase")),
+                       ["user_id", "event_type"]].drop_duplicates())
+        return d.assign(_bucket=bucket_int_array(
+            d["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.drop_duplicates().groupby("user_id")["event_type"].nunique()
+        return pd.DataFrame(
+            {"user_id": n.index[n.to_numpy() == 2].to_numpy(np.int64)})
+
+    ds = read_events(sf_dir, ["event_type", "user_id"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def events_user_mode(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Grouped mode / argmax class: each user's most frequent event type
+    (tie → lexicographically first type, mirrored in the oracle's window
+    ORDER BY). Map-side (user, type) count partials bound the exchange
+    at one row per (batch, user, type); the bucketed reduce sums and
+    picks the mode with one mergesort + cumcount over the whole bucket."""
+    from ..functions.hashing import bucket_int_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = (batch.groupby(["user_id", "event_type"], sort=False)
+             .size().reset_index(name="n"))
+        c["n"] = c["n"].astype("int64")
+        return c.assign(_bucket=bucket_int_array(
+            c["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+             .sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort"))
+        first = s.groupby("user_id").cumcount().to_numpy() == 0
+        out = s[first].rename(columns={"n": "n_events"})
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "event_type", "n_events"]]
+
+    ds = read_events(sf_dir, ["user_id", "event_type"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 EVENT_QUANTILES = (("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
 

@@ -500,6 +500,132 @@ def customers_without_urgent_orders(sf_dir: str,
             .map_groups(anti_bucket, batch_format="pandas"))
 
 
+def customers_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-aggregate filter class (scalar subquery per group):
+    customers whose balance strictly exceeds their nation's average.
+
+    Two-pass broadcast plan — pass 1 reduces the fact table to a tiny
+    per-nation (sum, count) aggregate (map-side combined); pass 2
+    re-streams the table with that aggregate broadcast and filters
+    vectorized. The comparison is integer-exact — ``cents * cnt >
+    total_cents`` — so no float-division boundary case can diverge from
+    the oracle, which uses the same cross-multiplied predicate."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(cents=_cents(batch["c_acctbal"]))
+        return (batch.groupby("c_nationkey", as_index=False)
+                .agg(total=("cents", "sum"), cnt=("cents", "size")))
+
+    agg = (cust.map_batches(partial, batch_format="pandas")
+           .groupby("c_nationkey")
+           .aggregate(Sum("total", alias_name="total"),
+                      Sum("cnt", alias_name="cnt"))
+           .to_pandas())                     # |nations| rows — tiny
+    agg_ref = ray.put(agg.set_index("c_nationkey"))
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        a = ray.get(agg_ref)
+        cents = _cents(batch["c_acctbal"]).to_numpy()
+        nk = batch["c_nationkey"].to_numpy(np.int64)
+        total = a["total"].to_numpy()[a.index.get_indexer(nk)]
+        cnt = a["cnt"].to_numpy()[a.index.get_indexer(nk)]
+        keep = cents * cnt > total
+        return pd.DataFrame({
+            "c_custkey": batch["c_custkey"].to_numpy(np.int64)[keep],
+            "c_nationkey": nk[keep],
+            "bal_cents": cents[keep],
+        })
+
+    return cust.map_batches(filt, batch_format="pandas")
+
+
+# Bloom prefilter sizing: bits per build-side distinct key at the target
+# false-positive rate; 2 hash probes. FPs only cost verify work — never
+# correctness (the co-group verify stage is exact).
+BLOOM_BITS = 1 << 20
+
+
+def _bloom_positions(keys: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two vectorized 64-bit mix hashes → bit positions in [0, m)."""
+    v = keys.astype(np.uint64)
+    v ^= v >> np.uint64(33)
+    h1 = v * np.uint64(0xFF51AFD7ED558CCD)
+    h2 = v * np.uint64(0xC4CEB9FE1A85EC53)
+    h1 ^= h1 >> np.uint64(29)
+    h2 ^= h2 >> np.uint64(29)
+    return ((h1 % np.uint64(m)).astype(np.int64),
+            (h2 % np.uint64(m)).astype(np.int64))
+
+
+def customers_with_urgent_orders(sf_dir: str, n_buckets: int = 32,
+                                 m_bits: int = BLOOM_BITS) -> ray.data.Dataset:
+    """Semi-join class (EXISTS) with a broadcast Bloom prefilter:
+    customers having at least one 1-URGENT order.
+
+    Stage 1 folds the build side into per-block partial Bloom bitmaps
+    (distinct urgent custkeys → 2 mix-hash bits each, ``np.packbits``) —
+    the driver ORs ``m_bits/8``-byte partials, never keys. Stage 2
+    probes customers map-side against the broadcast bitmap, passing only
+    hits (true matches + the FP tail). Stage 3 verifies survivors
+    exactly via the same union + bucketed co-group shape as the
+    anti-join — correctness never depends on the Bloom, which only cuts
+    the probe rows entering the shuffle (at 100 TB: by the semi-join
+    selectivity, for a fixed ~128 KiB broadcast)."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderpriority"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+
+    def o_bloom(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = (batch.loc[batch["o_orderpriority"].str.startswith("1"),
+                          "o_custkey"].drop_duplicates().to_numpy(np.int64))
+        bits = np.zeros(m_bits, dtype=bool)
+        p1, p2 = _bloom_positions(keys, m_bits)
+        bits[p1] = True
+        bits[p2] = True
+        return pd.DataFrame({"bloom": [np.packbits(bits).tobytes()]})
+
+    packed = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in orders.map_batches(o_bloom, batch_format="pandas",
+                                  batch_size=65536).take_all():
+        packed |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    bloom_ref = ray.put(packed)
+
+    def c_probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.unpackbits(ray.get(bloom_ref)).view(bool)
+        keys = batch["c_custkey"].to_numpy(np.int64)
+        p1, p2 = _bloom_positions(keys, m_bits)
+        hit = bits[p1] & bits[p2]
+        out = pd.DataFrame({
+            "c_custkey": keys[hit],
+            "c_mktsegment": batch["c_mktsegment"].to_numpy(object)[hit],
+            "side": "c"})
+        return out.assign(_bucket=out["c_custkey"].to_numpy(np.int64)
+                          % n_buckets)
+
+    def o_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        urgent = batch.loc[batch["o_orderpriority"].str.startswith("1"),
+                           "o_custkey"].drop_duplicates()
+        keys = urgent.to_numpy(np.int64)
+        return pd.DataFrame({"c_custkey": keys, "c_mktsegment": "",
+                             "side": "o", "_bucket": keys % n_buckets})
+
+    unioned = (cust.map_batches(c_probe, batch_format="pandas")
+               .union(orders.map_batches(o_tag, batch_format="pandas")))
+
+    def semi_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["side"] == "o", "c_custkey"].unique()
+        probe = g[g["side"] == "c"]
+        out = probe[probe["c_custkey"].isin(have)]
+        return out[["c_custkey", "c_mktsegment"]]
+
+    return (unioned.groupby("_bucket")
+            .map_groups(semi_bucket, batch_format="pandas"))
+
+
 def customer_segment_stats(sf_dir: str) -> ray.data.Dataset:
     """Groupby over customer: count + balance cents per market segment."""
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",

@@ -88,3 +88,51 @@ class TestRollup:
         assert (merged["total_cents_b"] == merged["total_cents_l"]).all()
         orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
         assert lvl0["n_orders"].iloc[0] == len(orders)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomSemiJoin:
+    def test_semi_and_anti_partition_customers(self):
+        """with_urgent ∪ without_urgent = all customers, disjoint — the
+        Bloom prefilter must never drop a true match (exactness is the
+        verify stage's job, the bloom only prunes)."""
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            customers_with_urgent_orders, customers_without_urgent_orders)
+        semi = customers_with_urgent_orders(SF_DIR).to_pandas()
+        anti = customers_without_urgent_orders(SF_DIR).to_pandas()
+        cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                               columns=["c_custkey"])
+        s, a = set(semi["c_custkey"]), set(anti["c_custkey"])
+        assert s.isdisjoint(a)
+        assert s | a == set(cust["c_custkey"])
+        assert len(semi) == len(s) and len(anti) == len(a)
+
+    def test_bloom_prefilter_prunes(self):
+        """A tiny bloom (high FP rate) must still give the exact result;
+        a reasonable bloom must pass every true match at probe time."""
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            customers_with_urgent_orders)
+        exact = customers_with_urgent_orders(SF_DIR).to_pandas()
+        tiny = customers_with_urgent_orders(SF_DIR, m_bits=256).to_pandas()
+        assert sorted(tiny["c_custkey"]) == sorted(exact["c_custkey"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorrelatedAggFilter:
+    def test_matches_pandas_transform(self):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            customers_above_nation_avg)
+        got = (customers_above_nation_avg(SF_DIR).to_pandas()
+               .sort_values("c_custkey").reset_index(drop=True))
+        cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+        cents = _cents(cust["c_acctbal"])
+        g = cust.assign(cents=cents)
+        tot = g.groupby("c_nationkey")["cents"].transform("sum").to_numpy()
+        cnt = g.groupby("c_nationkey")["cents"].transform("size").to_numpy()
+        keep = cents * cnt > tot
+        want = pd.DataFrame({
+            "c_custkey": cust["c_custkey"].to_numpy(np.int64)[keep],
+            "c_nationkey": cust["c_nationkey"].to_numpy(np.int64)[keep],
+            "bal_cents": cents[keep],
+        }).sort_values("c_custkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)

@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": events.events_value_quantiles,  # SQL-matched
         "events_daily_ma7": events.events_daily_ma7,             # SQL-matched
         "events_hll_users": events.events_hll_users,             # rows-only (approx sketch, pytest error-bounded)
+        "events_value_tdigest": events.events_value_tdigest,     # rows-only (approx t-digest, pytest error-bounded)
         "events_user_paths": events.events_user_paths,           # SQL-matched (ordered string_agg)
         "events_daily_pivot": events.events_daily_pivot,         # SQL-matched (pivot/conditional agg)
         "doc_bottomk_sample": documents.doc_bottomk_sample,      # SQL-matched (fixed-size hash sample)
@@ -340,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": events.events_distinct_users_exact,  # SQL-matched (exact grouped distinct)
         "users_click_and_purchase": events.users_click_and_purchase,  # SQL-matched (INTERSECT)
         "events_user_mode": events.events_user_mode,             # SQL-matched (grouped mode/argmax)
+        "events_transitions": events.events_transition_counts,   # SQL-matched (lead/lag window)
+        "customer_balance_percentile": relational.customer_balance_percentile,  # SQL-matched (percent_rank)
         # --- relational core ---
         "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
         "part_type_stats": relational.part_type_stats,           # SQL-matched
@@ -1049,6 +1052,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
                    n AS n_events
             FROM r WHERE rnk = 1
+        """,
+        "events_transitions": """
+            WITH o AS (SELECT event_type,
+                              lead(event_type) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                                  AS nxt
+                       FROM events)
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        "customer_balance_percentile": """
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS bal_cents,
+                   percent_rank() OVER (
+                       ORDER BY CAST(floor(c_acctbal*100+0.5) AS BIGINT))
+                       AS pct_rank
+            FROM customer
         """,
         "users_click_and_purchase": """
             SELECT CAST(user_id AS BIGINT) AS user_id FROM events

@@ -73,3 +73,57 @@ def hll_estimate(reg: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------- t-digest
+# Mergeable quantile sketch (Dunning & Ertl, "Computing extremely accurate
+# quantiles using t-digests", 2019). The exact-quantile path
+# (pipelines/events.events_value_quantiles) needs a BOUNDED value domain
+# for its histogram; the t-digest is the unbounded-domain companion: a
+# ~delta-centroid summary per (group, block) whose merge is
+# concat + rebuild — order-independent, because build sorts by mean first.
+
+TDIGEST_DELTA = 200
+
+
+def tdigest_build(values: np.ndarray,
+                  weights: np.ndarray | None = None,
+                  delta: int = TDIGEST_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    """Build centroids (means, weights) from values via vectorized k1
+    scale-function binning — one argsort + one ``np.add.reduceat``, no
+    per-point Python loop (unlike the textbook greedy pass)."""
+    v = np.asarray(values, np.float64)
+    w = (np.ones(v.size, np.float64) if weights is None
+         else np.asarray(weights, np.float64))
+    if v.size == 0:
+        return np.empty(0), np.empty(0)
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    total = w.sum()
+    q = (np.cumsum(w) - w / 2.0) / total          # mid-point quantile
+    k = np.floor((delta / np.pi) * np.arcsin(2.0 * q - 1.0))
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(k)) + 1))
+    w_seg = np.add.reduceat(w, starts)
+    means = np.add.reduceat(v * w, starts) / w_seg
+    return means, w_seg
+
+
+def tdigest_merge(parts: list[tuple[np.ndarray, np.ndarray]],
+                  delta: int = TDIGEST_DELTA) -> tuple[np.ndarray, np.ndarray]:
+    """Merge digests: concat centroids, rebuild. Permutation-invariant
+    in ``parts`` (build sorts by mean), so distributed arrival order
+    cannot change the result."""
+    means = np.concatenate([m for m, _ in parts]) if parts else np.empty(0)
+    wts = np.concatenate([w for _, w in parts]) if parts else np.empty(0)
+    return tdigest_build(means, wts, delta)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray,
+                     qs: np.ndarray | list[float]) -> np.ndarray:
+    """Estimate quantiles: linear interpolation over centroid mid-point
+    cumulative weights (clamped to the extreme centroid means)."""
+    if means.size == 0:
+        return np.full(len(qs), np.nan)
+    cum = np.cumsum(weights) - weights / 2.0
+    total = weights.sum()
+    return np.interp(np.asarray(qs, np.float64) * total, cum, means)

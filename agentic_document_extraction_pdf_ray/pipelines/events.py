@@ -321,6 +321,44 @@ def events_user_mode(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def events_transition_counts(sf_dir: str,
+                             n_buckets: int = 64) -> ray.data.Dataset:
+    """Lead/lag window class: corpus-wide count of consecutive
+    event-type transitions (prev → next) within each user's
+    (ts, event_id)-ordered stream — the Markov transition matrix a
+    behavior model trains on.
+
+    Bucketed by user so each user's full stream is co-located; inside
+    the bucket one mergesort + vectorized shift builds every user's
+    ``lead`` column at once (the boundary row of each user is masked,
+    not a per-user loop), partial-counted, then the |types|² tiny final
+    groupby sums across buckets."""
+    from ..functions.hashing import bucket_int_array
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=bucket_int_array(
+            batch["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy(object)
+        same_user = uid[:-1] == uid[1:]
+        d = pd.DataFrame({"prev_type": typ[:-1][same_user],
+                          "next_type": typ[1:][same_user]})
+        out = (d.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 EVENT_QUANTILES = (("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
 
 
@@ -445,6 +483,43 @@ def events_hll_users(sf_dir: str) -> pd.DataFrame:
             .groupby("event_type")
             .map_groups(merge_group, batch_format="pandas")
             .to_pandas())
+
+
+def events_value_tdigest(sf_dir: str) -> pd.DataFrame:
+    """Approximate grouped quantiles over an UNBOUNDED float domain via
+    a mergeable t-digest (functions/sketch.py) — the companion of
+    :func:`events_value_quantiles`, whose exact histogram plan needs a
+    bounded value domain. Exchange: one ~δ-centroid row per (type,
+    block); the per-type merge is concat + rebuild, which is
+    permutation-invariant (build sorts by mean), so distributed arrival
+    order cannot change the estimate. Approximate by construction
+    (rows-only query; pytest bounds the rank error against exact
+    percentiles and asserts merge-order invariance)."""
+    from ..functions.sketch import (tdigest_build, tdigest_merge,
+                                    tdigest_quantile)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        vals = batch["value"].to_numpy(np.float64)
+        for et, idx in batch.groupby("event_type").indices.items():
+            m, w = tdigest_build(vals[idx])
+            out.append({"event_type": et,
+                        "means": m.tobytes(), "wts": w.tobytes()})
+        return pd.DataFrame(out, columns=["event_type", "means", "wts"])
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        parts = [(np.frombuffer(m), np.frombuffer(w))
+                 for m, w in zip(g["means"], g["wts"])]
+        m, w = tdigest_merge(parts)
+        p = tdigest_quantile(m, w, [0.5, 0.9, 0.99])
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50": [p[0]], "p90": [p[1]], "p99": [p[2]]})
+
+    ds = read_events(sf_dir, ["event_type", "value"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(merge_group, batch_format="pandas")
+            .to_pandas().sort_values("event_type").reset_index(drop=True))
 
 
 def events_sliding_2d(sf_dir: str) -> ray.data.Dataset:

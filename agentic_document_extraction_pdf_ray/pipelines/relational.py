@@ -626,6 +626,49 @@ def customers_with_urgent_orders(sf_dir: str, n_buckets: int = 32,
             .map_groups(semi_bucket, batch_format="pandas"))
 
 
+def customer_balance_percentile(sf_dir: str,
+                                n_buckets: int = 32) -> ray.data.Dataset:
+    """Global-ranking window class (``percent_rank() OVER (ORDER BY
+    cents)``) WITHOUT a global sort: pass 1 reduces the table to a
+    value-count histogram over distinct cents (bounded by the value
+    DOMAIN — ~1.2M possible balance cents — not by row count, so it
+    stays a small broadcast even at 10^12 rows); the driver cumsums it
+    into an n-smaller table; pass 2 re-streams the table and assigns
+    each row's rank by vectorized ``searchsorted``. The single float op
+    — ``n_smaller / (N-1)`` — is one IEEE division on both engines."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(batch["c_acctbal"])
+        out = c.value_counts().rename_axis("cents").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    h = (grouped_sum_bucketed(
+            cust.map_batches(hist, batch_format="pandas"), "cents", ["n"],
+            n_buckets)
+         .to_pandas().sort_values("cents").reset_index(drop=True))
+    values = h["cents"].to_numpy(np.int64)
+    counts = h["n"].to_numpy(np.int64)
+    n_total = int(counts.sum())
+    n_smaller = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    side = ray.put((values, n_smaller))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        vals, smaller = ray.get(side)
+        cents = _cents(batch["c_acctbal"]).to_numpy()
+        idx = np.searchsorted(vals, cents)
+        pct = smaller[idx].astype(np.float64) / float(n_total - 1)
+        return pd.DataFrame({
+            "c_custkey": batch["c_custkey"].to_numpy(np.int64),
+            "bal_cents": cents,
+            "pct_rank": pct,
+        })
+
+    return cust.map_batches(assign, batch_format="pandas")
+
+
 def customer_segment_stats(sf_dir: str) -> ray.data.Dataset:
     """Groupby over customer: count + balance cents per market segment."""
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",

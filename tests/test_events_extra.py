@@ -165,3 +165,49 @@ class TestAntiJoin:
         pd.testing.assert_frame_equal(
             got.astype({"c_custkey": "int64"}),
             want.astype({"c_custkey": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTDigest:
+    def test_rank_error_bounded(self):
+        """Estimated quantiles must sit within ±2% rank of the exact
+        order statistics, per event type."""
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_value_tdigest)
+        got = events_value_tdigest(SF_DIR).set_index("event_type")
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_type", "value"])
+        for et, g in ev.groupby("event_type"):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+                lo = np.quantile(v, max(q - 0.02, 0.0))
+                hi = np.quantile(v, min(q + 0.02, 1.0))
+                assert lo <= got.loc[et, col] <= hi, (et, col)
+
+    def test_merge_permutation_invariant(self):
+        from agentic_document_extraction_pdf_ray.functions.sketch import (
+            tdigest_build, tdigest_merge, tdigest_quantile)
+        rng = np.random.default_rng(7)
+        blocks = [rng.lognormal(0, 1, 3000) for _ in range(8)]
+        digs = [tdigest_build(b) for b in blocks]
+        a = tdigest_merge(digs)
+        b = tdigest_merge(digs[::-1])
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        # merged digest ~ single-pass digest of the full stream (rank err)
+        full = np.sort(np.concatenate(blocks))
+        est = tdigest_quantile(*a, [0.5, 0.99])
+        for e, q in zip(est, (0.5, 0.99)):
+            assert np.quantile(full, q - 0.02) <= e <= np.quantile(
+                full, min(q + 0.02, 1.0))
+
+    def test_weight_conservation(self):
+        from agentic_document_extraction_pdf_ray.functions.sketch import (
+            tdigest_build, tdigest_merge, TDIGEST_DELTA)
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=10_000)
+        m, w = tdigest_build(v)
+        assert w.sum() == pytest.approx(10_000)
+        assert len(m) <= 2 * TDIGEST_DELTA
+        m2, w2 = tdigest_merge([(m, w), (m, w)])
+        assert w2.sum() == pytest.approx(20_000)

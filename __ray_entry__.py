@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": documents.doc_weighted_sample,    # SQL-matched (weight-prop. Bernoulli)
         "events_distinct_users": events.events_distinct_users_exact,  # SQL-matched (exact grouped distinct)
         "users_click_and_purchase": events.users_click_and_purchase,  # SQL-matched (INTERSECT)
+        "user_days_click_except_purchase": events.user_days_click_except_purchase,  # SQL-matched (EXCEPT)
+        "events_daily_full_outer": events.events_daily_full_outer,   # SQL-matched (FULL OUTER JOIN)
+        "events_user_islands": events.events_user_islands,           # SQL-matched (gaps-and-islands)
         "events_user_mode": events.events_user_mode,             # SQL-matched (grouped mode/argmax)
         "events_transitions": events.events_transition_counts,   # SQL-matched (lead/lag window)
         "customer_balance_percentile": relational.customer_balance_percentile,  # SQL-matched (percent_rank)
@@ -1071,6 +1074,44 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(floor(c_acctbal*100+0.5) AS BIGINT))
                        AS pct_rank
             FROM customer
+        """,
+        "user_days_click_except_purchase": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT CAST(user_id AS BIGINT),
+                   strftime(CAST(ts AS DATE), '%Y-%m-%d')
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "events_daily_full_outer": """
+            WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events WHERE event_type = 'click' GROUP BY 1),
+                 p AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT COALESCE(c.day, p.day) AS day,
+                   COALESCE(c.n, 0) AS n_clicks,
+                   COALESCE(p.n, 0) AS n_purchases,
+                   c.n IS NOT NULL AS has_click,
+                   p.n IS NOT NULL AS has_purchase
+            FROM c FULL OUTER JOIN p ON c.day = p.day
+        """,
+        "events_user_islands": """
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+                 r AS (SELECT user_id, day,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY day) AS rn
+                       FROM d),
+                 i AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+                       FROM r GROUP BY user_id, day - CAST(rn AS INTEGER))
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_islands,
+                   CAST(max(len) AS BIGINT) AS longest_island,
+                   CAST(sum(len) AS BIGINT) AS n_active_days
+            FROM i GROUP BY user_id
         """,
         "users_click_and_purchase": """
             SELECT CAST(user_id AS BIGINT) AS user_id FROM events

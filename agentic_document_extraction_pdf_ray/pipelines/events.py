@@ -291,6 +291,134 @@ def users_click_and_purchase(sf_dir: str,
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def user_days_click_except_purchase(sf_dir: str,
+                                    n_buckets: int = 32) -> ray.data.Dataset:
+    """Set-difference class (SQL ``EXCEPT``): (user, day) pairs with a
+    click but NO purchase that day — the anti-membership twin of
+    :func:`users_click_and_purchase`, at user-day granularity so the
+    difference is non-degenerate on dense logs where every user
+    eventually purchases. Exchange bound: per-batch distinct
+    (user, day, type) triples only; inside the (user, day) bucket the
+    difference is one vectorized ``any(click) & ~any(purchase)`` test."""
+    from ..functions.hashing import bucket_int_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(("click", "purchase"))]
+        d = (b.assign(day=b["ts"].to_numpy("datetime64[D]").astype(np.int64))
+             [["user_id", "day", "event_type"]].drop_duplicates())
+        return d.assign(_bucket=bucket_int_array(
+            d["user_id"].to_numpy(np.int64) * 2654435761 + d["day"],
+            n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "day", "event_type"])
+        is_click = (d["event_type"] == "click").to_numpy()
+        agg = (d.assign(clk=is_click, pur=~is_click)
+               .groupby(["user_id", "day"], as_index=False)
+               .agg(clk=("clk", "any"), pur=("pur", "any")))
+        keep = agg[agg["clk"].to_numpy() & ~agg["pur"].to_numpy()]
+        return pd.DataFrame({
+            "user_id": keep["user_id"].to_numpy(np.int64),
+            "day": pd.to_datetime(keep["day"].to_numpy(np.int64),
+                                  unit="D").strftime("%Y-%m-%d"),
+        })
+
+    ds = read_events(sf_dir, ["ts", "event_type", "user_id"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def events_daily_full_outer(sf_dir: str,
+                            n_buckets: int = 32) -> ray.data.Dataset:
+    """Full-outer-join class: daily click counts FULL OUTER JOIN daily
+    purchase counts on day — days active on only one side survive with
+    the other side zeroed and its presence flag false.
+
+    Distributed full outer = the union + co-group recipe (the same shape
+    as the large-large inner join, plus null-side emission): both logical
+    sides come off ONE pruned scan as tagged (day, side, n) partials, the
+    day-hash bucket shuffle co-locates each day's partials, and the
+    per-bucket reduce sums each side and emits the row whether or not
+    both sides are present."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"].isin(("click", "purchase"))]
+        c = (b.assign(day=b["ts"].dt.strftime("%Y-%m-%d"))
+             .groupby(["day", "event_type"], sort=False)
+             .size().reset_index(name="n"))
+        c["n"] = c["n"].astype("int64")
+        c["_bucket"] = (pd.util.hash_array(c["day"].to_numpy(object))
+                        % n_buckets).astype(np.int64)
+        return c
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["day", "event_type"], as_index=False)["n"].sum()
+             .pivot_table(index="day", columns="event_type", values="n",
+                          aggfunc="sum"))
+        clk = s["click"] if "click" in s else pd.Series(np.nan, index=s.index)
+        pur = (s["purchase"] if "purchase" in s
+               else pd.Series(np.nan, index=s.index))
+        return pd.DataFrame({
+            "day": s.index.to_numpy(object),
+            "n_clicks": np.nan_to_num(clk.to_numpy(np.float64)).astype(
+                np.int64),
+            "n_purchases": np.nan_to_num(pur.to_numpy(np.float64)).astype(
+                np.int64),
+            "has_click": ~np.isnan(clk.to_numpy(np.float64)),
+            "has_purchase": ~np.isnan(pur.to_numpy(np.float64)),
+        })
+
+    ds = read_events(sf_dir, ["ts", "event_type"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def events_user_islands(sf_dir: str,
+                        n_buckets: int = 64) -> ray.data.Dataset:
+    """Gaps-and-islands class: per user, maximal runs of CONSECUTIVE
+    active days (the classic ``day - row_number()`` trick in SQL). Output
+    per user: island count, longest island, total active days.
+
+    Map-side per-batch distinct (user, day) pairs bound the exchange at
+    one row per (batch, user, day); the user-hash bucket co-locates each
+    user's days, and the per-bucket reduce finds island boundaries for
+    ALL its users at once — day-as-integer diff > 1 OR user change — with
+    one mergesort + cumsum, no per-user loop."""
+    from ..functions.hashing import bucket_int_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (batch.assign(
+                day=batch["ts"].to_numpy("datetime64[D]").astype(np.int64))
+             [["user_id", "day"]].drop_duplicates())
+        return d.assign(_bucket=bucket_int_array(
+            d["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        uid = d["user_id"].to_numpy(np.int64)
+        day = d["day"].to_numpy(np.int64)
+        new_island = np.ones(len(d), bool)
+        new_island[1:] = (uid[1:] != uid[:-1]) | (day[1:] - day[:-1] > 1)
+        island_id = np.cumsum(new_island)
+        lens = np.bincount(island_id)[1:]          # length of each island
+        island_user = uid[new_island]              # first row of each island
+        out = (pd.DataFrame({"user_id": island_user, "len": lens})
+               .groupby("user_id", as_index=False)
+               .agg(n_islands=("len", "size"),
+                    longest_island=("len", "max"),
+                    n_active_days=("len", "sum")))
+        for c in ("n_islands", "longest_island", "n_active_days"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    ds = read_events(sf_dir, ["ts", "user_id"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def events_user_mode(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     """Grouped mode / argmax class: each user's most frequent event type
     (tie → lexicographically first type, mirrored in the oracle's window

@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_mode": events.events_user_mode,             # SQL-matched (grouped mode/argmax)
         "events_transitions": events.events_transition_counts,   # SQL-matched (lead/lag window)
         "customer_balance_percentile": relational.customer_balance_percentile,  # SQL-matched (percent_rank)
+        "lineitem_corr": relational.lineitem_corr_qty_discount,  # SQL-matched (grouped correlation)
+        "customer_balance_ntile": relational.customer_balance_ntile,  # SQL-matched (ntile without global sort)
         # --- relational core ---
         "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
         "part_type_stats": relational.part_type_stats,           # SQL-matched
@@ -1066,6 +1068,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM o WHERE nxt IS NOT NULL
             GROUP BY prev_type, next_type
+        """,
+        "lineitem_corr": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                            AS DOUBLE) AS sx,
+                       CAST(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT))
+                            AS DOUBLE) AS sy,
+                       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                                * CAST(floor(l_quantity + 0.5) AS BIGINT))
+                            AS DOUBLE) AS sxx,
+                       CAST(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT)
+                                * CAST(floor(l_discount*10000 + 0.5) AS BIGINT))
+                            AS DOUBLE) AS syy,
+                       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                                * CAST(floor(l_discount*10000 + 0.5) AS BIGINT))
+                            AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n_rows,
+                   (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+                                          * sqrt(n * syy - sy * sy))
+                       AS corr_qty_disc
+            FROM m
+        """,
+        "customer_balance_ntile": """
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal*100+0.5) AS BIGINT) AS bal_cents,
+                   CAST(ntile(4) OVER (
+                       ORDER BY CAST(floor(c_acctbal*100+0.5) AS BIGINT),
+                                c_custkey) AS BIGINT) AS tile
+            FROM customer
         """,
         "customer_balance_percentile": """
             SELECT c_custkey,

@@ -669,6 +669,106 @@ def customer_balance_percentile(sf_dir: str,
     return cust.map_batches(assign, batch_format="pandas")
 
 
+def lineitem_corr_qty_discount(sf_dir: str) -> pd.DataFrame:
+    """Grouped second-moment aggregate class: Pearson correlation of
+    quantity vs discount per return flag, computed from INTEGER moment
+    sums (qty, discount basis points) so every partial is
+    order-independent and overflow-safe, with ONE shared float finish.
+
+    The distributed part ships six int64 sums per (block, flag) —
+    nothing else; the final correlation is a single float64 expression
+    evaluated identically here and in the oracle, on sums that are exact
+    integers, so the result is IEEE-bit-identical on both engines (same
+    discipline as ``customer_balance_percentile``'s single division)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(batch["l_quantity"].to_numpy(np.float64)
+                     + 0.5).astype(np.int64)
+        y = np.floor(batch["l_discount"].to_numpy(np.float64) * 10000.0
+                     + 0.5).astype(np.int64)
+        d = pd.DataFrame({"l_returnflag": batch["l_returnflag"],
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxx": x * x, "syy": y * y, "sxy": x * y})
+        return (d.groupby("l_returnflag", as_index=False)
+                [["n", "sx", "sy", "sxx", "syy", "sxy"]].sum())
+
+    sums = (ds.map_batches(partial, batch_format="pandas")
+            .groupby("l_returnflag")
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+            .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    n = sums["n"].to_numpy(np.float64)
+    sx = sums["sx"].to_numpy(np.float64)
+    sy = sums["sy"].to_numpy(np.float64)
+    sxx = sums["sxx"].to_numpy(np.float64)
+    syy = sums["syy"].to_numpy(np.float64)
+    sxy = sums["sxy"].to_numpy(np.float64)
+    # keep this expression tree in sync with the oracle SQL verbatim
+    corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                  * np.sqrt(n * syy - sy * sy))
+    return pd.DataFrame({"l_returnflag": sums["l_returnflag"],
+                         "n_rows": sums["n"].astype("int64"),
+                         "corr_qty_disc": corr})
+
+
+def customer_balance_ntile(sf_dir: str, k: int = 4,
+                           n_buckets: int = 32) -> ray.data.Dataset:
+    """``ntile(k)`` over the whole table WITHOUT a global sort. Global
+    row number = (rows with smaller cents, from the same domain-bounded
+    histogram broadcast as :func:`customer_balance_percentile`) + (rank
+    of the row among equal-cents peers, computed inside the cents-hash
+    bucket where all peers are co-located). The tile boundary arithmetic
+    — the first ``N % k`` tiles get one extra row — is pure int64, so
+    the output is exact, not float-rounded."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(batch["c_acctbal"])
+        out = c.value_counts().rename_axis("cents").reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    h = (grouped_sum_bucketed(
+            cust.map_batches(hist, batch_format="pandas"), "cents", ["n"],
+            n_buckets)
+         .to_pandas().sort_values("cents").reset_index(drop=True))
+    values = h["cents"].to_numpy(np.int64)
+    counts = h["n"].to_numpy(np.int64)
+    n_total = int(counts.sum())
+    n_smaller = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    side = ray.put((values, n_smaller))
+    base, rem = n_total // k, n_total % k
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(batch["c_acctbal"]).to_numpy()
+        return pd.DataFrame({"c_custkey": batch["c_custkey"],
+                             "cents": cents,
+                             "_bucket": cents % n_buckets})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        vals, smaller = ray.get(side)
+        g = g.sort_values(["cents", "c_custkey"], kind="mergesort")
+        peer_rank = g.groupby("cents").cumcount().to_numpy(np.int64)
+        rn = smaller[np.searchsorted(
+            vals, g["cents"].to_numpy(np.int64))] + peer_rank
+        cut = rem * (base + 1)
+        tile = np.where(rn < cut, rn // (base + 1),
+                        rem + (rn - cut) // max(base, 1)) + 1
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].to_numpy(np.int64),
+            "bal_cents": g["cents"].to_numpy(np.int64),
+            "tile": tile.astype(np.int64),
+        })
+
+    return (cust.map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
 def customer_segment_stats(sf_dir: str) -> ray.data.Dataset:
     """Groupby over customer: count + balance cents per market segment."""
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",

@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact_prefix": dedup.dedup_exact_prefix,          # SQL-matched
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
+        "doc_dup_components": dedup.doc_dup_components,          # SQL-matched (iterative min-label CC)
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,            # rows-only (approx)
         "simhash_near_dup": dedup.simhash_near_dup_pairs,        # rows-only (pigeonhole-exact, pytest-verified)
         # --- similarity search ---
@@ -809,6 +810,38 @@ def oracle_sql() -> dict[str, str]:
                    inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
             FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12
+        """,
+        # Same pair graph as ngram_jaccard_pairs (cap 200, threshold
+        # 0.12); recursive reachability closure, cluster = min reachable
+        # doc_id. UNION (not UNION ALL) dedups visited states, so the
+        # recursion terminates on the cyclic dup graph.
+        "doc_dup_components": f"""
+            WITH RECURSIVE
+            t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pr AS (SELECT doc_a, doc_b FROM p
+                   JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM pr
+                  UNION ALL SELECT doc_b, doc_a FROM pr),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                UNION
+                SELECT e.u, r.v FROM reach r JOIN e ON e.v = r.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id
+            FROM reach GROUP BY u
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

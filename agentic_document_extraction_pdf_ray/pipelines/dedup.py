@@ -559,3 +559,120 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
 
     return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
             .groupby("_pb").map_groups(min_bucket, batch_format="pandas"))
+
+
+def doc_dup_components(sf_dir: str, n_buckets: int = 32,
+                       max_iters: int = 30) -> ray.data.Dataset:
+    """Connected components over the near-dup pair graph: every document
+    in a duplicate FAMILY gets the family's canonical id (min doc_id in
+    its component) — the clustering step that turns pairwise near-dup
+    evidence into keep-one-per-family curation decisions, including
+    chains (a~b, b~c without a~c) that pairwise keep-first misses.
+    Generalizes the reference's transitive duplicate grouping
+    (``/root/reference/src/export/consolidated_export.py:53-83`` groups
+    by one shared key, which IS a 1-hop component) to arbitrary pairwise
+    near-dup evidence. SQL-matched against a DuckDB recursive-CTE
+    reachability oracle.
+    """
+    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    return _connected_components(pairs, n_buckets=n_buckets,
+                                 max_iters=max_iters)
+
+
+def _connected_components(pairs: ray.data.Dataset, n_buckets: int = 32,
+                          max_iters: int = 30) -> ray.data.Dataset:
+    """Distributed min-label propagation (Pregel-style; the
+    iterative-algorithm recipe this engine documents — a driver loop
+    over O(diameter) ROUNDS, each round fully distributed):
+
+    1. ``pairs`` (doc_a, doc_b) is expanded to both directions and
+       materialized ONCE (the expensive pair plan must not re-execute
+       per round under lazy lineage);
+    2. labels init: distinct nodes, label = own id — only docs that
+       appear in some pair participate (singletons are their own
+       trivial cluster and never enter the exchange);
+    3. each round co-groups (edge keyed by v) with (label keyed by
+       node) in one bucketed shuffle, emits ``(u, label[v])`` plus the
+       node's own label, and min-reduces by u in a second bucketed
+       shuffle; the new label table is materialized (it is bounded by
+       the dup-family population, not the corpus);
+    4. labels only ever DECREASE, so ``sum(label)`` is a monotone
+       convergence witness: the loop stops the first round the sum is
+       unchanged. Chains of length L converge in ≤L rounds; the driver
+       holds only two scalars per round, never the label table.
+    """
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["doc_a"].to_numpy(np.int64)
+        bb = b["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.concatenate([a, bb]),
+                             "v": np.concatenate([bb, a])})
+
+    edges = (pairs.map_batches(both_dirs, batch_format="pandas")
+             .materialize())
+
+    def init_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(b["u"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "node": n, "label": n,
+            "_bucket": bucket_int_array(n, n_buckets)})
+
+    def first_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("node")[["node", "label"]]
+
+    labels = (edges.map_batches(init_nodes, batch_format="pandas")
+              .groupby("_bucket").map_groups(first_per_node,
+                                             batch_format="pandas")
+              .materialize())
+    prev_sum = labels.sum("label")
+
+    def tag_label(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["node"], "u": b["node"], "label": b["label"],
+            "is_edge": False,
+            "_bucket": bucket_int_array(b["node"].to_numpy(np.int64),
+                                        n_buckets)})
+
+    def tag_edge(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": b["v"], "u": b["u"], "label": np.int64(-1),
+            "is_edge": True,
+            "_bucket": bucket_int_array(b["v"].to_numpy(np.int64),
+                                        n_buckets)})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[~g["is_edge"]]
+        lmap = pd.Series(lab["label"].to_numpy(np.int64),
+                         index=lab["key"].to_numpy(np.int64))
+        e = g[g["is_edge"]]
+        cand = pd.DataFrame({
+            "u": e["u"].to_numpy(np.int64),
+            "label": lmap.reindex(e["key"].to_numpy(np.int64))
+                         .to_numpy(np.int64)})
+        own = pd.DataFrame({"u": lab["u"].to_numpy(np.int64),
+                            "label": lab["label"].to_numpy(np.int64)})
+        out = pd.concat([cand, own], ignore_index=True)
+        out["_b2"] = bucket_int_array(out["u"].to_numpy(np.int64), n_buckets)
+        return out
+
+    def min_label(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("u", as_index=False)["label"].min()
+                .rename(columns={"u": "node"}))
+
+    for _ in range(max_iters):
+        tagged = (labels.map_batches(tag_label, batch_format="pandas")
+                  .union(edges.map_batches(tag_edge, batch_format="pandas")))
+        labels = (tagged.groupby("_bucket")
+                  .map_groups(propagate, batch_format="pandas")
+                  .groupby("_b2")
+                  .map_groups(min_label, batch_format="pandas")
+                  .materialize())
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["node"].to_numpy(np.int64),
+                             "cluster_id": b["label"].to_numpy(np.int64)})
+
+    return labels.map_batches(rename, batch_format="pandas")

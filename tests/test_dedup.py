@@ -231,3 +231,49 @@ class TestSimHashNearDup:
         pairs = list(zip(df["doc_a"], df["doc_b"]))
         assert len(pairs) == len(set(pairs)) == n * (n - 1) // 2
         assert (df["hamming"] == 0).all()
+
+
+class TestDupComponents:
+    """Connected components over near-dup pairs (min-label propagation)."""
+
+    def _cc(self, pairs_df):
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            _connected_components,
+        )
+        out = (_connected_components(ray.data.from_pandas(pairs_df),
+                                     n_buckets=4).to_pandas())
+        if out.empty:                         # Ray drops schema on 0 rows
+            return {}
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return dict(zip(out["doc_id"], out["cluster_id"]))
+
+    def test_chain_collapses_transitively(self, ray_session):
+        """a~b, b~c, ... without a~c: the whole 10-node chain must land
+        in ONE cluster labelled by its min doc_id — the case pairwise
+        keep-first dedup misses — while an unrelated pair stays its own
+        component."""
+        import pandas as pd
+        pairs = pd.DataFrame({
+            "doc_a": list(range(10, 19)) + [3],
+            "doc_b": list(range(11, 20)) + [7]})
+        got = self._cc(pairs)
+        assert {got[i] for i in range(10, 20)} == {10}
+        assert got[3] == got[7] == 3
+        assert len(got) == 12                 # singletons never emitted
+
+    def test_cycle_and_dup_edges(self, ray_session):
+        """Cycles and repeated/self-inconsistent edge lists converge to
+        the same fixpoint (labels only decrease; sum is the witness)."""
+        import pandas as pd
+        pairs = pd.DataFrame({
+            "doc_a": [1, 2, 3, 1, 2],
+            "doc_b": [2, 3, 1, 2, 3]})        # triangle, dup edges
+        assert self._cc(pairs) == {1: 1, 2: 1, 3: 1}
+
+    def test_empty_pair_graph(self, ray_session):
+        import pandas as pd
+        pairs = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        assert self._cc(pairs) == {}

@@ -335,6 +335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_tdigest": events.events_value_tdigest,     # rows-only (approx t-digest, pytest error-bounded)
         "events_user_paths": events.events_user_paths,           # SQL-matched (ordered string_agg)
         "events_daily_pivot": events.events_daily_pivot,         # SQL-matched (pivot/conditional agg)
+        "events_daily_unpivot": events.events_daily_unpivot,     # SQL-matched (UNPIVOT/melt)
+        "events_user_running_total": events.events_user_running_total,  # SQL-matched (running-total window)
+        "events_cube": events.events_cube,                       # SQL-matched (CUBE grouping sets)
         "doc_bottomk_sample": documents.doc_bottomk_sample,      # SQL-matched (fixed-size hash sample)
         "doc_vocab_topk": documents.doc_vocab_topk,              # SQL-matched (corpus vocabulary tf/df)
         "doc_top_terms": documents.doc_top_terms,                # SQL-matched (TF-IDF-class ranking)
@@ -482,6 +485,18 @@ def _events_daily_pivot_sql() -> str:
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                {arms}
         FROM events GROUP BY day
+    """
+
+
+def _events_daily_unpivot_sql() -> str:
+    """UNPIVOT arm list generated from the SAME constant the engine melts
+    (events.EVENT_TYPES) — one source of truth with the pivot oracle."""
+    from agentic_document_extraction_pdf_ray.pipelines.events import EVENT_TYPES
+    arms = ", ".join(f"n_{t}" for t in EVENT_TYPES)
+    return f"""
+        WITH p AS ({_events_daily_pivot_sql()})
+        SELECT day, metric, n
+        FROM (UNPIVOT p ON {arms} INTO NAME metric VALUE n)
     """
 
 
@@ -1195,6 +1210,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "events_daily_pivot": _events_daily_pivot_sql(),
+        "events_daily_unpivot": _events_daily_unpivot_sql(),
+        "events_user_running_total": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(floor(value*100+0.5) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(cents) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS running_cents
+            FROM e
+        """,
+        # Genuine GROUP BY CUBE; neither dimension is ever NULL in the
+        # input, so coalescing the subtotal NULL slots to 'ALL' (the
+        # engine's sentinel) is unambiguous without GROUPING().
+        "events_cube": """
+            WITH e AS (SELECT event_type, strftime(ts, '%w') AS dow,
+                              CAST(floor(value*100+0.5) AS BIGINT) AS cents
+                       FROM events)
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(dow, 'ALL') AS dow,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM e GROUP BY CUBE(event_type, dow)
+        """,
         "doc_bottomk_sample": """
             SELECT doc_id,
                    md5(CAST(doc_id AS VARCHAR) || '|bk') AS sample_key

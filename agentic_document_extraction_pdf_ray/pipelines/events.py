@@ -676,3 +676,106 @@ def events_sliding_2d(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby(["event_type", "w"]).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_cents", alias_name="sum_cents"))
+
+
+def events_user_running_total(sf_dir: str,
+                              n_buckets: int = 64) -> ray.data.Dataset:
+    """Running-total window class (``SUM ... OVER (PARTITION BY user
+    ORDER BY ts ROWS UNBOUNDED PRECEDING)``): per event, the user's
+    cumulative spend-to-date in integer cents.
+
+    Ray Data has no window functions; the plan is the engine's standard
+    bucketed-window recipe: hash-bucket by user (one bounded shuffle —
+    the window never needs a global sort, only per-user order), then one
+    vectorized mergesort + grouped cumsum per bucket. Integer cents make
+    the prefix sums order-independent and bit-identical to the oracle.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": batch["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "ts": batch["ts"],
+            "cents": np.floor(batch["value"].to_numpy() * 100.0
+                              + 0.5).astype(np.int64),
+            "_bucket": bucket_int_array(uid, n_buckets)})
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        run = g.groupby("user_id", sort=False)["cents"].cumsum()
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "running_cents": run.to_numpy(np.int64)})
+
+    return (read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+            .map_batches(keyed, batch_format="pandas")
+            .groupby("_bucket").map_groups(running, batch_format="pandas"))
+
+
+def events_daily_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT / melt class: the wide daily pivot folded back to long
+    (day, metric, n) rows — the inverse projection of
+    :func:`events_daily_pivot`, one row per (day, event-type counter).
+
+    The melt is a per-batch constant-column reshape on the already-small
+    pivot aggregate; metric names come from the same ``EVENT_TYPES``
+    constant that generates both the pivot columns and the oracle's
+    UNPIVOT arm list (one source of truth). Zero-count cells are kept:
+    UNPIVOT of a dense wide table is dense."""
+    def melt(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.melt(id_vars=["day"],
+                         value_vars=[f"n_{t}" for t in EVENT_TYPES],
+                         var_name="metric", value_name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (events_daily_pivot(sf_dir)
+            .map_batches(melt, batch_format="pandas"))
+
+
+def events_cube(sf_dir: str) -> ray.data.Dataset:
+    """CUBE grouping-sets class (the all-subtotals companion of the r3
+    ROLLUP operator): count + cents sum over every subset of
+    {event_type, day-of-week}, subtotal slots filled with ``'ALL'``.
+
+    All four grouping sets derive from ONE finest partial aggregate:
+    map-side (type, dow) partials → small merge groupby → a 4-way
+    replicate flat stage (constant fan-out on the ≤ |types|×7 aggregate,
+    never on raw rows) → second tiny merge groupby. The oracle is a
+    genuine ``GROUP BY CUBE`` with the NULL subtotal slots coalesced to
+    the same sentinel (neither input dimension is ever NULL, so the
+    coalesce is unambiguous without GROUPING())."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "event_type": batch["event_type"],
+            "dow": batch["ts"].dt.strftime("%w"),
+            "cents": np.floor(batch["value"].to_numpy() * 100.0
+                              + 0.5).astype(np.int64)})
+            .groupby(["event_type", "dow"], as_index=False)
+            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum")))
+
+    finest = (read_events(sf_dir, ["ts", "event_type", "value"])
+              .map_batches(partial, batch_format="pandas")
+              .groupby(["event_type", "dow"]).aggregate(
+                  Sum("n_events", alias_name="n_events"),
+                  Sum("sum_cents", alias_name="sum_cents")))
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = []
+        for mask_type, mask_dow in ((False, False), (False, True),
+                                    (True, False), (True, True)):
+            g = batch.copy()
+            if mask_type:
+                g["event_type"] = "ALL"
+            if mask_dow:
+                g["dow"] = "ALL"
+            sets.append(g)
+        return pd.concat(sets, ignore_index=True)
+
+    return (finest.map_batches(replicate, batch_format="pandas")
+            .groupby(["event_type", "dow"]).aggregate(
+                Sum("n_events", alias_name="n_events"),
+                Sum("sum_cents", alias_name="sum_cents")))

@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_prefix": dedup.dedup_exact_prefix,          # SQL-matched
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,        # SQL-matched
         "doc_dup_components": dedup.doc_dup_components,          # SQL-matched (iterative min-label CC)
+        "dup_triangles": dedup.dup_triangles,                    # SQL-matched (triangle enumeration)
+        "doc_lang_entropy": documents.doc_lang_entropy,          # SQL-matched (grouped Shannon entropy)
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,            # rows-only (approx)
         "simhash_near_dup": dedup.simhash_near_dup_pairs,        # rows-only (pigeonhole-exact, pytest-verified)
         # --- similarity search ---
@@ -857,6 +859,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, min(v) AS cluster_id
             FROM reach GROUP BY u
+        """,
+        # Same pair graph as ngram_jaccard_pairs; a<b<c ordering makes
+        # each triangle surface exactly once from the three-way join.
+        "dup_triangles": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pr AS (SELECT doc_a, doc_b FROM p
+                   JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12)
+            SELECT p1.doc_a AS doc_a, p1.doc_b AS doc_b, p2.doc_b AS doc_c
+            FROM pr p1
+            JOIN pr p2 ON p2.doc_a = p1.doc_b
+            JOIN pr p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+        """,
+        # round(x, 6) on both engines absorbs float-sum-order ulps in
+        # sum(n*log2 n); token counts underneath are exact integers.
+        "doc_lang_entropy": """
+            WITH toks AS (
+                SELECT lang,
+                       unnest(string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+            c AS (SELECT lang, token, count(*) AS n
+                  FROM toks WHERE token <> '' GROUP BY 1, 2),
+            a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+                         sum(n * log2(n)) AS s
+                  FROM c GROUP BY lang)
+            SELECT lang, n_tokens,
+                   round(log2(n_tokens) - s / n_tokens, 6) AS entropy
+            FROM a
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

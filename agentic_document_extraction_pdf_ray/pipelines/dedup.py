@@ -676,3 +676,73 @@ def _connected_components(pairs: ray.data.Dataset, n_buckets: int = 32,
                              "cluster_id": b["label"].to_numpy(np.int64)})
 
     return labels.map_batches(rename, batch_format="pandas")
+
+
+def dup_triangles(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Triangle enumeration on the near-dup pair graph (a<b<c with all
+    three edges present) — the graph-analytics companion of
+    :func:`doc_dup_components`: a triangle is the strongest 3-doc family
+    evidence (every pair agrees), where a mere component could be a
+    weak chain.
+
+    Two bucketed co-group stages over the ordered edge list (the
+    standard distributed triangle plan; edge orientation a<b bounds the
+    wedge fan-out by each node's out-degree):
+
+    1. wedges: edges keyed by their MID node (b) — (a,b) in left role,
+       (b,c) in right role — one pandas merge per bucket emits every
+       open wedge a<b<c;
+    2. close: wedges keyed by their (a,c) endpoint pair, co-grouped
+       with the edge list keyed the same way; an inner merge keeps the
+       wedges whose closing edge exists.
+
+    The pair plan is materialized once and reused in both roles.
+    """
+    pairs = (ngram_jaccard_pairs(sf_dir)
+             .select_columns(["doc_a", "doc_b"]).materialize())
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        mid = b["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame({"mid": mid,
+                             "a": b["doc_a"].to_numpy(np.int64),
+                             "c": np.int64(-1), "is_left": True,
+                             "_bucket": bucket_int_array(mid, n_buckets)})
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        mid = b["doc_a"].to_numpy(np.int64)
+        return pd.DataFrame({"mid": mid, "a": np.int64(-1),
+                             "c": b["doc_b"].to_numpy(np.int64),
+                             "is_left": False,
+                             "_bucket": bucket_int_array(mid, n_buckets)})
+
+    def wedge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]][["mid", "a"]]
+        right = g[~g["is_left"]][["mid", "c"]]
+        w = left.merge(right, on="mid")
+        key = (w["a"].to_numpy(np.int64) << 20) ^ w["c"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_a": w["a"].to_numpy(np.int64),
+                             "doc_b": w["mid"].to_numpy(np.int64),
+                             "doc_c": w["c"].to_numpy(np.int64),
+                             "is_edge": False,
+                             "_b2": bucket_int_array(key, n_buckets)})
+
+    def tag_edge(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["doc_a"].to_numpy(np.int64)
+        c = b["doc_b"].to_numpy(np.int64)
+        key = (a << 20) ^ c
+        return pd.DataFrame({"doc_a": a, "doc_b": np.int64(-1),
+                             "doc_c": c, "is_edge": True,
+                             "_b2": bucket_int_array(key, n_buckets)})
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[~g["is_edge"]]
+        e = g[g["is_edge"]][["doc_a", "doc_c"]]
+        out = w.merge(e, on=["doc_a", "doc_c"])
+        return out[["doc_a", "doc_b", "doc_c"]]
+
+    wedges = (pairs.map_batches(tag_left, batch_format="pandas")
+              .union(pairs.map_batches(tag_right, batch_format="pandas"))
+              .groupby("_bucket").map_groups(wedge, batch_format="pandas"))
+    return (wedges
+            .union(pairs.map_batches(tag_edge, batch_format="pandas"))
+            .groupby("_b2").map_groups(close, batch_format="pandas"))

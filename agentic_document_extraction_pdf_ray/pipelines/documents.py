@@ -605,3 +605,64 @@ def doc_winnow_fingerprint(sf_dir: str) -> ray.data.Dataset:
             "fp_xor": pa.array(xor.view(np.int64), pa.int64()),
         })
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_lang_entropy(sf_dir: str, n_buckets: int = 32) -> "pd.DataFrame":
+    """Per-language Shannon entropy of the token distribution (the
+    diversity/degeneracy signal a data-mixing report tracks per corpus
+    slice: near-zero entropy = a slice dominated by a few repeated
+    tokens).
+
+    Plan: per-batch (lang, token) count partials (map-side combiner, the
+    exchange is one row per distinct pair per batch) → token-hash
+    buckets, where the per-bucket groupby yields GLOBAL (lang, token)
+    counts (a token lives in exactly one bucket) and immediately folds
+    them into two per-lang partial sums: ``Σn`` (exact int64) and
+    ``Σ n·log2 n`` (float64) — so the second shuffle carries ≤ |langs|
+    rows per bucket, never the token table. Final tiny groupby + the
+    closed form ``H = log2 N − (Σ n·log2 n)/N``, rounded to 6 decimals
+    on both engines (the repo's float-sum-order convention: partial-sum
+    order differs between Ray and DuckDB by ~1 ulp, rounding absorbs
+    it)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_str_array
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False)[parents],
+            "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+        })
+        d = d[d["token"] != ""]
+        out = (d.groupby(["lang", "token"], sort=False)
+               .size().reset_index(name="n"))
+        out["_bucket"] = (hash_str_array(out["token"].to_numpy(object))
+                          % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def fold_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = g.groupby(["lang", "token"], as_index=False)["n"].sum()
+        n = c["n"].to_numpy(np.float64)
+        c["nlogn"] = n * np.log2(n)
+        agg = c.groupby("lang", as_index=False).agg(
+            n_part=("n", "sum"), s_part=("nlogn", "sum"))
+        agg["n_part"] = agg["n_part"].astype("int64")
+        return agg
+
+    merged = (read_documents(sf_dir, ["lang", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold_bucket, batch_format="pandas")
+              .groupby("lang")
+              .aggregate(Sum("n_part", alias_name="n_tokens"),
+                         Sum("s_part", alias_name="s"))
+              .to_pandas())                     # bounded: one row per lang
+
+    nn = merged["n_tokens"].to_numpy(np.float64)
+    merged["entropy"] = np.round(np.log2(nn) - merged["s"].to_numpy() / nn, 6)
+    merged["n_tokens"] = merged["n_tokens"].astype("int64")
+    return merged[["lang", "n_tokens", "entropy"]]

@@ -277,3 +277,49 @@ class TestDupComponents:
         pairs = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                               "doc_b": pd.Series([], dtype="int64")})
         assert self._cc(pairs) == {}
+
+
+class TestDupTriangles:
+    def test_designed_triangle_only(self, ray_session, tmp_path):
+        """3 identical docs close exactly one triangle; a separate
+        identical PAIR and a singleton contribute none."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            dup_triangles,
+        )
+        tri = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        duo = "one two three four five six seven eight nine ten " * 6
+        docs = [tri, tri, tri, duo, duo,
+                "totally unrelated words appear only here once " * 6]
+        tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                        "text": pa.array(docs, pa.string())})
+        d = tmp_path / "tri"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = dup_triangles(str(d)).to_pandas()
+        got = sorted(zip(out["doc_a"], out["doc_b"], out["doc_c"]))
+        assert got == [(0, 1, 2)]
+
+
+class TestLangEntropy:
+    def test_known_distribution(self, ray_session, tmp_path):
+        """lang en: tokens {a:2, b:2} → H = 1 bit; lang de: uniform over
+        4 distinct tokens → H = 2 bits; single-token lang → H = 0."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_lang_entropy,
+        )
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a a", "b b", "w x y z", "solo"], pa.string()),
+            "lang": pa.array(["en", "en", "de", "fr"], pa.string()),
+        })
+        d = tmp_path / "ent"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = (doc_lang_entropy(str(d)).set_index("lang"))
+        assert out.loc["en", "entropy"] == 1.0 and out.loc["en", "n_tokens"] == 4
+        assert out.loc["de", "entropy"] == 2.0 and out.loc["de", "n_tokens"] == 4
+        assert out.loc["fr", "entropy"] == 0.0 and out.loc["fr", "n_tokens"] == 1

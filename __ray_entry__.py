@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_components": dedup.doc_dup_components,          # SQL-matched (iterative min-label CC)
         "dup_triangles": dedup.dup_triangles,                    # SQL-matched (triangle enumeration)
         "doc_lang_entropy": documents.doc_lang_entropy,          # SQL-matched (grouped Shannon entropy)
+        "doc_gopher_flags": documents.doc_gopher_flags,          # SQL-matched (rule-based quality filters)
+        "doc_line_dedup": dedup.doc_line_dedup,                  # SQL-matched (corpus line-level dedup)
+        "doc_decontaminate": dedup.doc_decontaminate,            # SQL-matched (benchmark n-gram overlap)
+        "events_interarrival": events.events_interarrival,       # SQL-matched (LAG-diff gap stats)
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,            # rows-only (approx)
         "simhash_near_dup": dedup.simhash_near_dup_pairs,        # rows-only (pigeonhole-exact, pytest-verified)
         # --- similarity search ---
@@ -900,6 +904,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, n_tokens,
                    round(log2(n_tokens) - s / n_tokens, 6) AS entropy
             FROM a
+        """,
+        # Gopher-style rule battery: every count is an exact integer and
+        # every ratio a float64 ratio of ints — mirrored term by term.
+        "doc_gopher_flags": f"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS raw,
+                       trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS clean
+                FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(clean, ' '), t -> t <> '')) AS n_words,
+                       coalesce(list_sum(list_transform(
+                           list_filter(string_split(clean, ' '), t -> t <> ''),
+                           t -> len(t))), 0) AS sum_len,
+                       length(clean) - length(replace(clean, '#', ''))
+                         + length(clean) - length(replace(clean, '…', '')) AS n_symbols,
+                       (CASE WHEN regexp_matches(lower(clean), '(^| )the( |$)') THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(clean), '(^| )be( |$)') THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(clean), '(^| )to( |$)') THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(clean), '(^| )of( |$)') THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(clean), '(^| )and( |$)') THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(clean), '(^| )that( |$)') THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(clean), '(^| )have( |$)') THEN 1 ELSE 0 END
+                        + CASE WHEN regexp_matches(lower(clean), '(^| )with( |$)') THEN 1 ELSE 0 END
+                       ) AS n_stopwords
+                FROM base),
+            ln AS (
+                SELECT doc_id,
+                       trim(unnest(string_split(raw, chr(10))),
+                            ' ' || chr(9) || chr(13)) AS l
+                FROM base),
+            lc AS (
+                SELECT doc_id,
+                       count(*) FILTER (WHERE l <> '') AS n_lines,
+                       count(*) FILTER (WHERE l <> '' AND
+                           (starts_with(l, '- ') OR starts_with(l, '* ')
+                            OR starts_with(l, '• '))) AS n_bullet,
+                       count(*) FILTER (WHERE l <> '' AND
+                           (l LIKE '%...' OR l LIKE '%…')) AS n_ellipsis
+                FROM ln GROUP BY doc_id)
+            SELECT t.doc_id, t.n_words,
+                   CAST(t.sum_len AS DOUBLE) / greatest(t.n_words, 1) AS mean_word_len,
+                   lc.n_lines,
+                   CAST(lc.n_bullet AS DOUBLE) / greatest(lc.n_lines, 1) AS frac_bullet,
+                   CAST(lc.n_ellipsis AS DOUBLE) / greatest(lc.n_lines, 1) AS frac_ellipsis,
+                   CAST(t.n_symbols AS DOUBLE) / greatest(t.n_words, 1) AS symbol_ratio,
+                   t.n_stopwords,
+                   (t.n_words BETWEEN 50 AND 100000
+                    AND CAST(t.sum_len AS DOUBLE) / greatest(t.n_words, 1) BETWEEN 3.0 AND 10.0
+                    AND CAST(lc.n_bullet AS DOUBLE) / greatest(lc.n_lines, 1) <= 0.9
+                    AND CAST(lc.n_ellipsis AS DOUBLE) / greatest(lc.n_lines, 1) <= 0.3
+                    AND CAST(t.n_symbols AS DOUBLE) / greatest(t.n_words, 1) <= 0.1
+                    AND t.n_stopwords >= 2) AS keep
+            FROM tok t JOIN lc USING (doc_id)
+        """,
+        # Line-level corpus dedup: global keep-first by (doc_id, line_no),
+        # reassembly via ordered string_agg; trim set matches the engine.
+        "doc_line_dedup": """
+            WITH l0 AS (SELECT doc_id,
+                               string_split(coalesce(text, ''), chr(10)) AS ls
+                        FROM documents),
+            l AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ls) + 1),
+                             i -> struct_pack(no := i,
+                                 ln := trim(ls[i], ' ' || chr(9) || chr(13))))) AS s
+                  FROM l0),
+            x AS (SELECT doc_id, s.no AS line_no, s.ln AS norm
+                  FROM l WHERE s.ln <> ''),
+            k AS (SELECT *, row_number() OVER (PARTITION BY norm
+                           ORDER BY doc_id, line_no) AS rn FROM x)
+            SELECT doc_id, count(*) AS n_lines,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN norm END,
+                                       chr(10) ORDER BY line_no), '') AS clean_text
+            FROM k GROUP BY doc_id
+        """,
+        # Benchmark decontamination: distinct 8-gram semi-join between the
+        # doc_id % 7 == 0 slice and the rest.
+        "doc_decontaminate": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk
+                       FROM documents),
+            s AS (SELECT DISTINCT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 6),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                                  || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+                                  || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+                  FROM t WHERE len(tk) >= 8),
+            b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 7 = 0)
+            SELECT s.doc_id, count(*) AS n_overlap
+            FROM s JOIN b USING (sh)
+            WHERE s.doc_id % 7 <> 0
+            GROUP BY s.doc_id
+        """,
+        # LAG-diff inter-arrival stats; gaps are exact int64 microseconds.
+        "events_interarrival": """
+            WITH g AS (SELECT user_id,
+                              epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                       FROM events)
+            SELECT user_id, count(gap) + 1 AS n_events,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   sum(gap) / count(gap) AS mean_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

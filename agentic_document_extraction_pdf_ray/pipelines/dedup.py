@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -746,3 +747,129 @@ def dup_triangles(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     return (wedges
             .union(pairs.map_batches(tag_edge, batch_format="pandas"))
             .groupby("_b2").map_groups(close, batch_format="pandas"))
+
+
+def doc_line_dedup(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Line-level exact dedup across the corpus (the RefinedWeb/Dolma
+    paragraph-dedup rule): a trimmed non-empty line is kept only at its
+    globally FIRST occurrence by ``(doc_id, line_no)``; every later copy
+    in any document is removed. Emits per doc: non-empty line count,
+    removed count, and the reassembled ``clean_text``.
+
+    Two bucketed shuffles, each carrying the corpus line text once:
+
+    1. explode lines (vectorized list-flatten + parent-indices, no row
+       loop) → groupby(line-hash bucket): a line string lives in exactly
+       one bucket, so a sorted ``duplicated()`` scan marks the global
+       keeper;
+    2. groupby(doc-hash bucket): reassembly — one mergesort per bucket,
+       doc boundaries via ``np.diff``, kept lines rejoined with the
+       vectorized ``pc.binary_join`` over an Arrow ListArray (no
+       per-group Python fold).
+
+    Empty-after-trim lines are dropped entirely (Dolma behavior). The
+    trim set is the repo's SQL-matched ``' \\t\\r'``.
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        lines = pc.split_pattern(text, "\n")
+        flat = pc.utf8_trim(pc.list_flatten(lines), " \t\r")
+        par = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        line_no = np.arange(len(flat)) - starts[par] + 1
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        norm = flat.filter(pa.array(mask))
+        buckets = (hash_str_array(norm.to_numpy(zero_copy_only=False))
+                   % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False)[par][mask],
+                pa.int64()),
+            "line_no": pa.array(line_no[mask], pa.int64()),
+            "norm": norm,
+            "_bucket": pa.array(buckets, pa.int64()),
+        })
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["norm", "doc_id", "line_no"], kind="mergesort")
+        g = g.assign(keep=~g.duplicated("norm").to_numpy(),
+                     _db=bucket_int_array(g["doc_id"].to_numpy(np.int64),
+                                          n_buckets))
+        return g[["doc_id", "line_no", "norm", "keep", "_db"]]
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "line_no"], kind="mergesort")
+        doc = g["doc_id"].to_numpy(np.int64)
+        keep = g["keep"].to_numpy(bool)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(doc)) + 1))
+        n_lines = np.diff(np.concatenate((starts, [len(doc)])))
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), starts)
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        values = pa.array(g["norm"].to_numpy(object)[keep], pa.string())
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values),
+            "\n")
+        return pa.table({
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_removed": pa.array(n_lines - kept_per_doc, pa.int64()),
+            "clean_text": clean,
+        })
+
+    return (read_documents(sf_dir)
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(mark, batch_format="pandas")
+            .groupby("_db").map_groups(reassemble, batch_format="pandas"))
+
+
+def doc_decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 7,
+                      n_buckets: int = 64) -> ray.data.Dataset:
+    """Benchmark decontamination check (the standard pretraining hygiene
+    op): with ``doc_id % bench_mod == 0`` as the deterministic held-out
+    "benchmark" slice, count for every TRAIN document how many of its
+    distinct word ``n``-grams also occur anywhere in the benchmark slice.
+    Emits only contaminated docs: ``(doc_id, n_overlap)``, n_overlap >= 1.
+
+    Distributed semi-join on the shingle, no broadcast (the benchmark
+    slice is corpus-fraction-sized, so a driver-built set would not scale):
+
+    1. shingle-explode both slices (shared :func:`_distinct_shingles`
+       kernel) → groupby(shingle-hash bucket): a shingle lives in exactly
+       one bucket, so a vectorized ``isin`` against the bucket's benchmark
+       shingles yields exact per-doc PARTIAL overlap counts;
+    2. groupby(doc-hash bucket): partials sum — this exchange carries one
+       narrow row per (bucket, contaminated doc), never the shingles.
+    """
+    shingles = read_documents(sf_dir).map_batches(
+        lambda b: _distinct_shingles(b, n), batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        buckets = (hash_str_array(batch["shingle"].to_numpy(
+            zero_copy_only=False)) % np.uint64(n_buckets)).astype(np.int64)
+        return (batch
+                .append_column("is_bench",
+                               pa.array(ids % bench_mod == 0, pa.bool_()))
+                .append_column("_bucket", pa.array(buckets, pa.int64())))
+
+    def bucket_overlap(g: pd.DataFrame) -> pd.DataFrame:
+        bench = g.loc[g["is_bench"], "shingle"].unique()
+        hit = g[~g["is_bench"] & g["shingle"].isin(bench)]
+        out = (hit.groupby("doc_id", as_index=False)
+               .agg(n_part=("doc_id", "size")))
+        out["_db"] = bucket_int_array(out["doc_id"].to_numpy(np.int64),
+                                      n_buckets)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_overlap=("n_part", "sum"))
+        out["n_overlap"] = out["n_overlap"].astype("int64")
+        return out
+
+    return (shingles.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(bucket_overlap,
+                                           batch_format="pandas")
+            .groupby("_db").map_groups(fold, batch_format="pandas"))

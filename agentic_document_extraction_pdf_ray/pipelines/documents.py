@@ -666,3 +666,95 @@ def doc_lang_entropy(sf_dir: str, n_buckets: int = 32) -> "pd.DataFrame":
     merged["entropy"] = np.round(np.log2(nn) - merged["s"].to_numpy() / nn, 6)
     merged["n_tokens"] = merged["n_tokens"].astype("int64")
     return merged[["lang", "n_tokens", "entropy"]]
+
+
+# Gopher/C4-style rule-based filter constants (Rae et al. 2021 §A1.1,
+# public thresholds; the stopword list is the classic 8-word presence set).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_BULLET, GOPHER_MAX_ELLIPSIS = 0.9, 0.3
+GOPHER_MAX_SYMBOL = 0.1
+GOPHER_MIN_STOPWORDS = 2
+
+
+def doc_gopher_flags(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style rule-based quality filter battery: word-count bounds,
+    mean word length, bullet/ellipsis line fractions, symbol-to-word
+    ratio, stopword presence — the standard pretraining-corpus heuristics
+    (Rae et al. 2021), as ONE vectorized Arrow pass per batch; ``keep``
+    is the conjunction.
+
+    Purely per-row (embarrassingly parallel, no shuffle). All counts are
+    exact integers, all ratios float64 ratios of ints, so every column is
+    bit-identical to the DuckDB oracle. Line stats trim ``' \\t\\r'``
+    explicitly (the repo's SQL-matched trim-set convention) and count only
+    non-empty lines; token stats count only non-empty tokens of the
+    whitespace-normalized text.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        clean = _norm_ws(text)
+        lower = pc.utf8_lower(clean)
+        n = len(batch)
+
+        toks = pc.split_pattern(clean, " ")
+        tpar = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(pc.list_flatten(toks)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tmask = tlen > 0
+        n_words = np.bincount(tpar[tmask], minlength=n).astype(np.int64)
+        sum_len = np.bincount(tpar[tmask], weights=tlen[tmask],
+                              minlength=n).astype(np.int64)
+        mwl = sum_len / np.maximum(n_words, 1)
+
+        lines = pc.split_pattern(text, "\n")
+        lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        lflat = pc.utf8_trim(pc.list_flatten(lines), " \t\r")
+        lmask = pc.not_equal(lflat, "").to_numpy(zero_copy_only=False)
+        bullet = pc.or_(pc.or_(pc.starts_with(lflat, "- "),
+                               pc.starts_with(lflat, "* ")),
+                        pc.starts_with(lflat, "• ")).to_numpy(
+            zero_copy_only=False)
+        ell = pc.or_(pc.ends_with(lflat, "..."),
+                     pc.ends_with(lflat, "…")).to_numpy(zero_copy_only=False)
+        n_lines = np.bincount(lpar[lmask], minlength=n).astype(np.int64)
+        n_bullet = np.bincount(lpar[lmask & bullet],
+                               minlength=n).astype(np.int64)
+        n_ellipsis = np.bincount(lpar[lmask & ell],
+                                 minlength=n).astype(np.int64)
+        ldenom = np.maximum(n_lines, 1)
+        frac_bullet = n_bullet / ldenom
+        frac_ellipsis = n_ellipsis / ldenom
+
+        n_symbols = (pc.count_substring(clean, "#").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            + pc.count_substring(clean, "…").to_numpy(
+                zero_copy_only=False).astype(np.int64))
+        symbol_ratio = n_symbols / np.maximum(n_words, 1)
+
+        n_stop = np.zeros(n, np.int64)
+        for w in GOPHER_STOPWORDS:
+            n_stop += pc.match_substring_regex(
+                lower, f"(^| ){w}( |$)").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+
+        keep = ((n_words >= GOPHER_MIN_WORDS)
+                & (n_words <= GOPHER_MAX_WORDS)
+                & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+                & (frac_bullet <= GOPHER_MAX_BULLET)
+                & (frac_ellipsis <= GOPHER_MAX_ELLIPSIS)
+                & (symbol_ratio <= GOPHER_MAX_SYMBOL)
+                & (n_stop >= GOPHER_MIN_STOPWORDS))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mwl, pa.float64()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "frac_bullet": pa.array(frac_bullet, pa.float64()),
+            "frac_ellipsis": pa.array(frac_ellipsis, pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")

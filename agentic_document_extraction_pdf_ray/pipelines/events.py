@@ -779,3 +779,45 @@ def events_cube(sf_dir: str) -> ray.data.Dataset:
             .groupby(["event_type", "dow"]).aggregate(
                 Sum("n_events", alias_name="n_events"),
                 Sum("sum_cents", alias_name="sum_cents")))
+
+
+def events_interarrival(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user inter-arrival-time stats (LAG-diff class): for every user
+    with >= 2 events, the count, max gap, and mean gap between consecutive
+    events ordered by ``(ts, event_id)``.
+
+    One hash-bucket shuffle on ``user_id`` (a user's history lands in one
+    bucket task); inside the bucket a single mergesort + ``np.diff`` over
+    the whole bucket at once, with a boolean same-user mask cutting the
+    cross-user diffs — no per-user loop. Gaps are exact int64 microseconds
+    (``datetime64[us]`` view), the mean is a float64 ratio of ints, so the
+    result is bit-identical to the DuckDB ``lag(epoch_us(ts))`` oracle.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=bucket_int_array(
+            batch["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(ts_us)
+        same = uid[1:] == uid[:-1]
+        d = pd.DataFrame({"user_id": uid[1:][same], "gap": gap[same]})
+        out = d.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), max_gap_us=("gap", "max"),
+            sum_gap=("gap", "sum"))
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "n_events": (out["n_gaps"] + 1).to_numpy(np.int64),
+            "max_gap_us": out["max_gap_us"].to_numpy(np.int64),
+            "mean_gap_us": (out["sum_gap"].to_numpy(np.int64)
+                            / out["n_gaps"].to_numpy(np.int64)),
+        })
+
+    return (read_events(sf_dir, ["user_id", "ts", "event_id"])
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

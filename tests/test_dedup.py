@@ -323,3 +323,89 @@ class TestLangEntropy:
         assert out.loc["en", "entropy"] == 1.0 and out.loc["en", "n_tokens"] == 4
         assert out.loc["de", "entropy"] == 2.0 and out.loc["de", "n_tokens"] == 4
         assert out.loc["fr", "entropy"] == 0.0 and out.loc["fr", "n_tokens"] == 1
+
+
+class TestLineDedup:
+    def test_designed_corpus(self, ray_session, tmp_path):
+        """Line 'shared' first appears in doc 0 line 2; its copies in
+        doc 0 line 4 and doc 1 line 1 are removed. Whitespace-only lines
+        are dropped; trailing \\r is trimmed before comparison."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_line_dedup,
+        )
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([
+                "only in zero\nshared\n   \nshared",
+                "shared\r\nunique line here",
+            ], pa.string()),
+        })
+        d = tmp_path / "ld"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = (doc_line_dedup(str(d)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert out.loc[0, "n_lines"] == 3 and out.loc[0, "n_removed"] == 1
+        assert out.loc[0, "clean_text"] == "only in zero\nshared"
+        assert out.loc[1, "n_lines"] == 2 and out.loc[1, "n_removed"] == 1
+        assert out.loc[1, "clean_text"] == "unique line here"
+
+
+class TestDecontaminate:
+    def test_designed_overlap(self, ray_session, tmp_path):
+        """doc 0 (0 % 7 == 0) is benchmark; doc 1 embeds 9 of its tokens
+        (= two distinct 8-grams); doc 2 is clean; doc 7 is benchmark and
+        never reported even though it overlaps doc 0."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_decontaminate,
+        )
+        bench = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 7], pa.int64()),
+            "text": pa.array([
+                bench,
+                "x1 x2 " + " ".join(bench.split()[:9]) + " x3",
+                "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11",
+                bench,
+            ], pa.string()),
+        })
+        d = tmp_path / "dc"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = doc_decontaminate(str(d)).to_pandas()
+        assert sorted(zip(out["doc_id"], out["n_overlap"])) == [(1, 2)]
+
+
+class TestGopherFlags:
+    def test_designed_values(self, ray_session, tmp_path):
+        """doc 0: 60 stopword-bearing words -> keep; doc 1: too short and
+        stopword-free -> reject with the expected per-column values."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_gopher_flags,
+        )
+        good = ("the cat and dog have fun with all of that stuff here "
+                * 5).strip()          # 60 words, 6 distinct stopwords
+        bad = "- bullet one\n- bullet two\nxxxx yyyy…"
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([good, bad], pa.string()),
+        })
+        d = tmp_path / "gf"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = (doc_gopher_flags(str(d)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert out.loc[0, "n_words"] == 60
+        assert out.loc[0, "n_stopwords"] == 6
+        assert bool(out.loc[0, "keep"])
+        assert out.loc[1, "n_words"] == 8
+        assert out.loc[1, "n_lines"] == 3
+        assert out.loc[1, "frac_bullet"] == 2 / 3
+        assert out.loc[1, "symbol_ratio"] == 1 / 8
+        assert not bool(out.loc[1, "keep"])

@@ -211,3 +211,35 @@ class TestTDigest:
         assert len(m) <= 2 * TDIGEST_DELTA
         m2, w2 = tdigest_merge([(m, w), (m, w)])
         assert w2.sum() == pytest.approx(20_000)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInterarrival:
+    def test_matches_bruteforce(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_interarrival)
+        got = (events_interarrival(SF_DIR).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+
+        ev = _events().sort_values(["user_id", "ts", "event_id"])
+        rows = []
+        for uid, g in ev.groupby("user_id"):
+            if len(g) < 2:
+                continue
+            ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            gap = np.diff(ts)
+            rows.append({"user_id": uid, "n_events": len(g),
+                         "max_gap_us": int(gap.max()),
+                         "mean_gap_us": gap.sum() / len(gap)})
+        want = (pd.DataFrame(rows).sort_values("user_id")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["user_id", "n_events", "max_gap_us", "mean_gap_us"]],
+            want, check_dtype=False)
+
+    def test_single_event_users_excluded(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_interarrival)
+        got = events_interarrival(SF_DIR).to_pandas()
+        assert (got["n_events"] >= 2).all()
+        assert (got["max_gap_us"] >= 0).all()

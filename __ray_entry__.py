@@ -316,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_triangles": dedup.dup_triangles,                    # SQL-matched (triangle enumeration)
         "doc_lang_entropy": documents.doc_lang_entropy,          # SQL-matched (grouped Shannon entropy)
         "doc_gopher_flags": documents.doc_gopher_flags,          # SQL-matched (rule-based quality filters)
+        "doc_repetition_stats": documents.doc_repetition_stats,  # SQL-matched (Gopher repetition filters)
+        "source_token_kl": documents.source_token_kl,            # SQL-matched (per-source KL vs corpus)
+        "doc_per_lang_sample": documents.doc_per_lang_sample,    # SQL-matched (grouped bottom-k sample)
         "doc_line_dedup": dedup.doc_line_dedup,                  # SQL-matched (corpus line-level dedup)
         "doc_decontaminate": dedup.doc_decontaminate,            # SQL-matched (benchmark n-gram overlap)
         "events_interarrival": events.events_interarrival,       # SQL-matched (LAG-diff gap stats)
@@ -958,6 +961,71 @@ def oracle_sql() -> dict[str, str]:
                     AND CAST(t.n_symbols AS DOUBLE) / greatest(t.n_words, 1) <= 0.1
                     AND t.n_stopwords >= 2) AS keep
             FROM tok t JOIN lc USING (doc_id)
+        """,
+        # Gopher repetition filters: dup-line fractions + most-frequent
+        # 2-gram char share; champion tie-break = (count DESC, gram ASC).
+        "doc_repetition_stats": """
+            WITH base AS (SELECT doc_id, coalesce(text, '') AS raw,
+                       trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS clean
+                   FROM documents),
+            tk AS (SELECT doc_id, length(clean) AS n_chars,
+                       list_filter(string_split(clean, ' '), t -> t <> '') AS tks
+                   FROM base),
+            g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+                       i -> tks[i] || ' ' || tks[i+1])) AS gram
+                   FROM tk WHERE len(tks) >= 2),
+            gc AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+            top AS (SELECT doc_id, gram, c * len(gram) AS top_chars FROM
+                       (SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, gram) AS rn FROM gc)
+                    WHERE rn = 1),
+            ln AS (SELECT doc_id, trim(unnest(string_split(raw, chr(10))),
+                                       ' ' || chr(9) || chr(13)) AS l
+                   FROM base),
+            lnc AS (SELECT doc_id, l, count(*) AS c, len(l) AS ll
+                    FROM ln WHERE l <> '' GROUP BY doc_id, l),
+            ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nl,
+                       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS nd,
+                       CAST(sum(c * ll) AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) AS BIGINT) AS cd
+                   FROM lnc GROUP BY doc_id)
+            SELECT tk.doc_id,
+                   CAST(coalesce(ls.nd, 0) AS DOUBLE)
+                     / greatest(coalesce(ls.nl, 0), 1) AS frac_dup_lines,
+                   CAST(coalesce(ls.cd, 0) AS DOUBLE)
+                     / greatest(coalesce(ls.ca, 0), 1) AS frac_dup_line_chars,
+                   coalesce(top.gram, '') AS top_2gram,
+                   CAST(coalesce(top.top_chars, 0) AS DOUBLE)
+                     / greatest(tk.n_chars, 1) AS frac_top_2gram
+            FROM tk LEFT JOIN top USING (doc_id) LEFT JOIN ls USING (doc_id)
+        """,
+        # Per-source KL vs the corpus blend; round(.,6) absorbs
+        # float-sum-order ulps, counts underneath are exact integers.
+        "source_token_kl": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+            c AS (SELECT source, token, count(*) AS n
+                  FROM toks WHERE token <> '' GROUP BY 1, 2),
+            t AS (SELECT token, sum(n) AS nt FROM c GROUP BY token),
+            s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+                         sum(n * log2(n / CAST(nt AS DOUBLE))) AS sp
+                  FROM c JOIN t USING (token) GROUP BY source),
+            tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM s)
+            SELECT source, n_tokens,
+                   round(sp / n_tokens + log2(total / n_tokens), 6) AS kl
+            FROM s, tot
+        """,
+        "doc_per_lang_sample": """
+            WITH h AS (SELECT lang, doc_id,
+                              md5(CAST(doc_id AS VARCHAR) || '|pls') AS sample_key
+                       FROM documents),
+            r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                       ORDER BY sample_key, doc_id) AS rk FROM h)
+            SELECT lang, doc_id, sample_key, CAST(rk AS BIGINT) AS rank
+            FROM r WHERE rk <= 10
         """,
         # Line-level corpus dedup: global keep-first by (doc_id, line_no),
         # reassembly via ordered string_agg; trim set matches the engine.

@@ -758,3 +758,179 @@ def doc_gopher_flags(sf_dir: str) -> ray.data.Dataset:
             "keep": pa.array(keep, pa.bool_()),
         })
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def doc_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per doc,
+    the fraction of lines in within-doc duplicated line groups (ALL
+    copies counted, matching the char metric), the fraction of line
+    characters in those groups, and the character share of the single
+    most frequent word 2-gram (tie-break: count DESC, gram ASC —
+    mirrored in the oracle's ``row_number`` ordering).
+
+    Entirely map-side (a doc's lines and grams live in its row): one
+    pandas explode + groupby per batch, no shuffle. All ratios are
+    float64 ratios of exact ints.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> "pd.DataFrame":
+        text = pc.fill_null(batch["text"], "")
+        clean = _norm_ws(text)
+        n = len(batch)
+        n_chars = pc.utf8_length(clean).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        # ---- word-2-gram champion per doc (explode + vectorized argmax)
+        toks = pc.split_pattern(clean, " ")
+        tpar = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tflat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(tflat, "").to_numpy(zero_copy_only=False)
+        tpar = tpar[nonempty]
+        flat = pd.Series(tflat.to_numpy(zero_copy_only=False)[nonempty])
+        same = tpar[1:] == tpar[:-1]
+        grams = pd.DataFrame({
+            "row": tpar[1:][same],
+            "gram": (flat.iloc[:-1].reset_index(drop=True) + " "
+                     + flat.iloc[1:].reset_index(drop=True))[same].to_numpy(
+                object),
+        })
+        gc = (grams.groupby(["row", "gram"], sort=False)
+              .size().reset_index(name="c"))
+        gc = gc.sort_values(["row", "c", "gram"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = gc.drop_duplicates("row", keep="first")
+        top_gram = np.full(n, "", object)
+        top_chars = np.zeros(n, np.int64)
+        top_gram[top["row"].to_numpy()] = top["gram"].to_numpy(object)
+        top_chars[top["row"].to_numpy()] = (
+            top["c"].to_numpy(np.int64)
+            * top["gram"].str.len().to_numpy(np.int64))
+
+        # ---- line duplication within doc
+        lines = pc.split_pattern(text, "\n")
+        lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        lflat = pc.utf8_trim(pc.list_flatten(lines), " \t\r")
+        lmask = pc.not_equal(lflat, "").to_numpy(zero_copy_only=False)
+        ld = pd.DataFrame({
+            "row": lpar[lmask],
+            "l": lflat.to_numpy(zero_copy_only=False)[lmask],
+        })
+        ld["ll"] = ld["l"].str.len()
+        lc = (ld.groupby(["row", "l"], sort=False)
+              .agg(c=("ll", "size"), ll=("ll", "first")).reset_index())
+        lc["cl"] = lc["c"].to_numpy(np.int64) * lc["ll"].to_numpy(np.int64)
+        dup = lc["c"].to_numpy(np.int64) >= 2
+        lc["c_dup"] = np.where(dup, lc["c"].to_numpy(np.int64), 0)
+        lc["cl_dup"] = np.where(dup, lc["cl"].to_numpy(np.int64), 0)
+        stat = lc.groupby("row").agg(nl=("c", "sum"), nd=("c_dup", "sum"),
+                                     ca=("cl", "sum"), cd=("cl_dup", "sum"))
+        n_lines = np.zeros(n, np.int64)
+        n_dup = np.zeros(n, np.int64)
+        chars_all = np.zeros(n, np.int64)
+        chars_dup = np.zeros(n, np.int64)
+        ridx = stat.index.to_numpy()
+        n_lines[ridx] = stat["nl"].to_numpy(np.int64)
+        n_dup[ridx] = stat["nd"].to_numpy(np.int64)
+        chars_all[ridx] = stat["ca"].to_numpy(np.int64)
+        chars_dup[ridx] = stat["cd"].to_numpy(np.int64)
+
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "frac_dup_lines": n_dup / np.maximum(n_lines, 1),
+            "frac_dup_line_chars": chars_dup / np.maximum(chars_all, 1),
+            "top_2gram": top_gram.astype(str),
+            "frac_top_2gram": top_chars / np.maximum(n_chars, 1),
+        })
+
+    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def source_token_kl(sf_dir: str, n_buckets: int = 32) -> "pd.DataFrame":
+    """KL divergence of each source's token distribution from the corpus
+    distribution — the data-mixing drift signal (how unlike the blend a
+    slice is). Same single-token-shuffle skeleton as
+    :func:`doc_lang_entropy`: per-batch (source, token) partials →
+    token-hash buckets, where global per-token totals ``n_t`` exist
+    in-bucket (a token lives in one bucket) and fold immediately into
+    per-source partial sums ``Σ n_st·log2(n_st/n_t)`` and ``Σ n_st``;
+    closed form ``KL_s = S_s/N_s + log2(N/N_s)`` on the one-row-per-source
+    result, rounded to 6 decimals (float-sum-order convention)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_str_array
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "source": batch["source"].to_numpy(zero_copy_only=False)[parents],
+            "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
+        })
+        d = d[d["token"] != ""]
+        out = (d.groupby(["source", "token"], sort=False)
+               .size().reset_index(name="n"))
+        out["_bucket"] = (hash_str_array(out["token"].to_numpy(object))
+                          % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def fold_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = g.groupby(["source", "token"], as_index=False)["n"].sum()
+        nt = c.groupby("token")["n"].transform("sum").to_numpy(np.float64)
+        ns = c["n"].to_numpy(np.float64)
+        c["term"] = ns * np.log2(ns / nt)
+        agg = c.groupby("source", as_index=False).agg(
+            n_part=("n", "sum"), s_part=("term", "sum"))
+        agg["n_part"] = agg["n_part"].astype("int64")
+        return agg
+
+    merged = (read_documents(sf_dir, ["source", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold_bucket, batch_format="pandas")
+              .groupby("source")
+              .aggregate(Sum("n_part", alias_name="n_tokens"),
+                         Sum("s_part", alias_name="s"))
+              .to_pandas())                     # bounded: one row per source
+
+    ns = merged["n_tokens"].to_numpy(np.float64)
+    total = ns.sum()
+    merged["kl"] = np.round(
+        merged["s"].to_numpy() / ns + np.log2(total / ns), 6)
+    merged["n_tokens"] = merged["n_tokens"].astype("int64")
+    return merged[["source", "n_tokens", "kl"]]
+
+
+def doc_per_lang_sample(sf_dir: str, k: int = 10,
+                        salt: str = "pls") -> "pd.DataFrame":
+    """Per-STRATUM fixed-size sample: for every language, the k docs with
+    the smallest ``md5(doc_id|salt)`` — the grouped bottom-k-by-hash
+    primitive (each corpus slice gets exactly min(k, slice) docs,
+    deterministic across runs and partitionings).
+
+    Partial per-block bottom-k PER LANG (at most k·|langs| rows leave any
+    block) + one tiny final reduce per lang; md5-per-row is the same
+    documented DuckDB-parity price as doc_sample/doc_bottomk_sample."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> "pd.DataFrame":
+        ids = batch["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"{i}|{salt}".encode()).hexdigest()
+                for i in ids]
+        d = pd.DataFrame({"doc_id": ids, "lang": batch["lang"].to_pylist(),
+                          "sample_key": keys})
+        d = d.sort_values(["lang", "sample_key", "doc_id"], kind="mergesort")
+        return d.groupby("lang").head(k)
+
+    final = (read_documents(sf_dir, ["doc_id", "lang"])
+             .map_batches(fn, batch_format="pyarrow"))
+
+    def reduce_lang(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["sample_key", "doc_id"], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["lang", "doc_id", "sample_key", "rank"]]
+
+    return (final.groupby("lang")
+            .map_groups(reduce_lang, batch_format="pandas").to_pandas())

@@ -1,0 +1,122 @@
+"""Round-3 document-operator additions: Gopher repetition filters,
+per-source KL divergence, grouped bottom-k sampling.
+
+Designed tiny fixtures with hand-computed expectations; the DuckDB oracle
+comparison runs separately in test_queries_vs_duckdb.py."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, name, **cols):
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(pa.table(cols), str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepetitionStats:
+    def test_designed_values(self, tmp_path):
+        """doc 0: 'a b' occurs 3x among 5 2-grams of 6 tokens; 3 lines of
+        which 'dup' repeats (2 dup lines of 3 total, 6 of 16 chars)."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_repetition_stats,
+        )
+        sf = _write_docs(
+            tmp_path, "rep",
+            doc_id=pa.array([0, 1], pa.int64()),
+            text=pa.array(["dup\ndup\nlongerline\na b a b a b",
+                           "no repeats at all"], pa.string()),
+        )
+        out = (doc_repetition_stats(sf).to_pandas()
+               .set_index("doc_id").sort_index())
+        # doc 0 lines: dup, dup, longerline, a b a b a b ->
+        #   4 lines, 'dup' dup'd (2 rows), chars 3+3+10+11=27, dup chars 6
+        assert out.loc[0, "frac_dup_lines"] == 2 / 4
+        assert out.loc[0, "frac_dup_line_chars"] == 6 / 27
+        # clean text 'dup dup longerline a b a b a b': 2-gram 'a b' x3,
+        # 'b a' x2, 'dup dup' x1 ... champion 'a b' -> 3*3 chars / 30
+        assert out.loc[0, "top_2gram"] == "a b"
+        assert out.loc[0, "frac_top_2gram"] == 9 / len(
+            "dup dup longerline a b a b a b")
+        assert out.loc[1, "frac_dup_lines"] == 0.0
+        # all 2-grams unique -> champion is lexicographically smallest
+        assert out.loc[1, "top_2gram"] == "at all"
+
+    def test_tiebreak_lexicographic(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_repetition_stats,
+        )
+        sf = _write_docs(
+            tmp_path, "tie",
+            doc_id=pa.array([0], pa.int64()),
+            text=pa.array(["z y z y b a b a"], pa.string()),
+        )
+        out = doc_repetition_stats(sf).to_pandas()
+        # 'b a' and 'z y' both occur twice; 'a b' and 'y z' once each.
+        assert out.loc[0, "top_2gram"] == "b a"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceTokenKL:
+    def test_identical_sources_zero_kl(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            source_token_kl,
+        )
+        sf = _write_docs(
+            tmp_path, "kl0",
+            doc_id=pa.array([0, 1], pa.int64()),
+            text=pa.array(["a b c d", "a b c d"], pa.string()),
+            source=pa.array(["s1", "s2"], pa.string()),
+        )
+        out = source_token_kl(sf).set_index("source")
+        assert out.loc["s1", "kl"] == 0.0 and out.loc["s2", "kl"] == 0.0
+        assert out.loc["s1", "n_tokens"] == 4
+
+    def test_disjoint_sources_known_kl(self, tmp_path):
+        """Disjoint vocabularies, equal sizes: p_t = p_st/2 for every
+        token of the source, so KL = log2(2) = 1 bit exactly."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            source_token_kl,
+        )
+        sf = _write_docs(
+            tmp_path, "kl1",
+            doc_id=pa.array([0, 1], pa.int64()),
+            text=pa.array(["a a b c", "x y z w"], pa.string()),
+            source=pa.array(["s1", "s2"], pa.string()),
+        )
+        out = source_token_kl(sf).set_index("source")
+        assert out.loc["s1", "kl"] == 1.0 and out.loc["s2", "kl"] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPerLangSample:
+    def test_size_and_determinism(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_per_lang_sample,
+        )
+        rng = np.random.RandomState(7)
+        langs = rng.choice(["en", "de", "fr"], size=60)
+        sf = _write_docs(
+            tmp_path, "pls",
+            doc_id=pa.array(range(60), pa.int64()),
+            text=pa.array(["t"] * 60, pa.string()),
+            lang=pa.array(langs, pa.string()),
+        )
+        out = doc_per_lang_sample(sf, k=5)
+        assert (out.groupby("lang").size() == 5).all()
+        assert set(out["rank"]) == {1, 2, 3, 4, 5}
+        # brute-force reference: 5 smallest md5(doc_id|pls) per lang
+        keys = {i: hashlib.md5(f"{i}|pls".encode()).hexdigest()
+                for i in range(60)}
+        for lang in ("en", "de", "fr"):
+            ids = [i for i in range(60) if langs[i] == lang]
+            want = sorted(ids, key=lambda i: (keys[i], i))[:5]
+            got = (out[out["lang"] == lang].sort_values("rank")["doc_id"]
+                   .tolist())
+            assert got == want

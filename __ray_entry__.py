@@ -319,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": documents.doc_repetition_stats,  # SQL-matched (Gopher repetition filters)
         "source_token_kl": documents.source_token_kl,            # SQL-matched (per-source KL vs corpus)
         "doc_per_lang_sample": documents.doc_per_lang_sample,    # SQL-matched (grouped bottom-k sample)
+        "doc_quality_deciles": documents.doc_quality_deciles,    # SQL-matched (histogram exact quantiles)
+        "doc_fuzzy_pairs": dedup.doc_fuzzy_pairs,                # SQL-matched (blocked fuzzy join)
+        "events_funnel": events.events_funnel,                   # SQL-matched (ordered funnel)
         "doc_line_dedup": dedup.doc_line_dedup,                  # SQL-matched (corpus line-level dedup)
         "doc_decontaminate": dedup.doc_decontaminate,            # SQL-matched (benchmark n-gram overlap)
         "events_interarrival": events.events_interarrival,       # SQL-matched (LAG-diff gap stats)
@@ -1026,6 +1029,58 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY sample_key, doc_id) AS rk FROM h)
             SELECT lang, doc_id, sample_key, CAST(rk AS BIGINT) AS rank
             FROM r WHERE rk <= 10
+        """,
+        # Exact global deciles over the bounded quality domain; decile d =
+        # smallest v with cum >= (d*N + 9) // 10, pure integer arithmetic.
+        "doc_quality_deciles": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS ct FROM documents),
+            m AS (SELECT CAST(floor((0.4 * (CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                                           / CAST(greatest(length(ct), 1) AS DOUBLE))
+                              + 0.3 * least(1.0, len(string_split_regex(ct, '\\s+')) / 100.0)
+                              + 0.3 * (1.0 - CAST(length(regexp_replace(ct, '[^0-9]', '', 'g')) AS BIGINT)
+                                             / CAST(greatest(length(ct), 1) AS DOUBLE)))
+                             * 10000 + 0.5) AS BIGINT) AS q
+                  FROM c),
+            tot AS (SELECT count(*) AS n FROM m),
+            h AS (SELECT q, count(*) AS cnt FROM m GROUP BY q),
+            cum AS (SELECT q, sum(cnt) OVER (ORDER BY q) AS cum FROM h),
+            d AS (SELECT unnest(range(1, 10)) AS decile)
+            SELECT d.decile,
+                   (SELECT min(cum.q) FROM cum, tot
+                    WHERE cum.cum >= (d.decile * tot.n + 9) // 10) AS quality_x100
+            FROM d
+        """,
+        # Blocked fuzzy join: first-token blocks (cap mirrored), pairs
+        # within Levenshtein 3 on the first-8-token prefix key.
+        "doc_fuzzy_pairs": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk
+                       FROM documents),
+            k AS (SELECT doc_id, coalesce(tk[1], '') AS block,
+                         array_to_string(tk[1:8], ' ') AS key
+                  FROM t),
+            ok AS (SELECT block FROM k GROUP BY block HAVING count(*) <= 200),
+            kk AS (SELECT k.* FROM k JOIN ok USING (block))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+            FROM kk a JOIN kk b ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.key, b.key) <= 3
+        """,
+        # Ordered 3-step funnel: first view, first click strictly after
+        # it, first purchase strictly after that.
+        "events_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, min(e.ts) AS t3
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY e.user_id)
+            SELECT 'view' AS step, count(*) AS n_users FROM v
+            UNION ALL SELECT 'click_after_view', count(*) FROM c
+            UNION ALL SELECT 'purchase_after_click', count(*) FROM p
         """,
         # Line-level corpus dedup: global keep-first by (doc_id, line_no),
         # reassembly via ordered string_agg; trim set matches the engine.

@@ -873,3 +873,69 @@ def doc_decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 7,
             .groupby("_bucket").map_groups(bucket_overlap,
                                            batch_format="pandas")
             .groupby("_db").map_groups(fold, batch_format="pandas"))
+
+
+FUZZY_BLOCK_CAP = 200      # first-token blocks larger than this are skipped
+                           # from pair generation (mirrored in the oracle,
+                           # same pattern as HOT_SHINGLE_DOC_CAP)
+
+
+def doc_fuzzy_pairs(sf_dir: str, k: int = 8, max_dist: int = 3,
+                    n_buckets: int = 64) -> ray.data.Dataset:
+    """Blocked fuzzy join (record-linkage class): pairs of docs whose
+    normalized first-``k``-token prefix keys (the same key as
+    :func:`dedup_exact_prefix`) are within Levenshtein distance
+    ``max_dist``, blocked on the FIRST token — the standard
+    blocking-key + in-block edit-distance plan.
+
+    One hash-bucket shuffle on the blocking token ships only
+    ``(block, prefix_key, doc_id)``; inside a bucket, pair generation is
+    a pandas self-merge per block with blocks above ``FUZZY_BLOCK_CAP``
+    rows excluded on BOTH engines (a stopword-headed block would
+    otherwise fan out O(b²)). The per-pair DP (shared
+    ``functions.text.levenshtein_distance``, reference parity-tested) runs
+    only on in-block survivor pairs — bounded by cap² per block; at
+    production scale this is the slot where a C edit-distance kernel
+    drops in without changing the plan.
+    """
+    from ..functions.text import levenshtein_distance
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch)
+        keys = [" ".join(t[:k]) for t in toks]
+        blocks = [t[0] if t else "" for t in toks]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "block": pa.array(blocks, pa.string()),
+            "key": pa.array(keys, pa.string()),
+        })
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = (hash_str_array(batch["block"].to_numpy(
+            zero_copy_only=False)) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g["block"].value_counts()
+        g = g[g["block"].isin(sizes[sizes <= FUZZY_BLOCK_CAP].index)]
+        m = g.merge(g, on="block")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        ka = m["key_x"].to_numpy(object)
+        kb = m["key_y"].to_numpy(object)
+        dist = np.fromiter(
+            (levenshtein_distance(a, b) for a, b in zip(ka, kb)),
+            np.int64, len(m))
+        keep = dist <= max_dist
+        return pd.DataFrame({"doc_a": m["doc_id_x"].to_numpy(np.int64)[keep],
+                             "doc_b": m["doc_id_y"].to_numpy(np.int64)[keep],
+                             "dist": dist[keep]})
+
+    return (read_documents(sf_dir)
+            .map_batches(keyed, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(bucket_pairs,
+                                           batch_format="pandas"))

@@ -934,3 +934,42 @@ def doc_per_lang_sample(sf_dir: str, k: int = 10,
 
     return (final.groupby("lang")
             .map_groups(reduce_lang, batch_format="pandas").to_pandas())
+
+
+def doc_quality_deciles(sf_dir: str) -> "pd.DataFrame":
+    """Exact global deciles of the quality score WITHOUT a global sort:
+    ``quality_x100`` lives in the bounded integer domain [0, 10000], so
+    per-batch ``np.bincount`` partials + one tiny grouped sum give the
+    exact full histogram (<= 10001 rows however large the corpus), and
+    the decile cutoffs fall out of a cumsum + searchsorted on the driver.
+    Decile d = smallest value v with cum_count(v) >= ceil(d·N/10), all
+    integer arithmetic (mirrored as ``(d*N + 9) // 10`` in the oracle).
+
+    The scale story: a `sort()`-based quantile moves the whole corpus;
+    this moves <= 10001 rows per block regardless of corpus size.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        clean = _norm_ws(batch["text"])
+        *_, qx = quality_arrays(clean)
+        counts = np.bincount(qx, minlength=10001)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"q": nz.astype(np.int64),
+                             "n": counts[nz].astype(np.int64)})
+
+    hist = (read_documents(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("q").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())                       # bounded: <= 10001 rows
+    hist = hist.sort_values("q")
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1])
+    deciles = np.arange(1, 10, dtype=np.int64)
+    thresholds = (deciles * total + 9) // 10
+    idx = np.searchsorted(cum, thresholds, side="left")
+    return pd.DataFrame({
+        "decile": deciles,
+        "quality_x100": hist["q"].to_numpy(np.int64)[idx],
+    })

@@ -821,3 +821,39 @@ def events_interarrival(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             .map_batches(bucketize, batch_format="pandas")
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def events_funnel(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Ordered 3-step funnel (view → click → purchase with strictly
+    increasing timestamps, first qualifying event each): how many users
+    reach each step.
+
+    One hash-bucket shuffle on ``user_id``; inside the bucket the three
+    steps are vectorized grouped-min merges (no per-user loop). Per-bucket
+    PARTIAL step counts (3 rows per bucket) fold in a final tiny grouped
+    sum — no user-level table ever leaves a bucket task.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=bucket_int_array(
+            batch["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["event_type"] == "view"]
+             .groupby("user_id", as_index=False).agg(t1=("ts", "min")))
+        c = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = (c[c["ts"] > c["t1"]]
+             .groupby("user_id", as_index=False).agg(t2=("ts", "min")))
+        p = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = (p[p["ts"] > p["t2"]]
+             .groupby("user_id", as_index=False).agg(t3=("ts", "min")))
+        return pd.DataFrame({
+            "step": ["view", "click_after_view", "purchase_after_click"],
+            "n_part": np.array([len(v), len(c), len(p)], np.int64),
+        })
+
+    return (read_events(sf_dir, ["user_id", "ts", "event_type"])
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+            .groupby("step").aggregate(Sum("n_part", alias_name="n_users")))

@@ -126,6 +126,11 @@ def run_bench() -> dict:
         "top_customers": timed(relational.top_customers, sf_dir),
         "embedding_near_dup": timed(
             lambda d: similarity.embedding_near_dup(d).count(), sf_dir),
+        "doc_line_dedup": timed(
+            lambda d: dedup.doc_line_dedup(d).count(), sf_dir),
+        "doc_decontaminate": timed(
+            lambda d: dedup.doc_decontaminate(d).count(), sf_dir),
+        "source_token_kl": timed(documents.source_token_kl, sf_dir),
         "critic_combined": timed(
             lambda s: critic.critic_combined(s).count(), src),
         "conv_classify_fallback": timed(

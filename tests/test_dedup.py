@@ -409,3 +409,51 @@ class TestGopherFlags:
         assert out.loc[1, "frac_bullet"] == 2 / 3
         assert out.loc[1, "symbol_ratio"] == 1 / 8
         assert not bool(out.loc[1, "keep"])
+
+
+class TestFuzzyPairs:
+    def test_designed_pairs(self, ray_session, tmp_path):
+        """Docs 0/1 share the block 'alpha' and differ by one token char
+        (distance 1); doc 2 shares the block but is 3+ edits away on the
+        prefix; doc 3 has a different block entirely."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_fuzzy_pairs,
+        )
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "alpha beta gamma delta",
+                "alpha beta gamma delte",
+                "alpha completely different words here",
+                "omega beta gamma delta",
+            ], pa.string()),
+        })
+        d = tmp_path / "fz"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = doc_fuzzy_pairs(str(d)).to_pandas()
+        got = sorted(zip(out["doc_a"], out["doc_b"], out["dist"]))
+        assert got == [(0, 1, 1)]
+
+    def test_hot_block_capped(self, ray_session, tmp_path):
+        """A block larger than FUZZY_BLOCK_CAP emits no pairs (mirrored
+        in the oracle); a small block alongside still emits."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            FUZZY_BLOCK_CAP, doc_fuzzy_pairs,
+        )
+        n_hot = FUZZY_BLOCK_CAP + 10
+        texts = [f"stop word doc number {i}" for i in range(n_hot)]
+        texts += ["rare token here", "rare token hers"]
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        d = tmp_path / "hot"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = doc_fuzzy_pairs(str(d)).to_pandas()
+        assert sorted(zip(out["doc_a"], out["doc_b"])) == [(n_hot, n_hot + 1)]

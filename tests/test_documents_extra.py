@@ -120,3 +120,29 @@ class TestPerLangSample:
             got = (out[out["lang"] == lang].sort_values("rank")["doc_id"]
                    .tolist())
             assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualityDeciles:
+    def test_matches_bruteforce(self):
+        import pyarrow.compute as pc
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            _norm_ws, doc_quality_deciles, quality_arrays,
+        )
+        sf = "/root/testdata/sf0.001"
+        tbl = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        *_, qx = quality_arrays(_norm_ws(tbl["text"]))
+        qx = np.sort(qx)
+        n = len(qx)
+        got = doc_quality_deciles(sf).set_index("decile")
+        for d in range(1, 10):
+            thr = (d * n + 9) // 10
+            assert got.loc[d, "quality_x100"] == qx[thr - 1]
+
+    def test_monotone(self):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_quality_deciles,
+        )
+        out = doc_quality_deciles("/root/testdata/sf0.001")
+        assert (np.diff(out["quality_x100"].to_numpy()) >= 0).all()

@@ -243,3 +243,32 @@ class TestInterarrival:
         got = events_interarrival(SF_DIR).to_pandas()
         assert (got["n_events"] >= 2).all()
         assert (got["max_gap_us"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFunnel:
+    def test_matches_bruteforce(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_funnel)
+        got = (events_funnel(SF_DIR).to_pandas()
+               .set_index("step")["n_users"])
+
+        ev = _events()
+        nv = nc = npur = 0
+        for _, g in ev.groupby("user_id"):
+            views = g[g.event_type == "view"]["ts"]
+            if not len(views):
+                continue
+            nv += 1
+            t1 = views.min()
+            clicks = g[(g.event_type == "click") & (g.ts > t1)]["ts"]
+            if not len(clicks):
+                continue
+            nc += 1
+            t2 = clicks.min()
+            if ((g.event_type == "purchase") & (g.ts > t2)).any():
+                npur += 1
+        assert got["view"] == nv
+        assert got["click_after_view"] == nc
+        assert got["purchase_after_click"] == npur
+        assert nv >= nc >= npur and nv > 0

@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_deciles": documents.doc_quality_deciles,    # SQL-matched (histogram exact quantiles)
         "doc_fuzzy_pairs": dedup.doc_fuzzy_pairs,                # SQL-matched (blocked fuzzy join)
         "events_funnel": events.events_funnel,                   # SQL-matched (ordered funnel)
+        "doc_unigram_logprob": documents.doc_unigram_logprob,    # SQL-matched (perplexity-proxy score)
+        "events_retention": events.events_retention,             # SQL-matched (cohort retention)
         "doc_line_dedup": dedup.doc_line_dedup,                  # SQL-matched (corpus line-level dedup)
         "doc_decontaminate": dedup.doc_decontaminate,            # SQL-matched (benchmark n-gram overlap)
         "events_interarrival": events.events_interarrival,       # SQL-matched (LAG-diff gap stats)
@@ -1064,6 +1066,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
             FROM kk a JOIN kk b ON a.block = b.block AND a.doc_id < b.doc_id
             WHERE levenshtein(a.key, b.key) <= 3
+        """,
+        # Per-doc cross-entropy under the corpus unigram LM; round(.,6)
+        # absorbs float-sum-order ulps, counts underneath exact integers.
+        "doc_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+            c AS (SELECT doc_id, token, count(*) AS c
+                  FROM toks WHERE token <> '' GROUP BY 1, 2),
+            t AS (SELECT token, sum(c) AS nt FROM c GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+            d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                         sum(c * log2(nt / n)) AS s
+                  FROM c JOIN t USING (token), tot GROUP BY doc_id)
+            SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS bits_per_token
+            FROM d
+        """,
+        # Cohort retention: first-event-day cohorts, distinct active
+        # weeks per user; day arithmetic is exact integer days.
+        "events_retention": """
+            WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+            c AS (SELECT user_id, min(day) AS cday FROM d GROUP BY user_id),
+            a AS (SELECT DISTINCT d.user_id, c.cday,
+                         (d.day - c.cday) // 7 AS week_offset
+                  FROM d JOIN c USING (user_id))
+            SELECT strftime(cday, '%Y-%m-%d') AS cohort_day, week_offset,
+                   count(*) AS n_users
+            FROM a GROUP BY 1, 2
         """,
         # Ordered 3-step funnel: first view, first click strictly after
         # it, first purchase strictly after that.

@@ -857,3 +857,41 @@ def events_funnel(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             .map_batches(bucketize, batch_format="pandas")
             .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
             .groupby("step").aggregate(Sum("n_part", alias_name="n_users")))
+
+
+def events_retention(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by their FIRST-event day
+    (the cohort), counted once per ``(cohort_day, week_offset)`` they
+    were active in — the standard growth-analytics operator.
+
+    One hash-bucket shuffle on ``user_id`` (cohort min and week
+    distinctness both resolve entirely in-bucket), per-bucket vectorized
+    grouped-min + merge + drop_duplicates, partial (cohort, offset)
+    counts → final tiny grouped sum. Days are exact integers
+    (``datetime64[D]``), offsets integer floor-division by 7.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=bucket_int_array(
+            batch["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].to_numpy().astype("datetime64[D]")
+        d = pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                          "day": day.astype(np.int64)})
+        cohort = d.groupby("user_id", as_index=False).agg(cday=("day", "min"))
+        m = d.merge(cohort, on="user_id")
+        m["week_offset"] = (m["day"] - m["cday"]) // 7
+        a = m.drop_duplicates(["user_id", "week_offset"])
+        part = (a.groupby(["cday", "week_offset"], as_index=False)
+                .agg(n_part=("user_id", "size")))
+        part["cohort_day"] = part["cday"].to_numpy(
+            np.int64).astype("datetime64[D]").astype(str)
+        return part[["cohort_day", "week_offset", "n_part"]]
+
+    return (read_events(sf_dir, ["user_id", "ts"])
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+            .groupby(["cohort_day", "week_offset"])
+            .aggregate(Sum("n_part", alias_name="n_users")))

@@ -146,3 +146,36 @@ class TestQualityDeciles:
         )
         out = doc_quality_deciles("/root/testdata/sf0.001")
         assert (np.diff(out["quality_x100"].to_numpy()) >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnigramLogprob:
+    def test_known_distribution(self, tmp_path):
+        """Corpus 'a a' + 'a b': N=4, n_a=3, n_b=1. doc0 bits/token =
+        log2(4/3); doc1 = (log2(4/3) + log2(4)) / 2."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_unigram_logprob,
+        )
+        sf = _write_docs(
+            tmp_path, "lm",
+            doc_id=pa.array([0, 1], pa.int64()),
+            text=pa.array(["a a", "a b"], pa.string()),
+        )
+        out = doc_unigram_logprob(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_tokens"] == 2
+        assert out.loc[0, "bits_per_token"] == round(np.log2(4 / 3), 6)
+        assert out.loc[1, "bits_per_token"] == round(
+            (np.log2(4 / 3) + 2.0) / 2, 6)
+
+    def test_uniform_corpus(self, tmp_path):
+        """Every token unique -> every doc scores exactly log2(N)."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_unigram_logprob,
+        )
+        sf = _write_docs(
+            tmp_path, "lmu",
+            doc_id=pa.array([0, 1], pa.int64()),
+            text=pa.array(["t1 t2 t3 t4", "t5 t6 t7 t8"], pa.string()),
+        )
+        out = doc_unigram_logprob(sf).to_pandas()
+        assert (out["bits_per_token"] == 3.0).all()

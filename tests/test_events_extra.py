@@ -272,3 +272,35 @@ class TestFunnel:
         assert got["click_after_view"] == nc
         assert got["purchase_after_click"] == npur
         assert nv >= nc >= npur and nv > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRetention:
+    def test_designed_cohorts(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_retention)
+        ts = pa.array(np.array(
+            ["2020-01-01", "2020-01-03",   # u1 cohort 01-01, weeks 0,0
+             "2020-01-09",                 # u1 week 1
+             "2020-01-01",                 # u2 cohort 01-01, week 0
+             "2020-01-02", "2020-01-20"],  # u3 cohort 01-02, weeks 0,2
+            dtype="datetime64[us]"))
+        tbl = pa.table({
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            "event_type": pa.array(["view"] * 6, pa.string()),
+            "value": pa.array([0.0] * 6, pa.float64()),
+            "props": pa.array(["{}"] * 6, pa.string()),
+        })
+        d = tmp_path / "ret"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        out = (events_retention(str(d)).to_pandas()
+               .set_index(["cohort_day", "week_offset"])["n_users"]
+               .to_dict())
+        assert out == {("2020-01-01", 0): 2, ("2020-01-01", 1): 1,
+                       ("2020-01-02", 0): 1, ("2020-01-02", 2): 1}

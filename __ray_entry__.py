@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": events.events_funnel,                   # SQL-matched (ordered funnel)
         "doc_unigram_logprob": documents.doc_unigram_logprob,    # SQL-matched (perplexity-proxy score)
         "events_retention": events.events_retention,             # SQL-matched (cohort retention)
+        "events_anomaly_days": events.events_anomaly_days,       # SQL-matched (trailing-window z-score)
+        "brand_cooccurrence": events.brand_cooccurrence,         # SQL-matched (market-basket pairs)
+        "events_heavy_hitters": events.events_heavy_hitters,     # rows-only (MG sketch, pytest error-bounded)
         "doc_line_dedup": dedup.doc_line_dedup,                  # SQL-matched (corpus line-level dedup)
         "doc_decontaminate": dedup.doc_decontaminate,            # SQL-matched (benchmark n-gram overlap)
         "events_interarrival": events.events_interarrival,       # SQL-matched (LAG-diff gap stats)
@@ -1096,6 +1099,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(cday, '%Y-%m-%d') AS cohort_day, week_offset,
                    count(*) AS n_users
             FROM a GROUP BY 1, 2
+        """,
+        # Trailing-calendar-window z-score; counts/squares exact ints,
+        # one float expression mirrored term-for-term, round 6.
+        "events_anomaly_days": """
+            WITH dly AS (SELECT event_type,
+                                CAST(floor(epoch(ts)/86400) AS BIGINT) AS d,
+                                count(*) AS n
+                         FROM events GROUP BY 1, 2),
+            w AS (SELECT event_type, d, n,
+                         count(n) OVER win AS k,
+                         sum(n) OVER win AS s,
+                         sum(n*n) OVER win AS ss
+                  FROM dly
+                  WINDOW win AS (PARTITION BY event_type ORDER BY d
+                                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, d, n AS n_events, CAST(k AS BIGINT) AS w_days,
+                   round((n - CAST(s AS DOUBLE) / k)
+                         / sqrt((ss - CAST(s AS DOUBLE) * s / k) / k), 6) AS z
+            FROM w
+            WHERE k >= 4 AND (ss - CAST(s AS DOUBLE) * s / k) / k > 0
+        """,
+        # Market-basket brand pairs per order (brand_a < brand_b).
+        "brand_cooccurrence": """
+            WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                        FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS n_orders
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
         """,
         # Ordered 3-step funnel: first view, first click strictly after
         # it, first purchase strictly after that.

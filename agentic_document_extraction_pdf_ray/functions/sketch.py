@@ -127,3 +127,40 @@ def tdigest_quantile(means: np.ndarray, weights: np.ndarray,
     cum = np.cumsum(weights) - weights / 2.0
     total = weights.sum()
     return np.interp(np.asarray(qs, np.float64) * total, cum, means)
+
+
+# ------------------------------------------------------------ Misra-Gries
+# Heavy-hitters summary with k counters: any key with true frequency
+# > n/(k+1) is guaranteed present, and each kept count undercounts the
+# truth by at most n/(k+1) (Misra & Gries 1982). Summaries MERGE by
+# counter addition + the standard subtract-(k+1)-th-largest reduction
+# (Agarwal et al. 2012), preserving the same error bound over the total
+# stream length.
+
+def mg_fold(keys: np.ndarray, counts: np.ndarray, k: int) -> dict:
+    """Fold exact (key, count) partials into a k-counter MG summary.
+
+    Vectorized: sort by count descending, keep the top k, subtract the
+    (k+1)-th largest count from the survivors (the batched equivalent of
+    decrement-all; same guarantee, one pass)."""
+    if len(keys) <= k:
+        return dict(zip(keys.tolist(), counts.tolist()))
+    order = np.argsort(-counts, kind="stable")
+    thresh = counts[order[k]]
+    kept = order[:k]
+    newc = counts[kept] - thresh
+    pos = newc > 0
+    return dict(zip(keys[kept][pos].tolist(), newc[pos].tolist()))
+
+
+def mg_merge(summaries: list[dict], k: int) -> dict:
+    """Merge MG summaries: add counters, then reduce back to k."""
+    total: dict = {}
+    for s in summaries:
+        for key, c in s.items():
+            total[key] = total.get(key, 0) + c
+    if len(total) <= k:
+        return total
+    keys = np.array(list(total.keys()))
+    counts = np.array(list(total.values()), np.int64)
+    return mg_fold(keys, counts, k)

@@ -895,3 +895,151 @@ def events_retention(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             .groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
             .groupby(["cohort_day", "week_offset"])
             .aggregate(Sum("n_part", alias_name="n_users")))
+
+
+def events_anomaly_days(sf_dir: str, min_window: int = 4) -> pd.DataFrame:
+    """Trailing-window anomaly detection over the daily rollup: per
+    (event_type, day), the z-score of the day's event count against the
+    PRIOR calendar days in [d-7, d-1] (population variance). Emitted only
+    where the window holds >= ``min_window`` prior days and has nonzero
+    variance.
+
+    Same shape as :func:`events_daily_ma7`: the distributed work is the
+    partial+final daily rollup; the window scan runs on the bounded
+    |types| × |days| aggregate via per-type prefix sums over counts AND
+    squared counts (integer-exact), then one float expression mirrored
+    term-for-term in the oracle, rounded to 6 decimals."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        secs = (batch["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds()
+        days = np.floor(secs.to_numpy() / 86400.0).astype(np.int64)
+        return (pd.DataFrame({"event_type": batch["event_type"], "d": days})
+                .groupby(["event_type", "d"], as_index=False)
+                .agg(n=("d", "size")))
+
+    daily = (read_events(sf_dir, ["ts", "event_type"])
+             .map_batches(partial, batch_format="pandas")
+             .groupby(["event_type", "d"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())                      # bounded: |types| × |days|
+
+    parts = []
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("d").reset_index(drop=True)
+        d = g["d"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        ps = np.concatenate(([0], np.cumsum(n)))
+        pss = np.concatenate(([0], np.cumsum(n * n)))
+        lo = np.searchsorted(d, d - 7, side="left")
+        hi = np.searchsorted(d, d - 1, side="right")
+        k = (hi - lo).astype(np.int64)
+        s = (ps[hi] - ps[lo]).astype(np.float64)
+        ss = (pss[hi] - pss[lo]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (ss - s * s / k) / k
+            z = (n - s / k) / np.sqrt(var)
+        keep = (k >= min_window) & (var > 0)
+        parts.append(pd.DataFrame({
+            "event_type": np.repeat(et, keep.sum()),
+            "d": d[keep], "n_events": n[keep],
+            "w_days": k[keep], "z": np.round(z[keep], 6)}))
+    return pd.concat(parts, ignore_index=True)
+
+
+def brand_cooccurrence(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Market-basket co-occurrence: pairs of part brands appearing in the
+    SAME order, with the number of co-occurring orders (brand_a <
+    brand_b) — the affinity-mining operator class.
+
+    Two bucketed co-group stages, then a tiny grouped sum:
+
+    1. partkey buckets: lineitem's (orderkey, partkey) co-grouped with
+       part's (partkey, brand) — one vectorized merge per bucket attaches
+       the brand (the large-large join pattern; neither side broadcast);
+    2. orderkey buckets: per-order DISTINCT brand sets (completed
+       in-bucket — an order lives in one bucket) self-merge into ordered
+       pairs; per-bucket partial pair counts;
+    3. final groupby over the ≤ |brands|² pair space.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import bucket_int_array
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pt = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+
+    def tag_li(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["l_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"pk": pk,
+                             "okey": b["l_orderkey"].to_numpy(np.int64),
+                             "brand": "",
+                             "_bucket": bucket_int_array(pk, n_buckets)})
+
+    def tag_pt(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({"pk": pk, "okey": np.int64(-1),
+                             "brand": b["p_brand"].astype(str),
+                             "_bucket": bucket_int_array(pk, n_buckets)})
+
+    def attach_brand(g: pd.DataFrame) -> pd.DataFrame:
+        parts = g[g["okey"] < 0][["pk", "brand"]]
+        lines = g[g["okey"] >= 0][["pk", "okey"]]
+        m = lines.merge(parts, on="pk")[["okey", "brand"]].drop_duplicates()
+        m["_ob"] = bucket_int_array(m["okey"].to_numpy(np.int64), n_buckets)
+        return m
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["okey", "brand"]].drop_duplicates()
+        m = g.merge(g, on="okey")
+        m = m[m["brand_x"] < m["brand_y"]]
+        return (m.groupby(["brand_x", "brand_y"], as_index=False)
+                .agg(n_part=("okey", "size"))
+                .rename(columns={"brand_x": "brand_a",
+                                 "brand_y": "brand_b"}))
+
+    return (li.map_batches(tag_li, batch_format="pandas")
+            .union(pt.map_batches(tag_pt, batch_format="pandas"))
+            .groupby("_bucket").map_groups(attach_brand,
+                                           batch_format="pandas")
+            .groupby("_ob").map_groups(order_pairs, batch_format="pandas")
+            .groupby(["brand_a", "brand_b"])
+            .aggregate(Sum("n_part", alias_name="n_orders")))
+
+
+def events_heavy_hitters(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """Approximate top users by event count via a mergeable Misra-Gries
+    summary (functions/sketch.py): any user with > n/(k+1) of all events
+    is GUARANTEED in the output, and every kept count undercounts truth
+    by at most n/(k+1).
+
+    Map-side: exact per-batch (user, count) partials fold into a
+    k-counter summary — k rows leave each block however many users it
+    saw; driver merges ≤ k·n_blocks counters. The error bound and the
+    merge==fold property are pytest-asserted against exact counts
+    (rows-only query, approximate by construction)."""
+    from ..functions.sketch import mg_fold
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch.groupby("user_id", as_index=False).agg(
+            n=("user_id", "size"))
+        summ = mg_fold(c["user_id"].to_numpy(np.int64),
+                       c["n"].to_numpy(np.int64), k)
+        return pd.DataFrame({"user_id": np.fromiter(summ, np.int64,
+                                                    len(summ)),
+                             "cnt": np.fromiter(summ.values(), np.int64,
+                                                len(summ))})
+
+    parts = (read_events(sf_dir, ["user_id"])
+             .map_batches(partial, batch_format="pandas")
+             .to_pandas())                      # bounded: k rows per block
+    # merge = counter ADDITION across block summaries (a user may appear
+    # in many), then one reduction back to k — mg_merge semantics.
+    agg = parts.groupby("user_id", as_index=False)["cnt"].sum()
+    merged = mg_fold(agg["user_id"].to_numpy(np.int64),
+                     agg["cnt"].to_numpy(np.int64), k)
+    out = pd.DataFrame({"user_id": list(merged),
+                        "min_count": list(merged.values())})
+    return (out.sort_values(["min_count", "user_id"],
+                            ascending=[False, True])
+            .reset_index(drop=True))

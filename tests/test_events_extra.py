@@ -304,3 +304,92 @@ class TestRetention:
                .to_dict())
         assert out == {("2020-01-01", 0): 2, ("2020-01-01", 1): 1,
                        ("2020-01-02", 0): 1, ("2020-01-02", 2): 1}
+
+
+class TestMisraGries:
+    def test_fold_guarantee_and_bound(self):
+        """Any key with freq > n/(k+1) survives; undercount <= n/(k+1)."""
+        from agentic_document_extraction_pdf_ray.functions.sketch import (
+            mg_fold)
+        rng = np.random.RandomState(3)
+        keys = rng.randint(0, 1000, size=20_000)
+        keys[:6000] = 7       # one heavy key: 30% of the stream
+        u, c = np.unique(keys, return_counts=True)
+        k = 16
+        summ = mg_fold(u, c.astype(np.int64), k)
+        n = len(keys)
+        assert 7 in summ
+        exact = dict(zip(u.tolist(), c.tolist()))
+        for key, kept in summ.items():
+            assert 0 < kept <= exact[key]
+            assert exact[key] - kept <= n // (k + 1) + 1
+        assert len(summ) <= k
+
+    def test_merge_equals_whole_stream_bound(self):
+        from agentic_document_extraction_pdf_ray.functions.sketch import (
+            mg_fold, mg_merge)
+        rng = np.random.RandomState(4)
+        a = rng.randint(0, 50, 5000)
+        b = rng.randint(0, 50, 5000)
+        a[:2000] = 9
+        b[:2000] = 9
+        k = 8
+
+        def fold(arr):
+            u, c = np.unique(arr, return_counts=True)
+            return mg_fold(u, c.astype(np.int64), k)
+
+        merged = mg_merge([fold(a), fold(b)], k)
+        whole = np.concatenate([a, b])
+        u, c = np.unique(whole, return_counts=True)
+        exact = dict(zip(u.tolist(), c.tolist()))
+        n = len(whole)
+        assert 9 in merged                       # 40% of the stream
+        for key, kept in merged.items():
+            assert kept <= exact[key]
+            assert exact[key] - kept <= 2 * (n // (k + 1) + 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHeavyHittersQuery:
+    def test_guarantee_on_events(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_heavy_hitters)
+        k = 16
+        got = events_heavy_hitters(SF_DIR, k=k)
+        ev = _events()
+        exact = ev.groupby("user_id").size()
+        n = len(ev)
+        heavy = exact[exact > n / (k + 1)]
+        assert set(heavy.index) <= set(got["user_id"])
+        for _, r in got.iterrows():
+            assert r["min_count"] <= exact[r["user_id"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnomalyDays:
+    def test_matches_bruteforce(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_anomaly_days)
+        got = (events_anomaly_days(SF_DIR)
+               .sort_values(["event_type", "d"]).reset_index(drop=True))
+
+        ev = _events()
+        days = (ev["ts"] - pd.Timestamp("1970-01-01")).dt.total_seconds()
+        ev = ev.assign(d=np.floor(days.to_numpy() / 86400.0).astype(np.int64))
+        daily = ev.groupby(["event_type", "d"]).size().reset_index(name="n")
+        rows = []
+        for (et, d), n in daily.set_index(["event_type", "d"])["n"].items():
+            w = daily[(daily.event_type == et) & (daily.d >= d - 7)
+                      & (daily.d <= d - 1)]["n"].to_numpy(np.float64)
+            if len(w) < 4:
+                continue
+            var = ((w * w).sum() - w.sum() ** 2 / len(w)) / len(w)
+            if var <= 0:
+                continue
+            rows.append({"event_type": et, "d": d, "n_events": n,
+                         "w_days": len(w),
+                         "z": round((n - w.sum() / len(w)) / np.sqrt(var), 6)})
+        want = (pd.DataFrame(rows).sort_values(["event_type", "d"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

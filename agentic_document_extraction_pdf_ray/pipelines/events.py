@@ -945,20 +945,24 @@ def events_anomaly_days(sf_dir: str, min_window: int = 4) -> pd.DataFrame:
     return pd.concat(parts, ignore_index=True)
 
 
-def brand_cooccurrence(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+def brand_cooccurrence(sf_dir: str, n_buckets: int = 64,
+                       broadcast_max_rows: int = 5_000_000
+                       ) -> ray.data.Dataset:
     """Market-basket co-occurrence: pairs of part brands appearing in the
     SAME order, with the number of co-occurring orders (brand_a <
     brand_b) — the affinity-mining operator class.
 
-    Two bucketed co-group stages, then a tiny grouped sum:
+    Routing, same size guard as ``revenue_by_nation``: ``part`` is a
+    dimension table — while its (partkey, brand) projection fits a
+    broadcast (≤ ``broadcast_max_rows``; 2 narrow columns), the brand
+    attaches map-side and the plan has ONE shuffle (orderkey buckets).
+    Beyond that, a partkey-bucket co-group stage attaches the brand
+    first (large-large pattern, neither side broadcast). Either way:
 
-    1. partkey buckets: lineitem's (orderkey, partkey) co-grouped with
-       part's (partkey, brand) — one vectorized merge per bucket attaches
-       the brand (the large-large join pattern; neither side broadcast);
-    2. orderkey buckets: per-order DISTINCT brand sets (completed
-       in-bucket — an order lives in one bucket) self-merge into ordered
-       pairs; per-bucket partial pair counts;
-    3. final groupby over the ≤ |brands|² pair space.
+    - orderkey buckets: per-order DISTINCT brand sets (completed
+      in-bucket — an order lives in one bucket) self-merge into ordered
+      pairs; per-bucket partial pair counts;
+    - final groupby over the ≤ |brands|² pair space.
     """
     import ray.data as rd
 
@@ -968,6 +972,34 @@ def brand_cooccurrence(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
                          columns=["l_orderkey", "l_partkey"])
     pt = rd.read_parquet(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_brand"])
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["okey", "brand"]].drop_duplicates()
+        m = g.merge(g, on="okey")
+        m = m[m["brand_x"] < m["brand_y"]]
+        return (m.groupby(["brand_x", "brand_y"], as_index=False)
+                .agg(n_part=("okey", "size"))
+                .rename(columns={"brand_x": "brand_a",
+                                 "brand_y": "brand_b"}))
+
+    if pt.count() <= broadcast_max_rows:        # parquet metadata, no scan
+        dim_ref = ray.put(pt.to_pandas())
+
+        def attach_broadcast(b: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(dim_ref)
+            m = b.merge(d, left_on="l_partkey", right_on="p_partkey")
+            m = (m[["l_orderkey", "p_brand"]].drop_duplicates()
+                 .rename(columns={"l_orderkey": "okey",
+                                  "p_brand": "brand"}))
+            m["_ob"] = bucket_int_array(m["okey"].to_numpy(np.int64),
+                                        n_buckets)
+            return m
+
+        return (li.map_batches(attach_broadcast, batch_format="pandas")
+                .groupby("_ob").map_groups(order_pairs,
+                                           batch_format="pandas")
+                .groupby(["brand_a", "brand_b"])
+                .aggregate(Sum("n_part", alias_name="n_orders")))
 
     def tag_li(b: pd.DataFrame) -> pd.DataFrame:
         pk = b["l_partkey"].to_numpy(np.int64)
@@ -988,15 +1020,6 @@ def brand_cooccurrence(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         m = lines.merge(parts, on="pk")[["okey", "brand"]].drop_duplicates()
         m["_ob"] = bucket_int_array(m["okey"].to_numpy(np.int64), n_buckets)
         return m
-
-    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[["okey", "brand"]].drop_duplicates()
-        m = g.merge(g, on="okey")
-        m = m[m["brand_x"] < m["brand_y"]]
-        return (m.groupby(["brand_x", "brand_y"], as_index=False)
-                .agg(n_part=("okey", "size"))
-                .rename(columns={"brand_x": "brand_a",
-                                 "brand_y": "brand_b"}))
 
     return (li.map_batches(tag_li, batch_format="pandas")
             .union(pt.map_batches(tag_pt, batch_format="pandas"))

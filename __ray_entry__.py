@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": events.events_transition_counts,   # SQL-matched (lead/lag window)
         "customer_balance_percentile": relational.customer_balance_percentile,  # SQL-matched (percent_rank)
         "lineitem_corr": relational.lineitem_corr_qty_discount,  # SQL-matched (grouped correlation)
+        "lineitem_regression": relational.lineitem_regression,   # SQL-matched (grouped OLS from moments)
+        "dup_pagerank": dedup.dup_pagerank,                      # rows-only (float fixpoint, pytest allclose)
         "customer_balance_ntile": relational.customer_balance_ntile,  # SQL-matched (ntile without global sort)
         # --- relational core ---
         "q1_pricing": relational.q1_pricing_summary,             # SQL-matched
@@ -1478,6 +1480,29 @@ def oracle_sql() -> dict[str, str]:
                    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
                                           * sqrt(n * syy - sy * sy))
                        AS corr_qty_disc
+            FROM m
+        """,
+        "lineitem_regression": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT))
+                            AS DOUBLE) AS sx,
+                       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                            AS DOUBLE) AS sy,
+                       CAST(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT)
+                                * CAST(floor(l_discount*10000 + 0.5) AS BIGINT))
+                            AS DOUBLE) AS sxx,
+                       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                                * CAST(floor(l_discount*10000 + 0.5) AS BIGINT))
+                            AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n_rows,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       AS slope_qty_per_bp,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                       AS intercept_qty
             FROM m
         """,
         "customer_balance_ntile": """

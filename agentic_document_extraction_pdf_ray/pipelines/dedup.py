@@ -939,3 +939,139 @@ def doc_fuzzy_pairs(sf_dir: str, k: int = 8, max_dist: int = 3,
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_bucket").map_groups(bucket_pairs,
                                            batch_format="pandas"))
+
+
+def dup_pagerank(sf_dir: str, n_iter: int = 10, damping: float = 0.85,
+                 n_buckets: int = 32,
+                 local_max_pairs: int = 5_000_000) -> ray.data.Dataset:
+    """PageRank over the (undirected) near-dup pair graph — the iterative
+    power-iteration class alongside :func:`doc_dup_components`'s label
+    propagation: rank concentrates on docs near the center of large
+    duplicate families (the canonical "which copy to keep" signal).
+
+    Size-guard routing (same pattern as ``embedding_near_dup``): while
+    the PAIR GRAPH (not the corpus — two int columns per near-dup pair)
+    fits ``local_max_pairs``, a driver-side vectorized sparse power
+    iteration runs — 10 iterations of a bounded graph are microseconds,
+    and 20 distributed shuffles would be pure overhead. Beyond the
+    guard, the distributed message-passing loop below runs (pytest
+    asserts both paths agree to 1e-12 on the same graph).
+
+    Distributed path: per iteration, two bucketed shuffles (the union +
+    co-group message pattern):
+
+    1. node-home buckets: static (node, deg) rows + current (node, rank)
+       rows + edge rows co-group on bucket(u); a vectorized merge emits
+       one message (v, rank_u/deg_u) per edge;
+    2. bucket(v) == v's home bucket (same hash), so the message sum,
+       damping update, AND the next iteration's rank rows all land home
+       in one groupby — messages are sorted by (v, u) before summing so
+       float addition order is deterministic run-to-run.
+
+    Every node of the pair graph has degree >= 1 (undirected), so the
+    full node set survives each fold; no corpus-scale driver state —
+    only the scalar node count crosses over. Rows-only query (float
+    fixpoint is not SQL-expressible); pytest asserts allclose vs a dense
+    numpy power iteration and Σrank == 1.
+    """
+    pairs = (ngram_jaccard_pairs(sf_dir)
+             .select_columns(["doc_a", "doc_b"]).materialize())
+
+    if pairs.count() <= local_max_pairs:
+        return _pagerank_local(pairs, n_iter, damping)
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.concatenate([b["doc_a"].to_numpy(np.int64),
+                            b["doc_b"].to_numpy(np.int64)])
+        v = np.concatenate([b["doc_b"].to_numpy(np.int64),
+                            b["doc_a"].to_numpy(np.int64)])
+        return pd.DataFrame({"u": u, "v": v, "kind": "e",
+                             "val": np.float64(0.0),
+                             "_b": bucket_int_array(u, n_buckets)})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("u", as_index=False).agg(deg=("v", "size"))
+        return pd.DataFrame({"u": d["u"].to_numpy(np.int64),
+                             "v": np.int64(-1), "kind": "d",
+                             "val": d["deg"].to_numpy(np.float64),
+                             "_b": bucket_int_array(
+                                 d["u"].to_numpy(np.int64), n_buckets)})
+
+    degs = edges.groupby("_b").map_groups(
+        deg_fold, batch_format="pandas").materialize()
+    n_nodes = degs.count()
+    if n_nodes == 0:
+        return degs.map_batches(
+            lambda b: pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "pagerank": pd.Series([], dtype="float64")}),
+            batch_format="pandas")
+    base = (1.0 - damping) / n_nodes
+
+    def init_ranks(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(kind="r", val=np.float64(1.0 / n_nodes))
+
+    ranks = degs.map_batches(init_ranks, batch_format="pandas").materialize()
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g[g["kind"] == "d"][["u", "val"]].rename(
+            columns={"val": "deg"})
+        r = g[g["kind"] == "r"][["u", "val"]].rename(columns={"val": "rank"})
+        e = g[g["kind"] == "e"][["u", "v"]]
+        m = e.merge(nodes, on="u").merge(r, on="u")
+        return pd.DataFrame({
+            "u": m["u"].to_numpy(np.int64),          # kept for sort determinism
+            "v": m["v"].to_numpy(np.int64),
+            "c": m["rank"].to_numpy(np.float64) / m["deg"].to_numpy(np.float64),
+            "_mb": bucket_int_array(m["v"].to_numpy(np.int64), n_buckets),
+        })
+
+    def fold_msgs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["v", "u"], kind="mergesort")
+        s = g.groupby("v", as_index=False, sort=True).agg(s=("c", "sum"))
+        nid = s["v"].to_numpy(np.int64)
+        return pd.DataFrame({"u": nid, "v": np.int64(-1), "kind": "r",
+                             "val": base + damping * s["s"].to_numpy(),
+                             "_b": bucket_int_array(nid, n_buckets)})
+
+    for _ in range(n_iter):
+        msgs = (edges.union(degs).union(ranks)
+                .groupby("_b").map_groups(step, batch_format="pandas"))
+        ranks = (msgs.groupby("_mb")
+                 .map_groups(fold_msgs, batch_format="pandas")
+                 .materialize())
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["u"].to_numpy(np.int64),
+                             "pagerank": b["val"].to_numpy(np.float64)})
+
+    return ranks.map_batches(rename, batch_format="pandas")
+
+
+def _pagerank_local(pairs: ray.data.Dataset, n_iter: int,
+                    damping: float) -> ray.data.Dataset:
+    """Bounded-graph fast path: vectorized sparse power iteration on the
+    driver (np.bincount message fold), identical update rule to the
+    distributed loop."""
+    p = pairs.to_pandas()
+    if not len(p):
+        return ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "pagerank": pd.Series([], dtype="float64")}))
+    a = p["doc_a"].to_numpy(np.int64)
+    b = p["doc_b"].to_numpy(np.int64)
+    u = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    nodes, u_idx = np.unique(u, return_inverse=True)
+    v_idx = np.searchsorted(nodes, v)       # same node set by symmetry
+    n = len(nodes)
+    deg = np.bincount(u_idx, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = rank[u_idx] / deg[u_idx]
+        rank = base + damping * np.bincount(v_idx, weights=contrib,
+                                            minlength=n)
+    return ray.data.from_pandas(pd.DataFrame({
+        "doc_id": nodes, "pagerank": rank}))

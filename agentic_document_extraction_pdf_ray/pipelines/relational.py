@@ -669,17 +669,11 @@ def customer_balance_percentile(sf_dir: str,
     return cust.map_batches(assign, batch_format="pandas")
 
 
-def lineitem_corr_qty_discount(sf_dir: str) -> pd.DataFrame:
-    """Grouped second-moment aggregate class: Pearson correlation of
-    quantity vs discount per return flag, computed from INTEGER moment
-    sums (qty, discount basis points) so every partial is
-    order-independent and overflow-safe, with ONE shared float finish.
-
-    The distributed part ships six int64 sums per (block, flag) —
-    nothing else; the final correlation is a single float64 expression
-    evaluated identically here and in the oracle, on sums that are exact
-    integers, so the result is IEEE-bit-identical on both engines (same
-    discipline as ``customer_balance_percentile``'s single division)."""
+def _qty_discount_moments(sf_dir: str) -> pd.DataFrame:
+    """Shared grouped integer-moment sums (n, Σx, Σy, Σx², Σy², Σxy) of
+    quantity vs discount basis points per return flag — the one
+    distributed pass behind both the correlation and the regression
+    finishes; six int64 sums per (block, flag) is all that ships."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_quantity", "l_discount"])
@@ -695,11 +689,25 @@ def lineitem_corr_qty_discount(sf_dir: str) -> pd.DataFrame:
         return (d.groupby("l_returnflag", as_index=False)
                 [["n", "sx", "sy", "sxx", "syy", "sxy"]].sum())
 
-    sums = (ds.map_batches(partial, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pandas")
             .groupby("l_returnflag")
             .aggregate(*[Sum(c, alias_name=c)
                          for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
             .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+
+
+def lineitem_corr_qty_discount(sf_dir: str) -> pd.DataFrame:
+    """Grouped second-moment aggregate class: Pearson correlation of
+    quantity vs discount per return flag, computed from INTEGER moment
+    sums (qty, discount basis points) so every partial is
+    order-independent and overflow-safe, with ONE shared float finish.
+
+    The distributed part ships six int64 sums per (block, flag) —
+    nothing else; the final correlation is a single float64 expression
+    evaluated identically here and in the oracle, on sums that are exact
+    integers, so the result is IEEE-bit-identical on both engines (same
+    discipline as ``customer_balance_percentile``'s single division)."""
+    sums = _qty_discount_moments(sf_dir)
     n = sums["n"].to_numpy(np.float64)
     sx = sums["sx"].to_numpy(np.float64)
     sy = sums["sy"].to_numpy(np.float64)
@@ -712,6 +720,29 @@ def lineitem_corr_qty_discount(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"l_returnflag": sums["l_returnflag"],
                          "n_rows": sums["n"].astype("int64"),
                          "corr_qty_disc": corr})
+
+
+def lineitem_regression(sf_dir: str) -> pd.DataFrame:
+    """Grouped least-squares class: per return flag, the OLS slope and
+    intercept of quantity (y) on discount basis points (x) — same one
+    distributed integer-moment pass as :func:`lineitem_corr_qty_discount`
+    (shared :func:`_qty_discount_moments`), different float finish:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²), intercept = (Σy −
+    slope·Σx) / n, each a single expression over exact integer sums,
+    mirrored verbatim in the oracle."""
+    sums = _qty_discount_moments(sf_dir)
+    n = sums["n"].to_numpy(np.float64)
+    sx = sums["sy"].to_numpy(np.float64)    # x = discount bp
+    sy = sums["sx"].to_numpy(np.float64)    # y = quantity
+    sxx = sums["syy"].to_numpy(np.float64)
+    sxy = sums["sxy"].to_numpy(np.float64)
+    # keep this expression tree in sync with the oracle SQL verbatim
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({"l_returnflag": sums["l_returnflag"],
+                         "n_rows": sums["n"].astype("int64"),
+                         "slope_qty_per_bp": slope,
+                         "intercept_qty": intercept})
 
 
 def customer_balance_ntile(sf_dir: str, k: int = 4,

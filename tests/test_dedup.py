@@ -457,3 +457,68 @@ class TestFuzzyPairs:
         pq.write_table(tbl, str(d / "documents.parquet"))
         out = doc_fuzzy_pairs(str(d)).to_pandas()
         assert sorted(zip(out["doc_a"], out["doc_b"])) == [(n_hot, n_hot + 1)]
+
+
+class TestDupPagerank:
+    def _make_corpus(self, tmp_path):
+        """Triangle family {0,1,2} + pair {3,4} + singleton 5 (same
+        corpus as TestDupTriangles) — the designed near-dup graph."""
+        import pyarrow.parquet as pq
+        tri = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        duo = "one two three four five six seven eight nine ten " * 6
+        docs = [tri, tri, tri, duo, duo,
+                "totally unrelated words appear only here once " * 6]
+        tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                        "text": pa.array(docs, pa.string())})
+        d = tmp_path / "pr"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    @staticmethod
+    def _dense_reference(edges, n_iter=10, damping=0.85):
+        nodes = sorted({u for e in edges for u in e})
+        idx = {u: i for i, u in enumerate(nodes)}
+        n = len(nodes)
+        deg = np.zeros(n)
+        for a, b in edges:
+            deg[idx[a]] += 1
+            deg[idx[b]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            new = np.full(n, (1 - damping) / n)
+            for a, b in edges:
+                new[idx[b]] += damping * r[idx[a]] / deg[idx[a]]
+                new[idx[a]] += damping * r[idx[b]] / deg[idx[b]]
+            r = new
+        return {u: r[idx[u]] for u in nodes}
+
+    def test_local_path_vs_dense(self, ray_session, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            dup_pagerank, ngram_jaccard_pairs,
+        )
+        sf = self._make_corpus(tmp_path)
+        pairs = ngram_jaccard_pairs(sf).to_pandas()
+        edges = list(zip(pairs["doc_a"], pairs["doc_b"]))
+        want = self._dense_reference(edges)
+        out = dup_pagerank(sf).to_pandas().set_index("doc_id")["pagerank"]
+        assert set(out.index) == set(want)
+        for u, r in want.items():
+            assert abs(out[u] - r) < 1e-12
+        assert abs(out.sum() - 1.0) < 1e-9
+        # both components are degree-regular, so rank is uniform — the
+        # edgeless doc 5 is the one excluded
+        assert 5 not in out.index
+
+    def test_distributed_equals_local(self, ray_session, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            dup_pagerank,
+        )
+        sf = self._make_corpus(tmp_path)
+        local = (dup_pagerank(sf, n_iter=3).to_pandas()
+                 .set_index("doc_id")["pagerank"])
+        dist = (dup_pagerank(sf, n_iter=3, local_max_pairs=0).to_pandas()
+                .set_index("doc_id")["pagerank"])
+        assert set(local.index) == set(dist.index)
+        for u in local.index:
+            assert abs(local[u] - dist[u]) < 1e-12

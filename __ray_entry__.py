@@ -1085,10 +1085,11 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT token, sum(c) AS nt FROM c GROUP BY token),
             tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
             d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-                         sum(c * log2(nt / n)) AS s
-                  FROM c JOIN t USING (token), tot GROUP BY doc_id)
-            SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS bits_per_token
-            FROM d
+                         sum(c * log2(nt)) AS s
+                  FROM c JOIN t USING (token) GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+                   round(log2(n) - s / n_tokens, 6) AS bits_per_token
+            FROM d, tot
         """,
         # Cohort retention: first-event-day cohorts, distinct active
         # weeks per user; day arithmetic is exact integer days.

@@ -808,8 +808,11 @@ def doc_line_dedup(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         kept_per_doc = np.add.reduceat(keep.astype(np.int64), starts)
         offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
         values = pa.array(g["norm"].to_numpy(object)[keep], pa.string())
+        # int64 offsets (LargeList): a doc-hash bucket can exceed 2^31
+        # kept lines at the corpus scale this targets
         clean = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values),
+            pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                          values),
             "\n")
         return pa.table({
             "doc_id": pa.array(doc[starts], pa.int64()),
@@ -846,13 +849,14 @@ def doc_decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 7,
         lambda b: _distinct_shingles(b, n), batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import bucket_str_column
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        buckets = (hash_str_array(batch["shingle"].to_numpy(
-            zero_copy_only=False)) % np.uint64(n_buckets)).astype(np.int64)
         return (batch
                 .append_column("is_bench",
                                pa.array(ids % bench_mod == 0, pa.bool_()))
-                .append_column("_bucket", pa.array(buckets, pa.int64())))
+                .append_column("_bucket", pa.array(
+                    bucket_str_column(batch["shingle"], n_buckets),
+                    pa.int64())))
 
     def bucket_overlap(g: pd.DataFrame) -> pd.DataFrame:
         bench = g.loc[g["is_bench"], "shingle"].unique()
@@ -911,9 +915,9 @@ def doc_fuzzy_pairs(sf_dir: str, k: int = 8, max_dist: int = 3,
         })
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = (hash_str_array(batch["block"].to_numpy(
-            zero_copy_only=False)) % np.uint64(n_buckets)).astype(np.int64)
-        return batch.append_column("_bucket", pa.array(buckets, pa.int64()))
+        from ..functions.hashing import bucket_str_column
+        return batch.append_column("_bucket", pa.array(
+            bucket_str_column(batch["block"], n_buckets), pa.int64()))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g["block"].value_counts()
@@ -1001,12 +1005,9 @@ def dup_pagerank(sf_dir: str, n_iter: int = 10, damping: float = 0.85,
 
     degs = edges.groupby("_b").map_groups(
         deg_fold, batch_format="pandas").materialize()
+    # pairs.count() == 0 always routes to _pagerank_local above, so the
+    # distributed path runs with n_nodes >= 2 by construction
     n_nodes = degs.count()
-    if n_nodes == 0:
-        return degs.map_batches(
-            lambda b: pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                    "pagerank": pd.Series([], dtype="float64")}),
-            batch_format="pandas")
     base = (1.0 - damping) / n_nodes
 
     def init_ranks(b: pd.DataFrame) -> pd.DataFrame:

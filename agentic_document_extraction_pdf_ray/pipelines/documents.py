@@ -983,23 +983,25 @@ def doc_unigram_logprob(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     variant keeps the same pipeline shape with an exactly SQL-checkable
     kernel.
 
-    Two-phase plan, no corpus-sized driver state:
+    ONE corpus read, no corpus-sized driver state:
 
-    0. N (total token count) — one narrow map-side count + `sum()`;
-       a single scalar crosses to the driver.
     1. per-batch (doc, token, count) partials (complete per doc: a doc
        lives in one row) → token-hash buckets, where global per-token
        totals ``n_t`` exist in-bucket and fold into per-(bucket, doc)
-       partials ``Σ c·log2(n_t/N)``, ``Σ c`` — ≤ min(#tokens_d,
-       n_buckets) narrow rows per doc;
-    2. doc-hash buckets: partials sum; ``bits_per_token =
-       −S_d/len_d``, rounded to 6 decimals (float-sum-order convention).
+       partials ``S = Σ c·log2(n_t)``, ``Σ c`` — ≤ min(#tokens_d,
+       n_buckets) narrow rows per doc; this intermediate is
+       materialized once (narrow) and the scalar N = Σc comes from IT,
+       not from a second corpus scan;
+    2. doc-hash buckets: partials sum; ``bits_per_token = log2(N) −
+       S_d/len_d`` (algebraically −Σc·log2(n_t/N)/len, factored so N is
+       only needed in the finish), rounded to 6 decimals
+       (float-sum-order convention).
     """
     import pandas as pd
 
     from ..functions.hashing import bucket_int_array, hash_str_array
 
-    def doc_token_pairs(batch: pa.Table) -> "pd.DataFrame":
+    def pair_partial(batch: pa.Table) -> "pd.DataFrame":
         txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
         toks = pc.split_pattern(txt, " ")
         parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -1007,18 +1009,7 @@ def doc_unigram_logprob(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
             "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)[parents],
             "token": pc.list_flatten(toks).to_numpy(zero_copy_only=False),
         })
-        return d[d["token"] != ""]
-
-    def count_partial(batch: pa.Table) -> "pd.DataFrame":
-        d = doc_token_pairs(batch)
-        return pd.DataFrame({"n": [np.int64(len(d))]})
-
-    total = float(read_documents(sf_dir)
-                  .map_batches(count_partial, batch_format="pyarrow")
-                  .sum("n"))                     # one scalar to the driver
-
-    def pair_partial(batch: pa.Table) -> "pd.DataFrame":
-        d = doc_token_pairs(batch)
+        d = d[d["token"] != ""]
         out = (d.groupby(["doc_id", "token"], sort=False)
                .size().reset_index(name="c"))
         out["_bucket"] = (hash_str_array(out["token"].to_numpy(object))
@@ -1029,13 +1020,20 @@ def doc_unigram_logprob(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
         c = g.groupby(["doc_id", "token"], as_index=False)["c"].sum()
         nt = c.groupby("token")["c"].transform("sum").to_numpy(np.float64)
         cc = c["c"].to_numpy(np.float64)
-        c["term"] = cc * np.log2(nt / total)
+        c["term"] = cc * np.log2(nt)
         agg = c.groupby("doc_id", as_index=False).agg(
             c_part=("c", "sum"), s_part=("term", "sum"))
         agg["c_part"] = agg["c_part"].astype("int64")
         agg["_db"] = bucket_int_array(agg["doc_id"].to_numpy(np.int64),
                                       n_buckets)
         return agg
+
+    folded = (read_documents(sf_dir)
+              .map_batches(pair_partial, batch_format="pyarrow")
+              .groupby("_bucket").map_groups(fold_token_bucket,
+                                             batch_format="pandas")
+              .materialize())                   # narrow; reused twice
+    log2_total = float(np.log2(float(folded.sum("c_part"))))
 
     def finish(g: "pd.DataFrame") -> "pd.DataFrame":
         out = g.groupby("doc_id", as_index=False).agg(
@@ -1044,11 +1042,8 @@ def doc_unigram_logprob(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
         return pd.DataFrame({
             "doc_id": out["doc_id"].to_numpy(np.int64),
             "n_tokens": n,
-            "bits_per_token": np.round(-out["s"].to_numpy(np.float64) / n, 6),
+            "bits_per_token": np.round(
+                log2_total - out["s"].to_numpy(np.float64) / n, 6),
         })
 
-    return (read_documents(sf_dir)
-            .map_batches(pair_partial, batch_format="pyarrow")
-            .groupby("_bucket").map_groups(fold_token_bucket,
-                                           batch_format="pandas")
-            .groupby("_db").map_groups(finish, batch_format="pandas"))
+    return folded.groupby("_db").map_groups(finish, batch_format="pandas")

@@ -942,6 +942,12 @@ def events_anomaly_days(sf_dir: str, min_window: int = 4) -> pd.DataFrame:
             "event_type": np.repeat(et, keep.sum()),
             "d": d[keep], "n_events": n[keep],
             "w_days": k[keep], "z": np.round(z[keep], 6)}))
+    if not parts:                       # empty input → typed empty frame
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "d": pd.Series([], dtype="int64"),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "w_days": pd.Series([], dtype="int64"),
+                             "z": pd.Series([], dtype="float64")})
     return pd.concat(parts, ignore_index=True)
 
 

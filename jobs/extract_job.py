@@ -54,8 +54,13 @@ def main() -> int:
 
     t0 = time.time()
     if args.auto_skew:
+        # the auto-skew plan writes in one shot (no per-partition
+        # manifest): clear any partial previous output so a re-submitted
+        # job can't silently double rows
+        import shutil
+        shutil.rmtree(args.output, ignore_errors=True)
         extract_pipeline_auto(args.input).write_parquet(args.output)
-        n = {"computed": "auto"}
+        n = {"computed": "auto (non-resumable: output dir replaced)"}
     else:
         n = run_resumable_extract(args.input, args.output,
                                   num_partitions=args.partitions)

@@ -330,6 +330,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": dedup.doc_line_dedup,                  # SQL-matched (corpus line-level dedup)
         "doc_decontaminate": dedup.doc_decontaminate,            # SQL-matched (benchmark n-gram overlap)
         "events_interarrival": events.events_interarrival,       # SQL-matched (LAG-diff gap stats)
+        "events_rolling_distinct_users": events.events_rolling_distinct_users,  # SQL-matched (windowed exact distinct)
+        "label_centroids": similarity.label_centroids,           # SQL-matched (fixed-point vector-column agg)
+        "customer_order_dist": relational.customer_order_dist,   # SQL-matched (Q13-class outer-join histogram)
+        "doc_pareto_front": documents.doc_pareto_front,          # SQL-matched (skyline/dominance filter)
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,            # rows-only (approx)
         "simhash_near_dup": dedup.simhash_near_dup_pairs,        # rows-only (pigeonhole-exact, pytest-verified)
         # --- similarity search ---
@@ -1198,6 +1202,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(gap) AS BIGINT) AS max_gap_us,
                    sum(gap) / count(gap) AS mean_gap_us
             FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        """,
+        # Trailing 7-day EXACT distinct users per window day, via the
+        # same contribution expansion (day + k) the engine uses.
+        "events_rolling_distinct_users": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+                       FROM events),
+            w AS (SELECT DISTINCT user_id, day + k.k AS w
+                  FROM d CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) k)
+            SELECT w, CAST(count(*) AS BIGINT) AS n_users
+            FROM w GROUP BY w
+        """,
+        # Fixed-point per-label centroid sums: each element quantized to
+        # floor(v*1e6 + 0.5) micro-units so integer sums are exact and
+        # order-independent (the engine's money-cents convention).
+        "label_centroids": """
+            WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                              unnest(list_transform(range(1, len(embedding) + 1),
+                                  i -> struct_pack(dim := i - 1,
+                                      q := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                                      * 1000000 + 0.5) AS BIGINT)))) AS s
+                       FROM embeddings)
+            SELECT label, CAST(s.dim AS BIGINT) AS dim,
+                   CAST(sum(s.q) AS BIGINT) AS sum_q,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM e GROUP BY 1, 2
+        """,
+        # TPC-H Q13 class: customers-per-order-count histogram including
+        # the zero bucket (the LEFT JOIN's empty-match rows).
+        "customer_order_dist": """
+            WITH oc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                        GROUP BY c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS n_custs
+            FROM oc GROUP BY 1
+        """,
+        # Skyline on (quality_x100, n_tokens): survivors have no other
+        # doc >= on both axes and > on at least one.
+        "doc_pareto_front": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS ct FROM documents),
+            m AS (SELECT doc_id,
+                         CAST(length(ct) AS BIGINT) AS n_chars,
+                         CAST(len(string_split_regex(ct, '\\s+')) AS BIGINT) AS n_tokens,
+                         CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                         CAST(length(regexp_replace(ct, '[^0-9]', '', 'g')) AS BIGINT) AS digit
+                  FROM c),
+            q AS (SELECT doc_id, n_tokens,
+                         CAST(floor((0.4 * (alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                                   + 0.3 * least(1.0, n_tokens / 100.0)
+                                   + 0.3 * (1.0 - digit / CAST(greatest(n_chars, 1) AS DOUBLE)))
+                                  * 10000 + 0.5) AS BIGINT) AS quality_x100
+                  FROM m)
+            SELECT a.doc_id, a.quality_x100, a.n_tokens
+            FROM q a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM q b
+                WHERE b.quality_x100 >= a.quality_x100
+                  AND b.n_tokens >= a.n_tokens
+                  AND (b.quality_x100 > a.quality_x100
+                       OR b.n_tokens > a.n_tokens))
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

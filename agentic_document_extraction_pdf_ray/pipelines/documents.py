@@ -1047,3 +1047,58 @@ def doc_unigram_logprob(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
         })
 
     return folded.groupby("_db").map_groups(finish, batch_format="pandas")
+
+
+def skyline_mask(q: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the exact 2-D skyline of (q, t), maximizing
+    both: kept iff no other point is ≥ on both axes and > on one.
+    Identical (q, t) twins all survive. O(n log n), fully vectorized:
+    per-quality max t, exclusive running max over strictly-greater
+    quality, group keep iff its max beats that prefix."""
+    uq, inv = np.unique(q, return_inverse=True)           # ascending
+    gmax = np.full(len(uq), np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(gmax, inv, t)
+    desc = gmax[::-1]
+    prefix = np.r_[np.iinfo(np.int64).min,
+                   np.maximum.accumulate(desc)[:-1]][::-1]
+    group_keep = gmax > prefix
+    return group_keep[inv] & (t == gmax[inv])
+
+
+def doc_pareto_front(sf_dir: str) -> "pd.DataFrame":
+    """Skyline / Pareto frontier on (quality_x100 ↑, n_tokens ↑): the
+    dominance-filter operator class. A doc survives iff no other doc is
+    ≥ on BOTH axes and > on at least one (identical (q, t) twins all
+    survive — neither strictly dominates).
+
+    Distributed shape: local skylines are globally sound (a point
+    dominated inside any block is dominated globally), so each block
+    emits only its own frontier; the candidate union is bounded by the
+    FIXED score domain — at most one surviving max-token point per
+    distinct quality value, so ≤ 10001 rows per block reach the driver
+    regardless of corpus size — and one final in-memory skyline over
+    candidates finishes exactly. No shuffle at all.
+
+    Per-block kernel (shared with the final merge): per-quality max
+    n_tokens, exclusive running max over quality-descending order, keep
+    quality groups whose max beats every strictly-higher-quality max,
+    then keep that group's max-token docs.
+    """
+    def per_block(batch: pa.Table) -> pa.Table:
+        clean = _norm_ws(batch["text"])
+        _, n_tokens, _, _, qx = quality_arrays(clean)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = skyline_mask(qx, n_tokens)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "quality_x100": pa.array(qx[keep], pa.int64()),
+            "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+        })
+
+    cand = (read_documents(sf_dir)
+            .map_batches(per_block, batch_format="pyarrow")
+            .to_pandas())                  # ≤ 10001 rows per block
+    keep = skyline_mask(cand["quality_x100"].to_numpy(np.int64),
+                        cand["n_tokens"].to_numpy(np.int64))
+    out = cand[keep].sort_values(["quality_x100", "doc_id"])
+    return out.reset_index(drop=True)[["doc_id", "quality_x100", "n_tokens"]]

@@ -1072,3 +1072,53 @@ def events_heavy_hitters(sf_dir: str, k: int = 16) -> pd.DataFrame:
     return (out.sort_values(["min_count", "user_id"],
                             ascending=[False, True])
             .reset_index(drop=True))
+
+
+def events_rolling_distinct_users(sf_dir: str, window_days: int = 7,
+                                  n_buckets: int = 64) -> ray.data.Dataset:
+    """Exact trailing-``window_days`` DISTINCT user count per calendar
+    day — the window aggregate that does NOT decompose into prefix sums
+    (unlike ``events_daily_ma7``'s counts): distinct-in-window needs the
+    identity of every active user, so the naive plan re-counts each
+    window from raw events.
+
+    Distributed contribution-expansion plan instead:
+
+    1. map-side DISTINCT ``(user, day)`` per batch (the only wide data),
+       hash-bucketed by user — one exchange of at most
+       |distinct (user, day)| narrow int rows;
+    2. per user-bucket: global ``(user, day)`` dedup, then each active
+       day d contributes to windows ``d .. d+window_days-1``
+       (vectorized ``np.repeat``/tile expansion, ≤ window_days×
+       amplification IN-TASK, never shuffled), per-user window dedup,
+       and a per-bucket partial ``(window_day, n)`` count — so the
+       second exchange is ≤ #calendar-days rows per bucket;
+    3. tiny final groupby summing bucket partials.
+
+    A window day therefore reports every user active in the
+    ``window_days`` days ending on it, including calendar days with no
+    events of their own (they still close a window). SQL-mirrored:
+    the oracle expands ``day + k`` the same way.
+    """
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (batch["ts"].to_numpy("datetime64[us]")
+             .astype("datetime64[D]").astype(np.int64))
+        g = pd.DataFrame({"user_id": batch["user_id"], "day": d})
+        g = g.drop_duplicates()
+        return g.assign(_bucket=pd.util.hash_array(
+            g["user_id"].to_numpy(np.uint64)) % n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        users = np.repeat(g["user_id"].to_numpy(np.int64), window_days)
+        wdays = (np.repeat(g["day"].to_numpy(np.int64), window_days)
+                 + np.tile(np.arange(window_days, dtype=np.int64), len(g)))
+        cover = pd.DataFrame({"user_id": users, "w": wdays}).drop_duplicates()
+        return (cover.groupby("w", as_index=False)
+                .agg(n=("user_id", "size")))
+
+    ds = read_events(sf_dir, ["user_id", "ts"])
+    partials = (ds.map_batches(distinct_pairs, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(per_bucket, batch_format="pandas"))
+    return partials.groupby("w").aggregate(Sum("n", alias_name="n_users"))

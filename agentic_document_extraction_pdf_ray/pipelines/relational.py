@@ -851,3 +851,41 @@ def nation_region_counts(sf_dir: str) -> ray.data.Dataset:
     nat = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
     return (nat.map_batches(partial, batch_format="pandas")
             .groupby("r_name").aggregate(Sum("n_nations", alias_name="n_nations")))
+
+
+def customer_order_dist(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
+    """TPC-H Q13 class — distribution of customers by order count,
+    INCLUDING zero-order customers, with the LEFT OUTER JOIN eliminated
+    algebraically: every customer with no orders lands in the same
+    histogram row, so the zero bucket is just
+    ``count(customer) − count(distinct o_custkey)`` and no customer row
+    ever joins anything.
+
+    Plan: bucketed per-customer order counts (one narrow exchange of
+    (custkey, n) partials), a tiny second groupby over (c_count), plus a
+    single scalar customer count — vs the textbook plan's full
+    customer ⟕ orders shuffle.
+    """
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    per_cust = grouped_sum_bucketed(
+        orders.map_batches(lambda b: b.groupby("o_custkey", as_index=False)
+                           .agg(n=("o_custkey", "size")),
+                           batch_format="pandas"),
+        "o_custkey", ["n"], n_buckets)
+    hist = (per_cust.map_batches(
+        lambda b: b.groupby("n", as_index=False).agg(
+            n_custs=("o_custkey", "size")), batch_format="pandas")
+        .groupby("n").aggregate(Sum("n_custs", alias_name="n_custs"))
+        .to_pandas())
+    n_customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]).count()
+    zero = n_customers - int(hist["n_custs"].sum())
+    out = hist.rename(columns={"n": "c_count"})
+    if zero > 0:        # SQL's LEFT JOIN GROUP BY emits no empty bucket row
+        out = pd.concat([out, pd.DataFrame({"c_count": [0],
+                                            "n_custs": [zero]})],
+                        ignore_index=True)
+    out = out.astype({"c_count": np.int64, "n_custs": np.int64})
+    return (out.sort_values("c_count").reset_index(drop=True)
+            [["c_count", "n_custs"]])

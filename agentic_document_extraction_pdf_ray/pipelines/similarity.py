@@ -628,3 +628,48 @@ def ann_topk_ivf_kmeans(sf_dir: str, k: int = 5, n_queries: int = 10,
     res = res.groupby("query_id").head(k)
     res["rank"] = res.groupby("query_id").cumcount() + 1
     return res[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label embedding centroid as FIXED-POINT integer sums — the
+    list<float>-column aggregation class (vector mean per group).
+
+    Float summation is order-dependent, so a float centroid can never be
+    hash-equal to a SQL oracle; the engine's money-cents convention
+    applies instead: each element is quantized once to
+    ``floor(v·1e6 + 0.5)`` int64 micro-units, and integer sums are exact
+    and order-independent on both sides. ``centroid[dim] =
+    sum_q / (1e6 · n_vecs)`` is then a pure driver-side display step.
+
+    Plan: per-batch ``np.add.reduceat`` over the label-sorted quantized
+    matrix — one partial row per (label, dim) per batch (labels × dim ≪
+    rows) — then a small final grouped sum. No full-vector shuffle: only
+    the bounded partial table moves.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        labels_s, q_s = labels[order], q[order]
+        # group boundaries over the sorted label vector
+        starts = np.flatnonzero(np.r_[True, labels_s[1:] != labels_s[:-1]])
+        sums = np.add.reduceat(q_s, starts, axis=0)        # (groups, dim)
+        counts = np.diff(np.r_[starts, len(labels_s)])
+        g_labels = labels_s[starts]
+        n_groups, dim = sums.shape
+        return pd.DataFrame({
+            "label": np.repeat(g_labels, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), n_groups),
+            "sum_q": sums.ravel(),
+            "n_vecs": np.repeat(counts.astype(np.int64), dim),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["label", "dim"]).aggregate(
+        Sum("sum_q", alias_name="sum_q"),
+        Sum("n_vecs", alias_name="n_vecs"))

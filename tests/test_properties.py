@@ -185,3 +185,54 @@ class TestPayloadKindSqlParity:
         want = con.execute(sql, [s]).fetchone()[0]
         got = detect_payload_kind_batch([s])[0]
         assert got == want, repr(s)
+
+
+class TestSkylineProperties:
+    """skyline_mask (doc_pareto_front kernel) vs the O(n²) dominance
+    definition, plus the split-merge soundness the distributed plan
+    relies on (local skyline of any partition ⊇ its global survivors)."""
+
+    @staticmethod
+    def _brute(q, t):
+        import numpy as np
+        q = np.asarray(q, np.int64)
+        t = np.asarray(t, np.int64)
+        keep = []
+        for i in range(len(q)):
+            dom = ((q >= q[i]) & (t >= t[i])
+                   & ((q > q[i]) | (t > t[i]))).any()
+            keep.append(not dom)
+        return np.array(keep, bool)
+
+    @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                    max_size=120))
+    @settings(max_examples=200, deadline=None)
+    def test_matches_brute_force(self, pts):
+        import numpy as np
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import skyline_mask
+        q = np.array([p[0] for p in pts], np.int64)
+        t = np.array([p[1] for p in pts], np.int64)
+        assert (skyline_mask(q, t) == self._brute(q, t)).all()
+
+    @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                    min_size=1, max_size=120),
+           st.integers(1, 119))
+    @settings(max_examples=100, deadline=None)
+    def test_split_merge_equals_global(self, pts, cut):
+        import numpy as np
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import skyline_mask
+        q = np.array([p[0] for p in pts], np.int64)
+        t = np.array([p[1] for p in pts], np.int64)
+        cut = min(cut, len(q))
+        # local skylines per partition, then skyline of the union of
+        # survivors == skyline of the whole set (as multisets of points)
+        ka, kb = skyline_mask(q[:cut], t[:cut]), skyline_mask(q[cut:], t[cut:])
+        cq = np.r_[q[:cut][ka], q[cut:][kb]]
+        ct = np.r_[t[:cut][ka], t[cut:][kb]]
+        km = skyline_mask(cq, ct)
+        got = sorted(zip(cq[km], ct[km]))
+        kg = skyline_mask(q, t)
+        want = sorted(zip(q[kg], t[kg]))
+        assert got == want

@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": dedup.doc_decontaminate,            # SQL-matched (benchmark n-gram overlap)
         "events_interarrival": events.events_interarrival,       # SQL-matched (LAG-diff gap stats)
         "events_rolling_distinct_users": events.events_rolling_distinct_users,  # SQL-matched (windowed exact distinct)
+        "events_first_last": events.events_first_last,           # SQL-matched (FIRST/LAST_VALUE per key)
+        "events_daily_dense": events.events_daily_dense,         # SQL-matched (calendar-spine zero-fill)
+        "lang_weighted_quality": documents.lang_weighted_quality,  # SQL-matched (integer-exact weighted mean)
+        "dup_degree_hist": dedup.dup_degree_hist,                # SQL-matched (dup-graph degree distribution)
         "label_centroids": similarity.label_centroids,           # SQL-matched (fixed-point vector-column agg)
         "customer_order_dist": relational.customer_order_dist,   # SQL-matched (Q13-class outer-join histogram)
         "doc_pareto_front": documents.doc_pareto_front,          # SQL-matched (skyline/dominance filter)
@@ -1202,6 +1206,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(gap) AS BIGINT) AS max_gap_us,
                    sum(gap) / count(gap) AS mean_gap_us
             FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        """,
+        # FIRST_VALUE/LAST_VALUE per user over (ts, event_id) order.
+        "events_first_last": """
+            WITH r AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn,
+                              count(*) OVER (PARTITION BY user_id) AS n
+                       FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn = n THEN event_type END) AS last_type,
+                   CAST(max(n) AS BIGINT) AS n_events
+            FROM r GROUP BY user_id
+        """,
+        # Calendar-spine densification: every day in [min, max], 0-filled.
+        "events_daily_dense": """
+            WITH d AS (SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+                              count(*) AS n
+                       FROM events GROUP BY 1),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            s AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b)
+            SELECT s.day AS day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+            FROM s LEFT JOIN d USING (day)
+        """,
+        # Length-weighted mean quality per language: integer-exact sums,
+        # one mirrored float division (round 6).
+        "lang_weighted_quality": f"""
+            WITH c AS (SELECT lang, {_CLEAN} AS ct FROM documents),
+            m AS (SELECT lang,
+                         CAST(length(ct) AS BIGINT) AS n_chars,
+                         CAST(len(string_split_regex(ct, '\\s+')) AS BIGINT) AS n_tokens,
+                         CAST(length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                         CAST(length(regexp_replace(ct, '[^0-9]', '', 'g')) AS BIGINT) AS digit
+                  FROM c),
+            q AS (SELECT lang, n_chars,
+                         CAST(floor((0.4 * (alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                                   + 0.3 * least(1.0, n_tokens / 100.0)
+                                   + 0.3 * (1.0 - digit / CAST(greatest(n_chars, 1) AS DOUBLE)))
+                                  * 10000 + 0.5) AS BIGINT) AS qx
+                  FROM m)
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_w,
+                   CAST(sum(qx * n_chars) AS BIGINT) AS sum_wq,
+                   round(CAST(sum(qx * n_chars) AS DOUBLE)
+                         / greatest(CAST(sum(n_chars) AS DOUBLE), 1), 6) AS wq_mean
+            FROM q GROUP BY lang
+        """,
+        # Degree distribution of the near-dup pair graph (same pair CTE
+        # as dup_triangles, with its df<=200 hot-shingle cap).
+        "dup_degree_hist": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pr AS (SELECT doc_a, doc_b FROM p
+                   JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12),
+            deg AS (SELECT doc_id, count(*) AS degree FROM (
+                        SELECT doc_a AS doc_id FROM pr
+                        UNION ALL SELECT doc_b FROM pr) e
+                    GROUP BY doc_id)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM deg GROUP BY 1
         """,
         # Trailing 7-day EXACT distinct users per window day, via the
         # same contribution expansion (day + k) the engine uses.

@@ -1076,3 +1076,40 @@ def _pagerank_local(pairs: ray.data.Dataset, n_iter: int,
                                             minlength=n)
     return ray.data.from_pandas(pd.DataFrame({
         "doc_id": nodes, "pagerank": rank}))
+
+
+def dup_degree_hist(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Degree distribution of the near-dup pair graph — how many docs
+    have exactly d near-duplicates. The graph-health summary that tells
+    a curation run whether duplication is long-tail (degree 1-2) or
+    dominated by mega-families (high degree) BEFORE paying for
+    clustering.
+
+    Plan: each edge emits its two endpoints (narrow int rows), bucketed
+    per-doc count (exchange 1), per-bucket partial (degree, n) histogram
+    so exchange 2 carries ≤ #distinct-degrees rows per bucket, tiny
+    final grouped sum.
+    """
+    from ray.data.aggregate import Sum
+
+    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.r_[b["doc_a"].to_numpy(np.int64),
+                    b["doc_b"].to_numpy(np.int64)]
+        g = pd.DataFrame({"doc_id": ids}).groupby(
+            "doc_id", as_index=False).agg(n=("doc_id", "size"))
+        return g.assign(_bucket=bucket_int_array(
+            g["doc_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("doc_id", as_index=False)["n"].sum()
+        return (deg.groupby("n", as_index=False)
+                .agg(n_docs=("doc_id", "size"))
+                .rename(columns={"n": "degree"}))
+
+    partials = (pairs.map_batches(endpoints, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(per_bucket, batch_format="pandas"))
+    return partials.groupby("degree").aggregate(
+        Sum("n_docs", alias_name="n_docs"))

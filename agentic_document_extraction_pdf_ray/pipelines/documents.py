@@ -1102,3 +1102,38 @@ def doc_pareto_front(sf_dir: str) -> "pd.DataFrame":
                         cand["n_tokens"].to_numpy(np.int64))
     out = cand[keep].sort_values(["quality_x100", "doc_id"])
     return out.reset_index(drop=True)[["doc_id", "quality_x100", "n_tokens"]]
+
+
+def lang_weighted_quality(sf_dir: str) -> ray.data.Dataset:
+    """Length-weighted mean quality per language — the weighted-average
+    class done integer-exactly: both the weight sum (chars) and the
+    weighted score sum (quality_x100 · chars) are int64 sums, so the
+    shuffle-order-independent partials hash-match SQL exactly; the one
+    float division is a final per-group expression mirrored
+    term-for-term (round 6).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+        clean = _norm_ws(batch["text"])
+        n_chars, _, _, _, qx = quality_arrays(clean)
+        lang = batch["lang"].to_pylist()
+        g = (pd.DataFrame({"lang": lang, "w": n_chars, "wq": qx * n_chars})
+             .groupby("lang", as_index=False).sum())
+        return g
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["sum_w"].to_numpy(np.int64)
+        wq = batch["sum_wq"].to_numpy(np.int64)
+        batch["wq_mean"] = np.round(
+            wq / np.maximum(w, 1).astype(np.float64), 6)
+        return batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("w", alias_name="sum_w"),
+                                       Sum("wq", alias_name="sum_wq"))
+            .map_batches(finish, batch_format="pandas"))

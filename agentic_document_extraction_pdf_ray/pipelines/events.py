@@ -1122,3 +1122,68 @@ def events_rolling_distinct_users(sf_dir: str, window_days: int = 7,
                 .groupby("_bucket")
                 .map_groups(per_bucket, batch_format="pandas"))
     return partials.groupby("w").aggregate(Sum("n", alias_name="n_users"))
+
+
+def events_first_last(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """FIRST_VALUE / LAST_VALUE per user over (ts, event_id) order —
+    the windowed first/last class (SCD keep-first + keep-latest in one
+    pass), with a map-side argmin/argmax combiner: each block emits at
+    most TWO rows + a count per user it saw, so the shuffle carries
+    2·|users-per-block| narrow rows however large the block.
+
+    Associativity: (first, last, n) partials combine by again taking
+    the (ts, event_id)-min first, max last, and summing n — the same
+    kernel runs map-side and per bucket.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["user_id", "ts", "event_id"])
+        g = b.groupby("user_id", as_index=False).agg(
+            f_ts=("ts", "first"), f_eid=("event_id", "first"),
+            first_type=("event_type", "first"),
+            l_ts=("ts", "last"), l_eid=("event_id", "last"),
+            last_type=("event_type", "last"),
+            n_events=("event_id", "size"))
+        return g.assign(_bucket=pd.util.hash_array(
+            g["user_id"].to_numpy(np.uint64)) % n_buckets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        f = (g.sort_values(["user_id", "f_ts", "f_eid"])
+             .groupby("user_id", as_index=False)
+             .agg(first_type=("first_type", "first")))
+        l = (g.sort_values(["user_id", "l_ts", "l_eid"])
+             .groupby("user_id", as_index=False)
+             .agg(last_type=("last_type", "last")))
+        n = g.groupby("user_id", as_index=False)["n_events"].sum()
+        return f.merge(l, on="user_id").merge(n, on="user_id")
+
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def events_daily_dense(sf_dir: str) -> pd.DataFrame:
+    """Calendar-spine densification: daily event counts INCLUDING empty
+    days between the corpus min and max day (zero-filled) — the
+    generate_series ⟕ facts pattern every reporting pipeline needs.
+
+    The distributed part is the usual partial+final day rollup (narrow
+    (day, n) partials); the spine join runs on the driver because its
+    size is calendar-bounded (#days ≪ rows — decades are mere
+    thousands of rows), never data-bounded.
+    """
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (batch["ts"].to_numpy("datetime64[us]")
+             .astype("datetime64[D]").astype(np.int64))
+        return (pd.DataFrame({"day": d})
+                .groupby("day", as_index=False).agg(n=("day", "size")))
+
+    daily = (read_events(sf_dir, ["ts"])
+             .map_batches(partial, batch_format="pandas")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())                   # ≤ #calendar-days rows
+    lo, hi = int(daily["day"].min()), int(daily["day"].max())
+    spine = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
+    out = spine.merge(daily, on="day", how="left")
+    out["n_events"] = out["n"].fillna(0).astype(np.int64)
+    return out[["day", "n_events"]]

@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_dense": events.events_daily_dense,         # SQL-matched (calendar-spine zero-fill)
         "lang_weighted_quality": documents.lang_weighted_quality,  # SQL-matched (integer-exact weighted mean)
         "dup_degree_hist": dedup.dup_degree_hist,                # SQL-matched (dup-graph degree distribution)
+        "dup_source_matrix": dedup.dup_source_matrix,            # SQL-matched (cross-source dup audit)
+        "doc_upsert_latest": dedup.doc_upsert_latest,            # SQL-matched (CDC keep-latest merge)
         "label_centroids": similarity.label_centroids,           # SQL-matched (fixed-point vector-column agg)
         "customer_order_dist": relational.customer_order_dist,   # SQL-matched (Q13-class outer-join histogram)
         "doc_pareto_front": documents.doc_pareto_front,          # SQL-matched (skyline/dominance filter)
@@ -1278,6 +1280,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(degree AS BIGINT) AS degree,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM deg GROUP BY 1
+        """,
+        # Cross-source near-dup matrix (same pair CTE; unordered source
+        # pair via least/greatest).
+        "dup_source_matrix": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pr AS (SELECT doc_a, doc_b FROM p
+                   JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12),
+            e AS (SELECT least(da.source, db.source) AS source_a,
+                         greatest(da.source, db.source) AS source_b
+                  FROM pr JOIN documents da ON da.doc_id = pr.doc_a
+                          JOIN documents db ON db.doc_id = pr.doc_b)
+            SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM e GROUP BY 1, 2
+        """,
+        # CDC keep-latest: deterministic version-2 delta (doc_id % 10)
+        # merged over the base, highest version wins.
+        "doc_upsert_latest": """
+            WITH base AS (SELECT doc_id, 1 AS version,
+                                 coalesce(text, '') AS text FROM documents),
+            delta AS (SELECT doc_id, 2 AS version,
+                             'UPDATED ' || coalesce(text, '') AS text
+                      FROM documents WHERE doc_id % 10 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+            k AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY version DESC) AS rn
+                  FROM u)
+            SELECT doc_id, CAST(version AS BIGINT) AS version,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM k WHERE rn = 1
         """,
         # Trailing 7-day EXACT distinct users per window day, via the
         # same contribution expansion (day + k) the engine uses.

@@ -1113,3 +1113,136 @@ def dup_degree_hist(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
                 .map_groups(per_bucket, batch_format="pandas"))
     return partials.groupby("degree").aggregate(
         Sum("n_docs", alias_name="n_docs"))
+
+
+def dup_source_matrix(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Cross-source near-duplication matrix: near-dup pair counts per
+    unordered (source_a, source_b) — the "is source X plagiarizing
+    source Y" / inter-crawl-contamination audit.
+
+    The node-attribute table (doc → source) is corpus-sized, so no
+    broadcast: edges pick up each endpoint's source through TWO bucketed
+    union+co-group attach stages (the same idiom as the LSH vector
+    attach, but with a 1-string payload), then a map-side partial count
+    per unordered source pair makes the final exchange ≤ |sources|²
+    rows. Every stage speaks Arrow (``batch_format="pyarrow"`` in and
+    out) so empty groups carry a typed empty schema — no pandas object
+    columns for Ray's block-size estimator to choke on.
+    """
+    from ray.data.aggregate import Sum
+
+    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+
+    def _rows(key, other, src, carry, side):
+        r = len(key)
+        return pa.table({
+            "_key": pa.array(np.asarray(key, np.int64), pa.int64()),
+            "_other": pa.array(np.asarray(other, np.int64), pa.int64()),
+            "_src": pa.array(src, pa.string()),
+            "_carry": pa.array(carry, pa.string()),
+            "_side": pa.array([side] * r, pa.string()),
+            "_bucket": pa.array(bucket_int_array(
+                np.asarray(key, np.int64), n_buckets), pa.int64())})
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _rows(ids, np.full(len(ids), -1, np.int64),
+                     b["source"].to_pylist(), [""] * len(ids), "n")
+
+    def pair_rows_a(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _rows(da, db, [""] * len(da), [""] * len(da), "p")
+
+    def _split(g: pa.Table):
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        nodes = g.filter(pa.array(side == "n"))
+        p = g.filter(pa.array(side == "p"))
+        return nodes, p
+
+    def _lookup(nodes: pa.Table, key: np.ndarray) -> list:
+        """source of each key via sorted-id searchsorted (vectorized)."""
+        nid = nodes["_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nid, kind="mergesort")
+        pos = order[np.searchsorted(nid[order], key)]
+        return nodes["_src"].take(pa.array(pos, pa.int64())).to_pylist()
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        nodes, p = _split(g)
+        key = p["_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        other = p["_other"].to_numpy(zero_copy_only=False).astype(np.int64)
+        carry = _lookup(nodes, key) if len(key) else []
+        # re-key by the far endpoint; its source attaches in stage B
+        return _rows(other, np.full(len(other), -1, np.int64),
+                     [""] * len(other), carry, "p")
+
+    def attach_b(g: pa.Table) -> pa.Table:
+        nodes, p = _split(g)
+        if p.num_rows == 0:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string()),
+                             "n_pairs": pa.array([], pa.int64())})
+        key = p["_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = np.asarray(p["_carry"].to_pylist(), object)
+        sb = np.asarray(_lookup(nodes, key), object)
+        lo, hi = np.minimum(sa, sb), np.maximum(sa, sb)
+        g2 = (pd.DataFrame({"source_a": lo, "source_b": hi})
+              .groupby(["source_a", "source_b"], as_index=False)
+              .agg(n_pairs=("source_a", "size")))
+        return pa.table({
+            "source_a": pa.array(g2["source_a"].tolist(), pa.string()),
+            "source_b": pa.array(g2["source_b"].tolist(), pa.string()),
+            "n_pairs": pa.array(g2["n_pairs"].to_numpy(np.int64),
+                                pa.int64())})
+
+    stage_a = (docs.map_batches(node_rows, batch_format="pyarrow")
+               .union(pairs.map_batches(pair_rows_a, batch_format="pyarrow"))
+               .groupby("_bucket").map_groups(attach_a,
+                                              batch_format="pyarrow"))
+    partials = (docs.map_batches(node_rows, batch_format="pyarrow")
+                .union(stage_a)
+                .groupby("_bucket").map_groups(attach_b,
+                                               batch_format="pyarrow"))
+    return partials.groupby(["source_a", "source_b"]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs"))
+
+
+def doc_upsert_latest(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """CDC upsert / merge-on-read keep-latest: a deterministic delta
+    (every doc_id % 10 == 0 re-issued as version 2 with ``'UPDATED '``
+    prepended) merged over the base so the highest version wins per
+    key — the SCD-1 compaction every incremental-ingest lakehouse runs.
+
+    One read: each block emits its base rows AND its delta rows, then
+    ONE bucketed exchange resolves keep-max-version per doc via a
+    vectorized sort + drop_duplicates — no join, no second scan. Output
+    carries (version, n_chars) so the winner is hash-checkable without
+    shipping text twice.
+    """
+    def emit_both(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        text = b["text"].fillna("")
+        base = pd.DataFrame({"doc_id": ids, "version": np.int64(1),
+                             "text": text})
+        dm = ids % 10 == 0
+        delta = pd.DataFrame({"doc_id": ids[dm], "version": np.int64(2),
+                              "text": "UPDATED " + text[dm]})
+        out = pd.concat([base, delta], ignore_index=True)
+        return out.assign(_bucket=bucket_int_array(
+            out["doc_id"].to_numpy(np.int64), n_buckets))
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["doc_id", "version"], ascending=[True, False])
+             .drop_duplicates("doc_id"))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "version": g["version"].to_numpy(np.int64),
+            "n_chars": g["text"].str.len().to_numpy(np.int64)})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return (docs.map_batches(emit_both, batch_format="pandas")
+            .groupby("_bucket").map_groups(keep_latest,
+                                           batch_format="pandas"))

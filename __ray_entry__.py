@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_degree_hist": dedup.dup_degree_hist,                # SQL-matched (dup-graph degree distribution)
         "dup_source_matrix": dedup.dup_source_matrix,            # SQL-matched (cross-source dup audit)
         "doc_upsert_latest": dedup.doc_upsert_latest,            # SQL-matched (CDC keep-latest merge)
+        "doc_bigram_pmi": documents.doc_bigram_pmi,              # SQL-matched (PMI collocation mining)
         "label_centroids": similarity.label_centroids,           # SQL-matched (fixed-point vector-column agg)
         "customer_order_dist": relational.customer_order_dist,   # SQL-matched (Q13-class outer-join histogram)
         "doc_pareto_front": documents.doc_pareto_front,          # SQL-matched (skyline/dominance filter)
@@ -1306,6 +1307,30 @@ def oracle_sql() -> dict[str, str]:
                           JOIN documents db ON db.doc_id = pr.doc_b)
             SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
             FROM e GROUP BY 1, 2
+        """,
+        # PMI collocations: exact integer marginals, one mirrored log2
+        # expression (round 6 absorbs libm ulps).
+        "doc_bigram_pmi": """
+            WITH t AS (SELECT string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ') AS tk
+                       FROM documents),
+            u AS (SELECT unnest(tk) AS w FROM t),
+            uf AS (SELECT w, count(*) AS c FROM u WHERE w <> '' GROUP BY w),
+            nu AS (SELECT sum(c) AS n FROM uf),
+            bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                       i -> struct_pack(a := tk[i], b := tk[i+1]))) AS s
+                   FROM t WHERE len(tk) >= 2),
+            cb AS (SELECT s.a AS a, s.b AS b, count(*) AS c_ab
+                   FROM bg GROUP BY 1, 2),
+            nb AS (SELECT sum(c_ab) AS n FROM cb)
+            SELECT cb.a AS a, cb.b AS b, CAST(c_ab AS BIGINT) AS c_ab,
+                   CAST(ca.c AS BIGINT) AS c_a, CAST(cbb.c AS BIGINT) AS c_b,
+                   round(log2((c_ab / CAST(nb.n AS DOUBLE))
+                              / ((ca.c / CAST(nu.n AS DOUBLE))
+                                 * (cbb.c / CAST(nu.n AS DOUBLE)))), 6) AS pmi
+            FROM cb JOIN uf ca ON ca.w = cb.a
+                    JOIN uf cbb ON cbb.w = cb.b, nu, nb
+            WHERE c_ab >= 5
         """,
         # CDC keep-latest: deterministic version-2 delta (doc_id % 10)
         # merged over the base, highest version wins.

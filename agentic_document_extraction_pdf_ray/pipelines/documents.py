@@ -1137,3 +1137,113 @@ def lang_weighted_quality(sf_dir: str) -> ray.data.Dataset:
             .groupby("lang").aggregate(Sum("w", alias_name="sum_w"),
                                        Sum("wq", alias_name="sum_wq"))
             .map_batches(finish, batch_format="pandas"))
+
+
+def doc_bigram_pmi(sf_dir: str, min_count: int = 5,
+                   n_buckets: int = 32) -> ray.data.Dataset:
+    """Collocation mining: pointwise mutual information of adjacent
+    token bigrams vs their unigram marginals — the classic
+    phrase-discovery signal (Church & Hanks 1990) a tokenizer-merges or
+    stop-phrase list starts from. All counts are exact integers; the one
+    float expression (``log2`` of a ratio of count ratios) is mirrored
+    term-for-term and rounded to 6 (the repo's libm-ulp convention).
+
+    ONE corpus read; both marginals attach in token-keyed buckets:
+
+    1. map-side combiner: per-batch unigram counts and vectorized
+       adjacency bigram counts (``parents[1:] == parents[:-1]`` over the
+       flattened token stream — no per-doc Python loop), both keyed by
+       their FIRST token so a bigram and its left marginal land in the
+       same bucket;
+    2. bucket fold: global unigram counts exist in-bucket; ``c_a``
+       attaches to each bigram with zero extra movement; bigrams re-key
+       by their second token (exchange 2) while the unigram table rides
+       along untouched;
+    3. second bucket fold: ``c_b`` attaches, the ``c_ab ≥ min_count``
+       floor bounds the output, PMI is a pure expression. The corpus
+       totals come from the materialized NARROW stage-1 output (one
+       count row per distinct token / bigram), not a second corpus scan.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+
+    def _tok_bucket(keys: np.ndarray) -> np.ndarray:
+        return (hash_str_array(keys.astype(object))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    def partials(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""            # [''] artifact of empty docs only —
+        flat, parents = flat[keep], parents[keep]   # never mid-sequence
+        uni = (pd.DataFrame({"key": flat}).groupby("key", sort=False)
+               .size().reset_index(name="c"))
+        uni["tok2"] = ""
+        uni["side"] = "u"
+        if len(flat) > 1:
+            same = parents[1:] == parents[:-1]
+            bi = (pd.DataFrame({"key": flat[:-1][same],
+                                "tok2": flat[1:][same]})
+                  .groupby(["key", "tok2"], sort=False)
+                  .size().reset_index(name="c"))
+        else:
+            bi = pd.DataFrame({"key": [], "tok2": [], "c": []})
+        bi["side"] = "b"
+        out = pd.concat([uni[["key", "tok2", "c", "side"]],
+                         bi[["key", "tok2", "c", "side"]]],
+                        ignore_index=True)
+        out["c"] = out["c"].astype(np.int64)
+        out["c_a"] = np.int64(0)
+        out["_bucket"] = _tok_bucket(out["key"].to_numpy(object))
+        return out
+
+    def fold_first(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = g[g["side"] == "u"].groupby("key", as_index=False)["c"].sum()
+        b = (g[g["side"] == "b"]
+             .groupby(["key", "tok2"], as_index=False)["c"].sum())
+        b = b.merge(u.rename(columns={"c": "c_a"}), on="key")
+        out_b = pd.DataFrame({"key": b["tok2"].to_numpy(object),
+                              "tok2": b["key"].to_numpy(object),
+                              "c": b["c"].to_numpy(np.int64),
+                              "c_a": b["c_a"].to_numpy(np.int64),
+                              "side": "b"})
+        out_u = pd.DataFrame({"key": u["key"].to_numpy(object),
+                              "tok2": "",
+                              "c": u["c"].to_numpy(np.int64),
+                              "c_a": np.int64(0), "side": "u"})
+        out = pd.concat([out_b, out_u], ignore_index=True)
+        out["_b2"] = _tok_bucket(out["key"].to_numpy(object))
+        return out
+
+    st1 = (read_documents(sf_dir, ["text"])
+           .map_batches(partials, batch_format="pyarrow")
+           .groupby("_bucket").map_groups(fold_first,
+                                          batch_format="pandas")
+           .materialize())            # narrow: one row per token/bigram
+    tots = st1.map_batches(
+        lambda df: pd.DataFrame({
+            "nu": [df.loc[df["side"] == "u", "c"].sum()],
+            "nb": [df.loc[df["side"] == "b", "c"].sum()]}),
+        batch_format="pandas").to_pandas()
+    n_uni, n_bi = float(tots["nu"].sum()), float(tots["nb"].sum())
+
+    def fold_second(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = (g[g["side"] == "u"][["key", "c"]]
+             .rename(columns={"c": "c_b"}))
+        b = g[g["side"] == "b"].merge(u, on="key")
+        b = b[b["c"] >= min_count]
+        c_ab = b["c"].to_numpy(np.int64)
+        c_a = b["c_a"].to_numpy(np.int64)
+        c_b = b["c_b"].to_numpy(np.int64)
+        pmi = np.round(np.log2((c_ab / n_bi)
+                               / ((c_a / n_uni) * (c_b / n_uni))), 6)
+        return pd.DataFrame({"a": b["tok2"].to_numpy(object),
+                             "b": b["key"].to_numpy(object),
+                             "c_ab": c_ab, "c_a": c_a, "c_b": c_b,
+                             "pmi": pmi})
+
+    return st1.groupby("_b2").map_groups(fold_second,
+                                         batch_format="pandas")

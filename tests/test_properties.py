@@ -236,3 +236,80 @@ class TestSkylineProperties:
         kg = skyline_mask(q, t)
         want = sorted(zip(q[kg], t[kg]))
         assert got == want
+
+
+class TestRound3WindowProperties:
+    """Distributed-soundness properties for the round-3 window/combiner
+    operators: the contribution-expansion rolling distinct count equals
+    the brute-force window definition, and the first/last partial
+    combiner is associative under arbitrary block splits."""
+
+    @given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 14)),
+                    max_size=80))
+    @settings(max_examples=150, deadline=None)
+    def test_rolling_distinct_expansion_equals_bruteforce(self, pts):
+        # pts: (user, day) events; window = 7 days ending on w
+        import numpy as np
+        import pandas as pd
+        if not pts:
+            return
+        df = pd.DataFrame(pts, columns=["user", "day"]).drop_duplicates()
+        # engine formulation: expand each active day to windows d..d+6,
+        # dedup (user, window), count per window
+        users = np.repeat(df["user"].to_numpy(np.int64), 7)
+        w = (np.repeat(df["day"].to_numpy(np.int64), 7)
+             + np.tile(np.arange(7, dtype=np.int64), len(df)))
+        got = (pd.DataFrame({"user": users, "w": w}).drop_duplicates()
+               .groupby("w").size().to_dict())
+        # brute force: for each window day, count distinct users active
+        # in [w-6, w]
+        for wd in range(int(df["day"].min()),
+                        int(df["day"].max()) + 7):
+            active = df[(df["day"] >= wd - 6) & (df["day"] <= wd)]
+            n = active["user"].nunique()
+            if n:
+                assert got.get(wd, 0) == n
+            else:
+                assert wd not in got
+
+    @given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                              st.integers(0, 9),
+                              st.sampled_from(["a", "b", "c"])),
+                    min_size=1, max_size=60),
+           st.integers(1, 59))
+    @settings(max_examples=150, deadline=None)
+    def test_first_last_combiner_associative(self, rows, cut):
+        # rows: (user, ts, event_id, type). Combining per-block partials
+        # (first/last by (ts, eid) + count) must equal the global answer
+        # regardless of the split point.
+        import pandas as pd
+
+        def partial(df):
+            b = df.sort_values(["user", "ts", "eid"])
+            return b.groupby("user", as_index=False).agg(
+                f_ts=("ts", "first"), f_eid=("eid", "first"),
+                first_type=("typ", "first"),
+                l_ts=("ts", "last"), l_eid=("eid", "last"),
+                last_type=("typ", "last"), n=("eid", "size"))
+
+        def combine(parts):
+            g = pd.concat(parts, ignore_index=True)
+            f = (g.sort_values(["user", "f_ts", "f_eid"])
+                 .groupby("user", as_index=False)
+                 .agg(first_type=("first_type", "first")))
+            l = (g.sort_values(["user", "l_ts", "l_eid"])
+                 .groupby("user", as_index=False)
+                 .agg(last_type=("last_type", "last")))
+            n = g.groupby("user", as_index=False)["n"].sum()
+            return f.merge(l, on="user").merge(n, on="user")
+
+        df = pd.DataFrame(rows, columns=["user", "ts", "eid", "typ"])
+        # event ids must be unique for a deterministic order
+        df["eid"] = range(len(df))
+        cut = min(cut, len(df))
+        split = combine([partial(df.iloc[:cut]), partial(df.iloc[cut:])]) \
+            if cut < len(df) else combine([partial(df)])
+        whole = combine([partial(df)])
+        pd.testing.assert_frame_equal(
+            split.sort_values("user").reset_index(drop=True),
+            whole.sort_values("user").reset_index(drop=True))

@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_source_matrix": dedup.dup_source_matrix,            # SQL-matched (cross-source dup audit)
         "doc_upsert_latest": dedup.doc_upsert_latest,            # SQL-matched (CDC keep-latest merge)
         "doc_bigram_pmi": documents.doc_bigram_pmi,              # SQL-matched (PMI collocation mining)
+        "label_centroid_sim": similarity.label_centroid_sim,     # SQL-matched (exact-int centroid cosines)
+        "documents_profile_audit": documents.documents_profile_audit,  # SQL-matched (column profiling)
         "label_centroids": similarity.label_centroids,           # SQL-matched (fixed-point vector-column agg)
         "customer_order_dist": relational.customer_order_dist,   # SQL-matched (Q13-class outer-join histogram)
         "doc_pareto_front": documents.doc_pareto_front,          # SQL-matched (skyline/dominance filter)
@@ -1307,6 +1309,48 @@ def oracle_sql() -> dict[str, str]:
                           JOIN documents db ON db.doc_id = pr.doc_b)
             SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
             FROM e GROUP BY 1, 2
+        """,
+        # Column-profiling audit: rows / nulls / exact distinct per column.
+        "documents_profile_audit": """
+            SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text),
+                   count(DISTINCT text) FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang),
+                   count(DISTINCT lang) FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   count(DISTINCT n_chars) FROM documents
+        """,
+        # Centroid-direction cosines from EXACT integer dots (HUGEINT
+        # sums, one cast to DOUBLE — no float summation anywhere).
+        "label_centroid_sim": """
+            WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                              unnest(list_transform(range(1, len(embedding) + 1),
+                                  i -> struct_pack(dim := i - 1,
+                                      q := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                                      * 1000000 + 0.5) AS BIGINT)))) AS s
+                       FROM embeddings),
+            c AS (SELECT label, s.dim AS dim, sum(s.q) AS sum_q
+                  FROM e GROUP BY 1, 2),
+            p AS (SELECT a.label AS label_a, b.label AS label_b,
+                         sum(a.sum_q * b.sum_q) AS dot
+                  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+                  GROUP BY 1, 2),
+            n AS (SELECT label, sum(sum_q * sum_q) AS nrm FROM c GROUP BY label)
+            SELECT p.label_a, p.label_b,
+                   round(CAST(p.dot AS DOUBLE)
+                         / (sqrt(CAST(na.nrm AS DOUBLE))
+                            * sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cos_sim
+            FROM p JOIN n na ON na.label = p.label_a
+                   JOIN n nb ON nb.label = p.label_b
         """,
         # PMI collocations: exact integer marginals, one mirrored log2
         # expression (round 6 absorbs libm ulps).

@@ -1247,3 +1247,72 @@ def doc_bigram_pmi(sf_dir: str, min_count: int = 5,
 
     return st1.groupby("_b2").map_groups(fold_second,
                                          batch_format="pandas")
+
+
+def documents_profile_audit(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Column-profiling audit (the Deequ/profiler class): per column of
+    the documents table — row count, null count, EXACT distinct count —
+    in one long-format result the ingestion gate of a data platform
+    asserts against.
+
+    One read; exact distinct without hashing tricks: each batch emits
+    its map-side-DISTINCT (column, value-as-string) pairs, so the
+    exchange carries at most the per-batch distinct values (never the
+    row stream); a (column, value)-keyed bucket dedups globally and
+    counts per column; null/row tallies ride the same stream as
+    meta-rows. The final groupby sums the three partial kinds per
+    column. Values cast to string losslessly (int→str is injective), so
+    distinct-of-string == distinct-of-value.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_str_array
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def partials(batch: pa.Table) -> "pd.DataFrame":
+        frames = []
+        n = batch.num_rows
+        for c in cols:
+            col = batch[c]
+            nulls = col.null_count
+            uniq = pc.unique(pc.drop_null(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col))
+            vals = pc.cast(uniq, pa.string()).to_pylist()
+            frames.append(pd.DataFrame({
+                "column": c, "value": vals, "n_rows_p": np.int64(0),
+                "n_null_p": np.int64(0), "side": "d"}))
+            frames.append(pd.DataFrame({
+                "column": [c], "value": [""],
+                "n_rows_p": np.int64(n), "n_null_p": np.int64(nulls),
+                "side": "m"}))
+        out = pd.concat(frames, ignore_index=True)
+        key = (out["column"] + "\x1f" + out["value"]).to_numpy(object)
+        out["_bucket"] = (hash_str_array(key)
+                          % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        d = (g[g["side"] == "d"].drop_duplicates(["column", "value"])
+             .groupby("column", as_index=False)
+             .agg(n_distinct=("value", "size")))
+        d[["n_rows", "n_null"]] = np.int64(0)
+        m = (g[g["side"] == "m"].groupby("column", as_index=False)
+             .agg(n_rows=("n_rows_p", "sum"), n_null=("n_null_p", "sum")))
+        m["n_distinct"] = np.int64(0)
+        out = pd.concat([d[["column", "n_rows", "n_null", "n_distinct"]],
+                         m[["column", "n_rows", "n_null", "n_distinct"]]],
+                        ignore_index=True)
+        return out.astype({"n_rows": np.int64, "n_null": np.int64,
+                           "n_distinct": np.int64})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+            .groupby("column").aggregate(
+                Sum("n_rows", alias_name="n_rows"),
+                Sum("n_null", alias_name="n_null"),
+                Sum("n_distinct", alias_name="n_distinct")))

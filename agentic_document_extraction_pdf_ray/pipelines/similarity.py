@@ -673,3 +673,38 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     return partials.groupby(["label", "dim"]).aggregate(
         Sum("sum_q", alias_name="sum_q"),
         Sum("n_vecs", alias_name="n_vecs"))
+
+
+def label_centroid_sim(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine similarity between per-label centroid directions,
+    computed EXACTLY from the fixed-point centroid sums — the follow-on
+    analytics layer over :func:`label_centroids` (inter-class geometry:
+    which labels' embedding clusters point the same way).
+
+    Exactness trick: cos(a, b) on the un-normalized integer sum vectors
+    equals cos of the centroids (the 1/n scalars cancel), and every dot
+    product of int64 quantized sums is an EXACT big integer (Python int
+    on the engine side, HUGEINT under DuckDB's ``sum``) cast to float64
+    once — no order-dependent float summation anywhere. One ``round 6``
+    on the final ratio. The input is the (labels × dim) partial table —
+    bounded by the label vocabulary, so the pairwise step is driver-side
+    by construction, not by luck.
+    """
+    cent = label_centroids(sf_dir).to_pandas()     # ≤ labels×dim rows
+    labels = np.sort(cent["label"].unique())
+    vecs = {
+        int(lb): g.sort_values("dim")["sum_q"].to_numpy(object)
+        for lb, g in cent.groupby("label")
+    }
+    rows = []
+    for i, la in enumerate(labels):
+        va = vecs[int(la)]
+        na = sum(int(x) * int(x) for x in va)      # exact python int
+        for lb in labels[i + 1:]:
+            vb = vecs[int(lb)]
+            dot = sum(int(x) * int(y) for x, y in zip(va, vb))
+            nb = sum(int(x) * int(x) for x in vb)
+            cos = float(dot) / (np.sqrt(float(na)) * np.sqrt(float(nb)))
+            rows.append((int(la), int(lb), np.round(cos, 6)))
+    out = pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
+    return out.astype({"label_a": np.int64, "label_b": np.int64})

@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_pmi": documents.doc_bigram_pmi,              # SQL-matched (PMI collocation mining)
         "label_centroid_sim": similarity.label_centroid_sim,     # SQL-matched (exact-int centroid cosines)
         "documents_profile_audit": documents.documents_profile_audit,  # SQL-matched (column profiling)
+        "dup_clustering_coeff": dedup.dup_clustering_coeff,      # SQL-matched (local clustering coefficient)
         "label_centroids": similarity.label_centroids,           # SQL-matched (fixed-point vector-column agg)
         "customer_order_dist": relational.customer_order_dist,   # SQL-matched (Q13-class outer-join histogram)
         "doc_pareto_front": documents.doc_pareto_front,          # SQL-matched (skyline/dominance filter)
@@ -1309,6 +1310,45 @@ def oracle_sql() -> dict[str, str]:
                           JOIN documents db ON db.doc_id = pr.doc_b)
             SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
             FROM e GROUP BY 1, 2
+        """,
+        # Local clustering coefficient per dup-graph node (same pair +
+        # triangle CTEs as dup_triangles/dup_degree_hist).
+        "dup_clustering_coeff": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pr AS (SELECT doc_a, doc_b FROM p
+                   JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12),
+            tri AS (SELECT p1.doc_a AS doc_a, p1.doc_b AS doc_b, p2.doc_b AS doc_c
+                    FROM pr p1
+                    JOIN pr p2 ON p2.doc_a = p1.doc_b
+                    JOIN pr p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+            tv AS (SELECT doc_id, count(*) AS tc FROM (
+                       SELECT doc_a AS doc_id FROM tri
+                       UNION ALL SELECT doc_b FROM tri
+                       UNION ALL SELECT doc_c FROM tri) x
+                   GROUP BY doc_id),
+            deg AS (SELECT doc_id, count(*) AS dd FROM (
+                        SELECT doc_a AS doc_id FROM pr
+                        UNION ALL SELECT doc_b FROM pr) e
+                    GROUP BY doc_id)
+            SELECT deg.doc_id, CAST(deg.dd AS BIGINT) AS degree,
+                   CAST(coalesce(tv.tc, 0) AS BIGINT) AS n_tri,
+                   round(2.0 * coalesce(tv.tc, 0)
+                         / (deg.dd * (deg.dd - 1.0)), 6) AS clustering
+            FROM deg LEFT JOIN tv USING (doc_id)
+            WHERE deg.dd >= 2
         """,
         # Column-profiling audit: rows / nulls / exact distinct per column.
         "documents_profile_audit": """

@@ -679,7 +679,8 @@ def _connected_components(pairs: ray.data.Dataset, n_buckets: int = 32,
     return labels.map_batches(rename, batch_format="pandas")
 
 
-def dup_triangles(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+def dup_triangles(sf_dir: str, n_buckets: int = 32,
+                  pairs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Triangle enumeration on the near-dup pair graph (a<b<c with all
     three edges present) — the graph-analytics companion of
     :func:`doc_dup_components`: a triangle is the strongest 3-doc family
@@ -699,8 +700,9 @@ def dup_triangles(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
 
     The pair plan is materialized once and reused in both roles.
     """
-    pairs = (ngram_jaccard_pairs(sf_dir)
-             .select_columns(["doc_a", "doc_b"]).materialize())
+    if pairs is None:
+        pairs = (ngram_jaccard_pairs(sf_dir)
+                 .select_columns(["doc_a", "doc_b"]).materialize())
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         mid = b["doc_b"].to_numpy(np.int64)
@@ -1246,3 +1248,59 @@ def doc_upsert_latest(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     return (docs.map_batches(emit_both, batch_format="pandas")
             .groupby("_bucket").map_groups(keep_latest,
                                            batch_format="pandas"))
+
+
+def dup_clustering_coeff(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """Per-node local clustering coefficient on the near-dup graph —
+    c(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — completing the
+    graph-metrics family (degree dist, triangles, components, PageRank):
+    high c(v) marks docs inside tight duplicate cliques, low c(v) marks
+    hub docs stitching unrelated families (the ones transitive
+    clustering over-merges on).
+
+    The pair plan is materialized ONCE and feeds both the triangle
+    enumeration (reused :func:`dup_triangles` stages) and the degree
+    count; per-doc triangle and degree partials co-group in ONE
+    doc-keyed bucket exchange, and the coefficient is a pure mirrored
+    expression (integer counts, one float division, round 6).
+    """
+    from ray.data.aggregate import Sum
+
+    pairs = (ngram_jaccard_pairs(sf_dir)
+             .select_columns(["doc_a", "doc_b"]).materialize())
+    tri = dup_triangles(sf_dir, n_buckets=n_buckets, pairs=pairs)
+
+    def tri_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.r_[b["doc_a"].to_numpy(np.int64),
+                    b["doc_b"].to_numpy(np.int64),
+                    b["doc_c"].to_numpy(np.int64)]
+        g = (pd.DataFrame({"doc_id": ids})
+             .groupby("doc_id", as_index=False).agg(t=("doc_id", "size")))
+        g["d"] = np.int64(0)
+        return g.assign(_bucket=bucket_int_array(
+            g["doc_id"].to_numpy(np.int64), n_buckets))
+
+    def deg_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        ids = np.r_[b["doc_a"].to_numpy(np.int64),
+                    b["doc_b"].to_numpy(np.int64)]
+        g = (pd.DataFrame({"doc_id": ids})
+             .groupby("doc_id", as_index=False).agg(d=("doc_id", "size")))
+        g["t"] = np.int64(0)
+        return g[["doc_id", "t", "d"]].assign(_bucket=bucket_int_array(
+            g["doc_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False)[["t", "d"]].sum()
+        s = s[s["d"] >= 2]
+        t = s["t"].to_numpy(np.float64)
+        d = s["d"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "doc_id": s["doc_id"].to_numpy(np.int64),
+            "degree": s["d"].to_numpy(np.int64),
+            "n_tri": s["t"].to_numpy(np.int64),
+            "clustering": np.round(2.0 * t / (d * (d - 1.0)), 6)})
+
+    stream = (tri.map_batches(tri_nodes, batch_format="pandas")
+              .union(pairs.map_batches(deg_nodes, batch_format="pandas")))
+    return (stream.groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

@@ -1182,6 +1182,9 @@ def events_daily_dense(sf_dir: str) -> pd.DataFrame:
              .map_batches(partial, batch_format="pandas")
              .groupby("day").aggregate(Sum("n", alias_name="n"))
              .to_pandas())                   # ≤ #calendar-days rows
+    if daily.empty:
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64)})
     lo, hi = int(daily["day"].min()), int(daily["day"].max())
     spine = pd.DataFrame({"day": np.arange(lo, hi + 1, dtype=np.int64)})
     out = spine.merge(daily, on="day", how="left")

@@ -650,6 +650,11 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(labels) == 0:       # reduceat chokes on zero-row blocks
+            return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                                 "dim": pd.Series([], dtype=np.int64),
+                                 "sum_q": pd.Series([], dtype=np.int64),
+                                 "n_vecs": pd.Series([], dtype=np.int64)})
         emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
         q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
         order = np.argsort(labels, kind="stable")

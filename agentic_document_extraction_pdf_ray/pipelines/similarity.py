@@ -672,12 +672,22 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
             "n_vecs": np.repeat(counts.astype(np.int64), dim),
         })
 
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["label", "dim"], as_index=False)
+               [["sum_q", "n_vecs"]].sum())
+        return out.astype({"label": np.int64, "dim": np.int64,
+                           "sum_q": np.int64, "n_vecs": np.int64})
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["label", "embedding"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["label", "dim"]).aggregate(
-        Sum("sum_q", alias_name="sum_q"),
-        Sum("n_vecs", alias_name="n_vecs"))
+    # final merge via the bucket pattern: Ray's groupby().aggregate()
+    # pays ~ms-level overhead PER GROUP (labels × dim = hundreds+), a
+    # bucketed vectorized pandas sum is one task per label bucket
+    return (partials.map_batches(
+        lambda b: b.assign(_cb=b["label"].to_numpy(np.int64) % 8),
+        batch_format="pandas")
+        .groupby("_cb").map_groups(merge_bucket, batch_format="pandas"))
 
 
 def label_centroid_sim(sf_dir: str) -> pd.DataFrame:

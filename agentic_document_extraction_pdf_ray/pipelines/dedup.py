@@ -1113,8 +1113,15 @@ def dup_degree_hist(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     partials = (pairs.map_batches(endpoints, batch_format="pandas")
                 .groupby("_bucket")
                 .map_groups(per_bucket, batch_format="pandas"))
-    return partials.groupby("degree").aggregate(
-        Sum("n_docs", alias_name="n_docs"))
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("degree", as_index=False)
+               .agg(n_docs=("n_docs", "sum")))
+        return out.astype({"degree": np.int64, "n_docs": np.int64})
+
+    return (partials.map_batches(
+        lambda b: b.assign(_cb=b["degree"].to_numpy(np.int64) % 8),
+        batch_format="pandas")
+        .groupby("_cb").map_groups(merge, batch_format="pandas"))
 
 
 def dup_source_matrix(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:

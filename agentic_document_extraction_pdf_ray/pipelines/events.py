@@ -1121,7 +1121,16 @@ def events_rolling_distinct_users(sf_dir: str, window_days: int = 7,
     partials = (ds.map_batches(distinct_pairs, batch_format="pandas")
                 .groupby("_bucket")
                 .map_groups(per_bucket, batch_format="pandas"))
-    return partials.groupby("w").aggregate(Sum("n", alias_name="n_users"))
+    # bucketed final merge: groupby(w).aggregate pays ms-per-group Ray
+    # overhead and #window-days grows with the calendar span
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("w", as_index=False).agg(n_users=("n", "sum"))
+        return out.astype({"w": np.int64, "n_users": np.int64})
+
+    return (partials.map_batches(
+        lambda b: b.assign(_cb=b["w"].to_numpy(np.int64) % 8),
+        batch_format="pandas")
+        .groupby("_cb").map_groups(merge, batch_format="pandas"))
 
 
 def events_first_last(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
@@ -1178,9 +1187,17 @@ def events_daily_dense(sf_dir: str) -> pd.DataFrame:
         return (pd.DataFrame({"day": d})
                 .groupby("day", as_index=False).agg(n=("day", "size")))
 
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("day", as_index=False).agg(n=("n", "sum"))
+                .astype({"day": np.int64, "n": np.int64}))
+
     daily = (read_events(sf_dir, ["ts"])
              .map_batches(partial, batch_format="pandas")
-             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             # bucketed merge — #day groups grows with the calendar span
+             .map_batches(lambda b: b.assign(
+                 _cb=b["day"].to_numpy(np.int64) % 8),
+                 batch_format="pandas")
+             .groupby("_cb").map_groups(merge, batch_format="pandas")
              .to_pandas())                   # ≤ #calendar-days rows
     if daily.empty:
         return pd.DataFrame({"day": pd.Series([], dtype=np.int64),

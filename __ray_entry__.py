@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_sim": similarity.label_centroid_sim,     # SQL-matched (exact-int centroid cosines)
         "documents_profile_audit": documents.documents_profile_audit,  # SQL-matched (column profiling)
         "dup_clustering_coeff": dedup.dup_clustering_coeff,      # SQL-matched (local clustering coefficient)
+        "lang_source_mi": documents.lang_source_mi,              # SQL-matched (categorical mutual information)
+        "doc_row_number": documents.doc_row_number,              # SQL-matched (range-partitioned zipWithIndex)
         "label_centroids": similarity.label_centroids,           # SQL-matched (fixed-point vector-column agg)
         "customer_order_dist": relational.customer_order_dist,   # SQL-matched (Q13-class outer-join histogram)
         "doc_pareto_front": documents.doc_pareto_front,          # SQL-matched (skyline/dominance filter)
@@ -1310,6 +1312,27 @@ def oracle_sql() -> dict[str, str]:
                           JOIN documents db ON db.doc_id = pr.doc_b)
             SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
             FROM e GROUP BY 1, 2
+        """,
+        # Categorical mutual information lang×source; integer counts,
+        # round 6 absorbs sum-order ulps (doc_lang_entropy convention).
+        "lang_source_mi": """
+            WITH c AS (SELECT lang, source, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT sum(n) AS big_n FROM c),
+            i AS (SELECT lang, sum(n) AS ni FROM c GROUP BY lang),
+            j AS (SELECT source, sum(n) AS nj FROM c GROUP BY source)
+            SELECT round(sum((c.n / CAST(t.big_n AS DOUBLE))
+                             * log2(CAST(t.big_n AS DOUBLE) * c.n
+                                    / (CAST(i.ni AS DOUBLE) * j.nj))), 6) AS mi_bits,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(max(t.big_n) AS BIGINT) AS n_rows
+            FROM c JOIN i USING (lang) JOIN j USING (source), t
+        """,
+        # Range-partitioned global row numbering (doc_id is unique).
+        "doc_row_number": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+            FROM documents
         """,
         # Local clustering coefficient per dup-graph node (same pair +
         # triangle CTEs as dup_triangles/dup_degree_hist).

@@ -1316,3 +1316,87 @@ def documents_profile_audit(sf_dir: str, n_buckets: int = 32) -> ray.data.Datase
                 Sum("n_rows", alias_name="n_rows"),
                 Sum("n_null", alias_name="n_null"),
                 Sum("n_distinct", alias_name="n_distinct")))
+
+
+def lang_source_mi(sf_dir: str) -> "pd.DataFrame":
+    """Categorical dependence audit: mutual information (bits) between
+    the ``lang`` and ``source`` columns — the data-mixing diagnostic
+    that flags when a corpus's language distribution is secretly a
+    source distribution (MI ≈ H) vs independent (MI ≈ 0).
+
+    Map-side contingency partials (one row per observed (lang, source)
+    cell per batch) → tiny grouped sum (cells ≤ |langs|·|sources|) →
+    driver-side closed-form MI from EXACT integer counts:
+    ``Σ (n_ij/N)·log2(N·n_ij/(n_i·n_j))`` summed in a deterministic
+    cell order (lang, source ascending), rounded to 6.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: "pd.DataFrame") -> "pd.DataFrame":
+        return (batch.groupby(["lang", "source"], as_index=False)
+                .agg(n=("lang", "size")))
+
+    cells = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["lang", "source"])
+             .map_batches(partial, batch_format="pandas")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())                  # ≤ |langs|·|sources| rows
+    cells = cells.sort_values(["lang", "source"]).reset_index(drop=True)
+    n = cells["n"].to_numpy(np.int64).astype(np.float64)
+    big_n = n.sum()
+    ni = cells.groupby("lang")["n"].transform("sum").to_numpy(np.float64)
+    nj = cells.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    mi = float(np.sum((n / big_n) * np.log2(big_n * n / (ni * nj))))
+    return pd.DataFrame({"mi_bits": [np.round(mi, 6)],
+                         "n_cells": [np.int64(len(cells))],
+                         "n_rows": [np.int64(int(big_n))]})
+
+
+def doc_row_number(sf_dir: str, n_ranges: int = 32) -> ray.data.Dataset:
+    """Global dense row numbering by ``doc_id`` WITHOUT a global sort —
+    the RANGE-partitioning primitive (zipWithIndex): every row gets its
+    exact ``row_number() OVER (ORDER BY doc_id)`` via equal-width id
+    ranges, per-range counts, a driver-side prefix sum over ≤
+    ``n_ranges`` integers, and an in-range vectorized argsort. No
+    shuffle moves more than the (doc_id, range) projection, and the
+    only cross-range coordination is the tiny offset table.
+    """
+    import pandas as pd
+
+    ids_ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id"])
+    lo = ids_ds.min("doc_id")
+    hi = ids_ds.max("doc_id")
+    width = max(1, (int(hi) - int(lo) + n_ranges) // n_ranges)
+
+    def tag(batch: "pd.DataFrame") -> "pd.DataFrame":
+        ids = batch["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "_r": np.minimum((ids - int(lo)) // width, n_ranges - 1)})
+
+    tagged = ids_ds.map_batches(tag, batch_format="pandas").materialize()
+    counts = (tagged.map_batches(
+        lambda b: b.groupby("_r", as_index=False).agg(c=("_r", "size")),
+        batch_format="pandas").to_pandas()
+        .groupby("_r")["c"].sum())          # ≤ n_ranges rows ever
+    offsets = np.zeros(n_ranges, np.int64)
+    cum = 0
+    for r in range(n_ranges):
+        offsets[r] = cum
+        cum += int(counts.get(r, 0))
+    off_map = {r: int(offsets[r]) for r in range(n_ranges)}
+
+    def rank_range(g: "pd.DataFrame") -> "pd.DataFrame":
+        ids = g["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        rn = np.empty(len(ids), np.int64)
+        rn[order] = np.arange(1, len(ids) + 1, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "rn": rn + off_map[int(g["_r"].iloc[0])]})
+
+    return tagged.groupby("_r").map_groups(rank_range,
+                                           batch_format="pandas")

@@ -25,6 +25,9 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true",
                     help="manifest-gated resumable run (atomic per-partition commits)")
     ap.add_argument("--redact-phi", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="print ds.stats() per-stage breakdown to stderr "
+                         "after the run (measure, don't guess)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -65,6 +68,8 @@ def main() -> int:
         else:
             ds.write_parquet(args.output, partition_cols=["partition_id"])
         print(json.dumps({"wall_sec": round(time.time() - t0, 2)}))
+        if args.stats:
+            print(ds.stats(), file=sys.stderr)
     ray.shutdown()
     return 0
 

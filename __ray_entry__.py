@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clustering_coeff": dedup.dup_clustering_coeff,      # SQL-matched (local clustering coefficient)
         "lang_source_mi": documents.lang_source_mi,              # SQL-matched (categorical mutual information)
         "doc_row_number": documents.doc_row_number,              # SQL-matched (range-partitioned zipWithIndex)
+        "events_nearest_click": events.events_nearest_click,     # SQL-matched (tolerance nearest join)
         "label_centroids": similarity.label_centroids,           # SQL-matched (fixed-point vector-column agg)
         "customer_order_dist": relational.customer_order_dist,   # SQL-matched (Q13-class outer-join histogram)
         "doc_pareto_front": documents.doc_pareto_front,          # SQL-matched (skyline/dominance filter)
@@ -1312,6 +1313,27 @@ def oracle_sql() -> dict[str, str]:
                           JOIN documents db ON db.doc_id = pr.doc_b)
             SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
             FROM e GROUP BY 1, 2
+        """,
+        # Tolerance-bounded nearest join: per purchase, the click with
+        # the smallest |gap| within 2 h; ties take the earlier click.
+        "events_nearest_click": """
+            WITH p AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, max(event_id) AS click_id
+                  FROM events WHERE event_type = 'click'
+                  GROUP BY user_id, ts),
+            cand AS (SELECT p.event_id, p.user_id,
+                            epoch_us(p.ts) AS ts_us,
+                            c.click_id, epoch_us(c.ts) AS click_ts_us,
+                            abs(epoch_us(p.ts) - epoch_us(c.ts)) AS adist
+                     FROM p JOIN c USING (user_id)
+                     WHERE abs(epoch_us(p.ts) - epoch_us(c.ts))
+                           <= 7200000000),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                        ORDER BY adist, click_ts_us) AS rn FROM cand)
+            SELECT event_id, user_id, ts_us, click_id, click_ts_us,
+                   CAST(ts_us - click_ts_us AS BIGINT) AS gap_us
+            FROM r WHERE rn = 1
         """,
         # Categorical mutual information lang×source; integer counts,
         # round 6 absorbs sum-order ulps (doc_lang_entropy convention).

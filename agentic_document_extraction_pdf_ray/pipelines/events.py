@@ -1207,3 +1207,81 @@ def events_daily_dense(sf_dir: str) -> pd.DataFrame:
     out = spine.merge(daily, on="day", how="left")
     out["n_events"] = out["n"].fillna(0).astype(np.int64)
     return out[["day", "n_events"]]
+
+
+def events_nearest_click(sf_dir: str, tol_us: int = 7_200_000_000,
+                         n_buckets: int = 64) -> ray.data.Dataset:
+    """Tolerance-bounded NEAREST join: each purchase ⟵ the click
+    closest in time within ±``tol_us`` (2 h default), per user — the
+    two-sided sibling of :func:`events_asof_purchase_click` (backward
+    as-of) that ad-attribution and sensor-alignment pipelines need.
+
+    Same one-exchange skeleton (tag → user-bucket → vectorized
+    per-bucket join); the nearest choice is built from TWO
+    ``merge_asof`` passes (backward + forward) with an explicit
+    deterministic tie rule — equal distances take the EARLIER click —
+    because pandas' ``direction="nearest"`` tie behavior is unspecified
+    and the oracle needs an exactly mirrored rule
+    (``ORDER BY abs_gap, click_ts``). (user, ts) click ties collapse to
+    max(event_id) map-side, as in the as-of operator.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["event_type"].isin(("purchase", "click"))]
+        p = keep[keep["event_type"] == "purchase"][
+            ["user_id", "ts", "event_id"]].assign(side="p")
+        c = (keep[keep["event_type"] == "click"]
+             .groupby(["user_id", "ts"], as_index=False)
+             .agg(event_id=("event_id", "max"))
+             .assign(side="c"))
+        both = pd.concat([p, c[["user_id", "ts", "event_id", "side"]]],
+                         ignore_index=True)
+        both["_bucket"] = bucket_int_array(
+            both["user_id"].to_numpy(np.int64), n_buckets)
+        return both
+
+    def nearest_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g["side"] == "p"]
+                .sort_values(["ts", "event_id"], kind="mergesort"))
+        right = (g[g["side"] == "c"]
+                 .groupby(["user_id", "ts"], as_index=False)
+                 .agg(event_id=("event_id", "max"))
+                 .sort_values("ts", kind="mergesort")
+                 .rename(columns={"event_id": "click_id",
+                                  "ts": "click_ts"}))
+        lcols = left[["ts", "user_id", "event_id"]]
+        b = pd.merge_asof(lcols, right, left_on="ts", right_on="click_ts",
+                          by="user_id", direction="backward",
+                          allow_exact_matches=True)
+        f = pd.merge_asof(lcols, right, left_on="ts", right_on="click_ts",
+                          by="user_id", direction="forward",
+                          allow_exact_matches=True)
+        ts_us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        # NaT-safe: NaT.astype(float) is INT64_MIN, not NaN — mask first
+        b_nat = b["click_ts"].isna().to_numpy()
+        f_nat = f["click_ts"].isna().to_numpy()
+        bts = b["click_ts"].to_numpy("datetime64[us]").astype("float64")
+        fts = f["click_ts"].to_numpy("datetime64[us]").astype("float64")
+        db = np.where(b_nat, np.inf, ts_us - bts)
+        df_ = np.where(f_nat, np.inf, fts - ts_us)
+        take_b = db <= df_              # tie → backward = earlier click
+        dist = np.where(take_b, db, df_)
+        click_id = np.where(take_b, b["click_id"].to_numpy("float64"),
+                            f["click_id"].to_numpy("float64"))
+        click_ts = np.where(take_b, bts, fts)
+        keep = dist <= float(tol_us)
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64)[keep],
+            "user_id": b["user_id"].to_numpy(np.int64)[keep],
+            "ts_us": ts_us[keep],
+            "click_id": click_id[keep].astype(np.int64),
+            "click_ts_us": click_ts[keep].astype(np.int64),
+            "gap_us": (ts_us[keep] - click_ts[keep]).astype(np.int64),
+        })
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(nearest_bucket, batch_format="pandas"))

@@ -137,6 +137,13 @@ def run_bench() -> dict:
             lambda s: critic.conv_classify_fallback(s).count(), src),
         "conv_merged_fields": timed(
             lambda s: fields.conv_merged_fields(s).count(), src),
+        "events_rolling_distinct_users": timed(
+            lambda d: events.events_rolling_distinct_users(d).count(),
+            sf_dir),
+        "doc_bigram_pmi": timed(
+            lambda d: documents.doc_bigram_pmi(d).count(), sf_dir),
+        "label_centroids": timed(
+            lambda d: similarity.label_centroids(d).count(), sf_dir),
     }
 
     ray.shutdown()

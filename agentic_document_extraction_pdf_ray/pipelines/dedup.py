@@ -563,7 +563,8 @@ def simhash_near_dup_pairs(sf_dir: str, max_hamming: int = 3,
 
 
 def doc_dup_components(sf_dir: str, n_buckets: int = 32,
-                       max_iters: int = 30) -> ray.data.Dataset:
+                       max_iters: int = 30,
+                       pairs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Connected components over the near-dup pair graph: every document
     in a duplicate FAMILY gets the family's canonical id (min doc_id in
     its component) — the clustering step that turns pairwise near-dup
@@ -575,7 +576,9 @@ def doc_dup_components(sf_dir: str, n_buckets: int = 32,
     near-dup evidence. SQL-matched against a DuckDB recursive-CTE
     reachability oracle.
     """
-    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(sf_dir)
+    pairs = pairs.select_columns(["doc_a", "doc_b"])
     return _connected_components(pairs, n_buckets=n_buckets,
                                  max_iters=max_iters)
 
@@ -701,8 +704,8 @@ def dup_triangles(sf_dir: str, n_buckets: int = 32,
     The pair plan is materialized once and reused in both roles.
     """
     if pairs is None:
-        pairs = (ngram_jaccard_pairs(sf_dir)
-                 .select_columns(["doc_a", "doc_b"]).materialize())
+        pairs = ngram_jaccard_pairs(sf_dir)
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         mid = b["doc_b"].to_numpy(np.int64)
@@ -949,7 +952,8 @@ def doc_fuzzy_pairs(sf_dir: str, k: int = 8, max_dist: int = 3,
 
 def dup_pagerank(sf_dir: str, n_iter: int = 10, damping: float = 0.85,
                  n_buckets: int = 32,
-                 local_max_pairs: int = 5_000_000) -> ray.data.Dataset:
+                 local_max_pairs: int = 5_000_000,
+                 pairs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """PageRank over the (undirected) near-dup pair graph — the iterative
     power-iteration class alongside :func:`doc_dup_components`'s label
     propagation: rank concentrates on docs near the center of large
@@ -980,8 +984,9 @@ def dup_pagerank(sf_dir: str, n_iter: int = 10, damping: float = 0.85,
     fixpoint is not SQL-expressible); pytest asserts allclose vs a dense
     numpy power iteration and Σrank == 1.
     """
-    pairs = (ngram_jaccard_pairs(sf_dir)
-             .select_columns(["doc_a", "doc_b"]).materialize())
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(sf_dir)
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
 
     if pairs.count() <= local_max_pairs:
         return _pagerank_local(pairs, n_iter, damping)
@@ -1080,7 +1085,8 @@ def _pagerank_local(pairs: ray.data.Dataset, n_iter: int,
         "doc_id": nodes, "pagerank": rank}))
 
 
-def dup_degree_hist(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+def dup_degree_hist(sf_dir: str, n_buckets: int = 32,
+                    pairs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Degree distribution of the near-dup pair graph — how many docs
     have exactly d near-duplicates. The graph-health summary that tells
     a curation run whether duplication is long-tail (degree 1-2) or
@@ -1091,10 +1097,17 @@ def dup_degree_hist(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     per-doc count (exchange 1), per-bucket partial (degree, n) histogram
     so exchange 2 carries ≤ #distinct-degrees rows per bucket, tiny
     final grouped sum.
+
+    ``pairs`` (any dataset with ``doc_a``/``doc_b`` columns, e.g. the
+    :func:`minhash_lsh_pairs` stream) overrides the default exact n-gram
+    pair plan — the exact plan is the small-scale verification path; at
+    corpus scale feed the LSH candidates (round-3 verdict #1).
     """
     from ray.data.aggregate import Sum
 
-    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(sf_dir)
+    pairs = pairs.select_columns(["doc_a", "doc_b"])
 
     def endpoints(b: pd.DataFrame) -> pd.DataFrame:
         ids = np.r_[b["doc_a"].to_numpy(np.int64),
@@ -1124,7 +1137,8 @@ def dup_degree_hist(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
         .groupby("_cb").map_groups(merge, batch_format="pandas"))
 
 
-def dup_source_matrix(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+def dup_source_matrix(sf_dir: str, n_buckets: int = 32,
+                      pairs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Cross-source near-duplication matrix: near-dup pair counts per
     unordered (source_a, source_b) — the "is source X plagiarizing
     source Y" / inter-crawl-contamination audit.
@@ -1140,7 +1154,9 @@ def dup_source_matrix(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     """
     from ray.data.aggregate import Sum
 
-    pairs = ngram_jaccard_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(sf_dir)
+    pairs = pairs.select_columns(["doc_a", "doc_b"])
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "source"])
 
@@ -1257,7 +1273,8 @@ def doc_upsert_latest(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
                                            batch_format="pandas"))
 
 
-def dup_clustering_coeff(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+def dup_clustering_coeff(sf_dir: str, n_buckets: int = 32,
+                         pairs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Per-node local clustering coefficient on the near-dup graph —
     c(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — completing the
     graph-metrics family (degree dist, triangles, components, PageRank):
@@ -1273,8 +1290,9 @@ def dup_clustering_coeff(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
     """
     from ray.data.aggregate import Sum
 
-    pairs = (ngram_jaccard_pairs(sf_dir)
-             .select_columns(["doc_a", "doc_b"]).materialize())
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(sf_dir)
+    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
     tri = dup_triangles(sf_dir, n_buckets=n_buckets, pairs=pairs)
 
     def tri_nodes(b: pd.DataFrame) -> pd.DataFrame:

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 import ray
 
@@ -42,6 +43,15 @@ class _OpenSession:
     n_events: int
 
 
+def _closed_frame(user_id, start_us, end_us, n_events) -> pd.DataFrame:
+    return pd.DataFrame({
+        "user_id": np.asarray(user_id, np.int64),
+        "start_us": np.asarray(start_us, np.int64),
+        "end_us": np.asarray(end_us, np.int64),
+        "n_events": np.asarray(n_events, np.int64),
+    })
+
+
 @ray.remote
 class SessionBucketActor:
     """Holds open sessions for the users hashed to this bucket."""
@@ -50,31 +60,82 @@ class SessionBucketActor:
         self.gap_us = gap_min * 60 * 1_000_000
         self.open: dict[int, _OpenSession] = {}
 
-    def ingest(self, batch: pd.DataFrame) -> list[dict]:
-        """Consume a ts-ascending batch; return sessions that CLOSED."""
-        closed: list[dict] = []
-        users = batch["user_id"].to_numpy()
-        ts = batch["ts"].astype("int64").to_numpy()
-        for u, t in zip(users, ts):
-            u = int(u)
-            t = int(t)
-            cur = self.open.get(u)
+    def ingest(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Consume a ts-ascending batch; return sessions that CLOSED.
+
+        Vectorized (round-3 verdict #2): a stable sort by user keeps each
+        user's events ts-ascending, one ``np.diff`` gap mask cuts the
+        batch into session segments, and segment starts/ends/counts come
+        from the break indices. The only Python-level iteration left is
+        one dict touch per DISTINCT user in the batch (merge its first
+        segment into the open tail; store its last segment as the new
+        tail) — state stays a per-user open-tail dict, never per event.
+        """
+        n = len(batch)
+        if n == 0:
+            return _closed_frame([], [], [], [])
+        u = batch["user_id"].to_numpy(np.int64)
+        t = batch["ts"].astype("int64").to_numpy()
+        order = np.argsort(u, kind="stable")
+        u, t = u[order], t[order]
+
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(u[1:], u[:-1], out=new_user[1:])
+        brk = new_user.copy()
+        brk[1:] |= (t[1:] - t[:-1]) > self.gap_us
+
+        bidx = np.flatnonzero(brk)
+        seg_user = u[bidx]
+        seg_start = t[bidx]
+        seg_end = t[np.r_[bidx[1:] - 1, n - 1]]
+        seg_n = np.diff(np.r_[bidx, n])
+
+        m = len(bidx)
+        first_of_user = new_user[bidx]
+        last_of_user = np.empty(m, dtype=bool)
+        last_of_user[-1] = True
+        np.not_equal(seg_user[:-1], seg_user[1:], out=last_of_user[:-1])
+
+        # Stitch each user's FIRST segment with its open tail: continue it
+        # (inherit start + count) or close the tail.
+        tail_u: list[int] = []
+        tail_s: list[int] = []
+        tail_e: list[int] = []
+        tail_n: list[int] = []
+        for i in np.flatnonzero(first_of_user):
+            cur = self.open.get(int(seg_user[i]))
             if cur is None:
-                self.open[u] = _OpenSession(t, t, 1)
-            elif t - cur.last_us > self.gap_us:
-                closed.append({"user_id": u, "start_us": cur.start_us,
-                               "end_us": cur.last_us, "n_events": cur.n_events})
-                self.open[u] = _OpenSession(t, t, 1)
+                continue
+            if seg_start[i] - cur.last_us <= self.gap_us:
+                seg_start[i] = cur.start_us
+                seg_n[i] += cur.n_events
             else:
-                cur.last_us = t
-                cur.n_events += 1
+                tail_u.append(int(seg_user[i]))
+                tail_s.append(cur.start_us)
+                tail_e.append(cur.last_us)
+                tail_n.append(cur.n_events)
+
+        # Every non-last segment of a user closed inside this batch.
+        nl = ~last_of_user
+        closed = _closed_frame(
+            np.r_[np.asarray(tail_u, np.int64), seg_user[nl]],
+            np.r_[np.asarray(tail_s, np.int64), seg_start[nl]],
+            np.r_[np.asarray(tail_e, np.int64), seg_end[nl]],
+            np.r_[np.asarray(tail_n, np.int64), seg_n[nl]])
+
+        # Each user's LAST segment becomes (or replaces) its open tail.
+        for i in np.flatnonzero(last_of_user):
+            self.open[int(seg_user[i])] = _OpenSession(
+                int(seg_start[i]), int(seg_end[i]), int(seg_n[i]))
         return closed
 
-    def flush(self) -> list[dict]:
-        out = [{"user_id": u, "start_us": s.start_us, "end_us": s.last_us,
-                "n_events": s.n_events} for u, s in sorted(self.open.items())]
+    def flush(self) -> pd.DataFrame:
+        items = sorted(self.open.items())
         self.open = {}
-        return out
+        return _closed_frame(
+            [u for u, _ in items], [s.start_us for _, s in items],
+            [s.last_us for _, s in items], [s.n_events for _, s in items])
 
 
 def streaming_sessionize(sf_dir: str, gap_min: int = 30,
@@ -113,7 +174,7 @@ def streaming_sessionize(sf_dir: str, gap_min: int = 30,
             g = (g.assign(ts=g["ts"].astype("datetime64[us]"))
                  .sort_values(["ts", "event_id"], kind="mergesort"))
             pending = []
-            closed: list[dict] = []
+            closed: list[pd.DataFrame] = []
             for s in range(0, len(g), batch_rows):
                 pending.append(actor.ingest.remote(
                     g.iloc[s:s + batch_rows][["user_id", "ts"]]))
@@ -122,13 +183,12 @@ def streaming_sessionize(sf_dir: str, gap_min: int = 30,
                 ready, pending = ray.wait(pending, num_returns=len(pending),
                                           timeout=0)
                 for r in ready:
-                    closed.extend(ray.get(r))
-            for r in ray.get(pending):   # same-submitter order guaranteed
-                closed.extend(r)
-            closed.extend(ray.get(actor.flush.remote()))
+                    closed.append(ray.get(r))
+            closed.extend(ray.get(pending))  # same-submitter order guaranteed
+            closed.append(ray.get(actor.flush.remote()))
         finally:
             ray.kill(actor)
-        df = pd.DataFrame(closed)
+        df = pd.concat(closed, ignore_index=True) if closed else pd.DataFrame()
         if df.empty:
             return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
                                  "n_sessions": pd.Series([], dtype="int64"),

@@ -129,6 +129,47 @@ class TestBundle:
 
 @pytest.mark.usefixtures("ray_session")
 class TestStreamingSessionize:
+    def test_ingest_chunk_split_invariant(self):
+        """The vectorized actor must emit the same session set however the
+        ts-ordered stream is chunked — tail merges/closes across batch
+        boundaries included."""
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from agentic_document_extraction_pdf_ray.stages.streaming import SessionBucketActor
+
+        rng = np.random.RandomState(7)
+        n = 3000
+        users = rng.randint(0, 40, n)
+        # gaps frequently exceed the 30-min session gap so sessions close
+        ts = np.cumsum(rng.randint(1, 25 * 60 * 1_000_000, n))
+        df = pd.DataFrame({"user_id": users,
+                           "ts": ts.astype("datetime64[us]")})
+
+        def run(chunks):
+            actor = SessionBucketActor.remote(30)
+            try:
+                out = [ray.get(actor.ingest.remote(c)) for c in chunks]
+                out.append(ray.get(actor.flush.remote()))
+            finally:
+                ray.kill(actor)
+            return (pd.concat(out, ignore_index=True)
+                    .sort_values(["user_id", "start_us"])
+                    .reset_index(drop=True))
+
+        whole = run([df])
+        for sizes in ([1, 2, 7, 64, 501], [97], [2999, 1]):
+            splits, s = [], 0
+            while s < n:
+                for k in sizes:
+                    if s >= n:
+                        break
+                    splits.append(df.iloc[s:s + k])
+                    s += k
+            pd.testing.assert_frame_equal(run(splits), whole)
+        assert whole["n_events"].sum() == n
+
     def test_equals_batch_sessionization(self):
         from agentic_document_extraction_pdf_ray.pipelines.events import events_sessions
         from agentic_document_extraction_pdf_ray.stages.streaming import streaming_sessionize

@@ -122,26 +122,34 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
-def _marker_counts(texts: list[str],
+def _marker_counts(texts: list[str] | pa.Array | pa.ChunkedArray,
                    groups: dict[str, tuple[str, ...]]) -> dict:
-    """Vectorized marker-word counting: one lower+split+explode over the
-    batch's token stream, one map against the inverted marker index —
-    the only Python loop is over (row, group) cells that actually hit
-    (marker words are disjoint across groups by construction)."""
-    import pandas as pd
+    """Vectorized marker-word counting: one Arrow lower+split over the
+    batch's token stream, one ``index_in`` against the flattened marker
+    vocabulary, one ``bincount`` per group — no Python-level iteration
+    (the pandas explode + per-hit-cell loop this replaces was the narrow
+    stage's hot spot in conv_classify_fallback). Token semantics are
+    unchanged: exact match of ``[^a-z]+``-split lowercase tokens."""
     n = len(texts)
-    counts = {g: np.zeros(n, np.int64) for g in groups}
-    ex = (pd.Series(texts, dtype=object).str.lower()
-          .str.split(r"[^a-z]+", regex=True).explode())
-    inv = {w: g for g, ws in groups.items() for w in ws}
-    hit = ex.map(inv).dropna()
-    if len(hit):
-        agg = (pd.DataFrame({"i": hit.index.to_numpy(np.int64),
-                             "g": hit.to_numpy()})
-               .groupby(["i", "g"]).size())
-        for (i, g), v in agg.items():
-            counts[g][i] = v
-    return counts
+    arr = (texts if isinstance(texts, (pa.Array, pa.ChunkedArray))
+           else pa.array(texts, pa.string()))
+    split = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(arr, "")), "[^a-z]+")
+    lens = pc.list_value_length(split).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(split)
+    gnames = list(groups)
+    markers = [w for ws in groups.values() for w in ws]
+    g_of_marker = np.repeat(np.arange(len(gnames), dtype=np.int64),
+                            [len(ws) for ws in groups.values()])
+    code = pc.fill_null(pc.index_in(
+        flat, value_set=pa.array(markers, pa.string())), -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    hit = code >= 0
+    hit_rows, hit_g = rows[hit], g_of_marker[code[hit]]
+    return {g: np.bincount(hit_rows[hit_g == gi], minlength=n)
+            .astype(np.int64) for gi, g in enumerate(gnames)}
 
 
 def doc_lang_id(sf_dir: str) -> ray.data.Dataset:

@@ -121,6 +121,16 @@ def _q_conv_modalities(sf_dir: str) -> Any:
     return conv_modalities(_transcripts_for(sf_dir))
 
 
+def _q_conv_stream_flags(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_stream_flags
+    return conv_stream_flags(_transcripts_for(sf_dir))
+
+
+def _q_turns_despeckle(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import turns_despeckle
+    return turns_despeckle(_transcripts_for(sf_dir))
+
+
 def _q_conv_summaries(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_summaries
     return conv_summaries(_transcripts_for(sf_dir))
@@ -370,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprint": _q_doc_winnow_fingerprint,   # golden-parquet oracle
         "events_heavy_hitters": events.events_heavy_hitters,     # SQL-matched (exact-regime MG; bounded-k path pytest error-bounded)
         # -- round-4 new operators slot in here (inside the window) --
+        "conv_stream_flags": _q_conv_stream_flags,   # SQL-matched (fax-signal flag set)
+        "turns_despeckle": _q_turns_despeckle,       # SQL-matched (flag-conditioned cleaning)
         # ==== below: driver-graded green in rounds 1-3 (anchors; the
         # first handful land inside the window as regression canaries) ====
         "doc_normalize": documents.doc_normalize,
@@ -607,6 +619,36 @@ def _doc_code_validation_sql() -> str:
 _T_SRC = f"read_parquet('{_TRANSCRIPTS_ORACLE_GLOB}')"
 _T_STRIP = "trim(text, ' \t\n\r')"     # python str.strip() analogue
 
+# stream-signal flag mirror (functions/modality.py detect_stream_flags_batch)
+# — the regex PATTERN STRINGS are shared verbatim with the engine (both
+# sides are RE2), as are the signal token literals.
+from agentic_document_extraction_pdf_ray.functions.modality import (  # noqa: E402
+    CTRL_STREAM_PAT as _SIG_CTRL_PAT,
+    CURLY_STREAM_PAT as _SIG_CURLY_PAT,
+    STREAM_SIGNAL_CTRL as _TOK_CTRL,
+    STREAM_SIGNAL_CURLY as _TOK_CURLY,
+    STREAM_SIGNAL_ZW as _TOK_ZW,
+    ZW_STREAM_PAT as _SIG_ZW_PAT,
+)
+from agentic_document_extraction_pdf_ray.pipelines.extract import (  # noqa: E402
+    NON_ASCII_PAT as _NON_ASCII_PAT,
+)
+
+_RAW_T = "coalesce(text, '')"
+_SIG_FLAGS = f"""regexp_matches({_RAW_T}, '{_SIG_CTRL_PAT}') AS hc,
+         regexp_matches({_RAW_T}, '{_SIG_ZW_PAT}') AS hz,
+         regexp_matches({_RAW_T}, '{_SIG_CURLY_PAT}') AS hq"""
+_SIG_JOIN = (f"concat_ws(',', CASE WHEN {{c}} THEN '{_TOK_CTRL}' END,"
+             f" CASE WHEN {{z}} THEN '{_TOK_ZW}' END,"
+             f" CASE WHEN {{q}} THEN '{_TOK_CURLY}' END)")
+# mirror of stages/extract._clean_column over the raw text: ctrl strip ->
+# curly-quote normalize -> zero-width strip
+_CLEAN_TURN = (
+    f"regexp_replace(replace(replace(replace(replace("
+    f"regexp_replace({_RAW_T}, '{_SIG_CTRL_PAT}', '', 'g'),"
+    f" '“', '\"'), '”', '\"'), '‘', ''''), '’', ''''),"
+    f" '{_SIG_ZW_PAT}', '', 'g')")
+
 # detect_payload_kind mirror (functions/modality.py:32-50), over alias `t`
 # (the stripped text) and `text` (raw; NULL-able).
 _KIND_CASE = """
@@ -754,6 +796,44 @@ def oracle_sql() -> dict[str, str]:
                   UNION SELECT DISTINCT conv_id, 'prose' FROM k)
             SELECT conv_id, string_agg(kind, ',' ORDER BY kind) AS modalities
             FROM f GROUP BY conv_id
+        """,
+        "conv_stream_flags": f"""
+            WITH c0 AS (SELECT conv_id, text, {_T_STRIP} AS t FROM {_T_SRC}),
+            k AS (SELECT conv_id, {_KIND_CASE} AS kind, {_SIG_FLAGS} FROM c0),
+            fl AS (SELECT conv_id, bool_or(hc) AS any_ctrl,
+                          bool_or(hz) AS any_zw, bool_or(hq) AS any_curly
+                   FROM k GROUP BY conv_id),
+            m AS (SELECT DISTINCT conv_id, kind FROM k WHERE kind != 'empty'
+                  UNION SELECT DISTINCT conv_id, 'prose' FROM k
+                  UNION SELECT conv_id, 'noisy' FROM fl
+                        WHERE any_ctrl OR any_zw OR any_curly),
+            ms AS (SELECT conv_id, string_agg(kind, ',' ORDER BY kind)
+                              AS modalities
+                   FROM m GROUP BY conv_id)
+            SELECT fl.conv_id, any_ctrl,
+                   (any_zw OR any_curly) AS any_artifact,
+                   {_SIG_JOIN.format(c='any_ctrl', z='any_zw', q='any_curly')}
+                       AS signals,
+                   modalities
+            FROM fl JOIN ms ON fl.conv_id = ms.conv_id
+        """,
+        "turns_despeckle": f"""
+            WITH c0 AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                               text FROM {_T_SRC}),
+            f AS (SELECT conv_id, turn_idx, {_SIG_FLAGS},
+                         {_CLEAN_TURN} AS cleaned FROM c0),
+            g AS (SELECT *,
+                         CASE WHEN hc OR hz OR hq
+                              THEN regexp_replace(cleaned,
+                                                  '{_NON_ASCII_PAT}', '', 'g')
+                              ELSE cleaned END AS text_out
+                  FROM f)
+            SELECT conv_id, turn_idx, (hc OR hz OR hq) AS despeckled,
+                   {_SIG_JOIN.format(c='hc', z='hz', q='hq')} AS signals,
+                   CAST(length(cleaned) - length(text_out) AS BIGINT)
+                       AS n_binarized,
+                   text_out
+            FROM g
         """,
         "transcripts_quality_check": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_rows,

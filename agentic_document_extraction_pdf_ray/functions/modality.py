@@ -22,8 +22,10 @@ KIND_TABLE = "table"
 KIND_LIST = "list"
 KIND_EMPTY = "empty"
 
+# "noisy" is the fax-modality analogue (see the stream-signal section
+# below); it is a legal mode name for overrides like any other.
 ALL_KINDS = frozenset([KIND_PROSE, KIND_JSON, KIND_EDI, KIND_TABLE,
-                       KIND_LIST, KIND_EMPTY])
+                       KIND_LIST, KIND_EMPTY, "noisy"])
 
 _BULLET_RE = re.compile(r"^\s*(?:[-*•]|\d+[.)])\s+", re.MULTILINE)
 _TABLE_ROW_RE = re.compile(r"^.*\|.*\|.*$", re.MULTILINE)
@@ -94,6 +96,73 @@ def detect_payload_kind_batch(texts) -> "np.ndarray":
         [empty, is_json, is_edi, is_table, is_list],
         [KIND_EMPTY, KIND_JSON, KIND_EDI, KIND_TABLE, KIND_LIST],
         default=KIND_PROSE).astype(object)
+
+
+# --- stream-signal flag set (fax-signal analogue) -----------------------
+#
+# The reference inspects each page's embedded image streams for fax
+# encodings and emits MULTIPLE independent flags per page — ``is_one_bit``
+# / ``is_ccitt`` plus a human-readable ``fax_signals`` token list — and
+# when any fires, "fax" joins the page's modality list, flipping the
+# enhancer into binarize+despeckle mode
+# (``/root/reference/src/preprocessing/pdf_processor.py:561-629,164-172``).
+# The text analogue inspects the RAW payload for low-level stream
+# artifacts; flags can co-occur (unlike the argmax-one ``kind``):
+#
+#   has_ctrl      <-> is_one_bit   (raw control bytes in the stream)
+#   any_artifact  <-> is_ccitt     (zero-width OR curly-quote typographic
+#                                   artifacts — two signals folded into
+#                                   one flag, like ccitt|jbig2)
+#   signals       <-> fax_signals  (fixed detection order)
+#   KIND_NOISY    <-> "fax"        (joins the modality set; conditions
+#                                   the cleaning chain's despeckle step)
+
+KIND_NOISY = "noisy"
+
+STREAM_SIGNAL_CTRL = "control-chars"
+STREAM_SIGNAL_ZW = "zero-width"
+STREAM_SIGNAL_CURLY = "curly-quotes"
+# detection-append order, like the reference's 1-bit -> ccitt -> jbig2
+STREAM_SIGNAL_ORDER = (STREAM_SIGNAL_CTRL, STREAM_SIGNAL_ZW,
+                       STREAM_SIGNAL_CURLY)
+
+CTRL_STREAM_PAT = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+ZW_STREAM_PAT = "[\u200b-\u200d\ufeff]"
+CURLY_STREAM_PAT = "[“”‘’]"
+
+
+def detect_stream_flags_batch(texts):
+    """Per-row stream-signal flags over the RAW text (before cleaning,
+    as the reference inspects source streams before enhancement).
+
+    Returns ``(has_ctrl, has_zw, has_curly, signals)`` — three boolean
+    numpy arrays plus an object array of comma-joined signal tokens in
+    :data:`STREAM_SIGNAL_ORDER` (empty string when clean). RE2 regexes
+    only, shared verbatim with the DuckDB oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else \
+        pa.array(list(texts), pa.string())
+    raw = pc.fill_null(col, "")
+
+    def m(pat) -> "np.ndarray":
+        return pc.match_substring_regex(raw, pat).to_numpy(
+            zero_copy_only=False)
+
+    has_ctrl = m(CTRL_STREAM_PAT)
+    has_zw = m(ZW_STREAM_PAT)
+    has_curly = m(CURLY_STREAM_PAT)
+
+    parts = [np.where(mask, tok, "").astype(object)
+             for mask, tok in zip((has_ctrl, has_zw, has_curly),
+                                  STREAM_SIGNAL_ORDER)]
+    signals = parts[0]
+    for p in parts[1:]:
+        both = (signals != "") & (p != "")
+        signals = np.where(both, signals + "," + p, signals + p)
+    return has_ctrl, has_zw, has_curly, signals
 
 
 def conversation_modalities(kinds: list[str]) -> list[str]:

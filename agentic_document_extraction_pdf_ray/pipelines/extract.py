@@ -331,6 +331,128 @@ def conv_modalities(paths: str | list[str],
     return (ds.groupby("pkey").map_groups(per_bucket, batch_format="pyarrow"))
 
 
+def conv_stream_flags(paths: str | list[str],
+                      num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Per-conversation stream-signal flag set — the fax-signal analogue
+    (``/root/reference/src/preprocessing/pdf_processor.py:561-629``).
+
+    Unlike ``conv_modalities``'s argmax-one ``kind``, the stream flags are
+    INDEPENDENT booleans that can co-occur per turn; the conversation
+    carries their OR plus the union signal list, and — exactly like the
+    reference adding ``"fax"`` to the page's modality list when
+    ``is_one_bit | is_ccitt`` — the ``noisy`` mode joins the modality set
+    whenever any signal fired. Columns: ``conv_id, any_ctrl (is_one_bit
+    analogue), any_artifact (is_ccitt analogue: zero-width OR curly
+    folded), signals (fax_signals analogue, detection order), modalities``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.modality import (
+        KIND_EMPTY, KIND_NOISY, KIND_PROSE, STREAM_SIGNAL_ORDER,
+        detect_payload_kind_batch, detect_stream_flags_batch,
+    )
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        # kinds + flags in one pass; map-side DISTINCT combiner as in
+        # conv_modalities — the shuffle carries ≤ |kind|×|flag-combos|
+        # narrow rows per (conv, batch).
+        ks = detect_payload_kind_batch(batch["text"])
+        hc, hz, hq, _ = detect_stream_flags_batch(batch["text"])
+        df = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+            "kind": ks, "has_ctrl": hc, "has_zw": hz, "has_curly": hq,
+        }).drop_duplicates()
+        return pa.table({
+            "conv_id": pa.array(df["conv_id"], pa.string()),
+            "kind": pa.array(df["kind"], pa.string()),
+            "has_ctrl": pa.array(df["has_ctrl"], pa.bool_()),
+            "has_zw": pa.array(df["has_zw"], pa.bool_()),
+            "has_curly": pa.array(df["has_curly"], pa.bool_()),
+        })
+
+    ds = read_transcripts(paths).map_batches(narrow, batch_format="pyarrow")
+    ds = _with_pkey(ds, num_partitions)
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            c: part[c].to_numpy(zero_copy_only=False)
+            for c in ("conv_id", "kind", "has_ctrl", "has_zw", "has_curly")
+        })
+        fl = (df.groupby("conv_id", as_index=False, sort=True)
+              .agg(any_ctrl=("has_ctrl", "max"), any_zw=("has_zw", "max"),
+                   any_curly=("has_curly", "max")))
+        flagged = (fl["any_ctrl"] | fl["any_zw"] | fl["any_curly"]).to_numpy()
+        # modality set = distinct non-empty kinds ∪ {prose} ∪ {noisy if any
+        # signal} — the reference's "fax joins the modality list"
+        base = pd.DataFrame({"conv_id": fl["conv_id"]})
+        base["kind"] = KIND_PROSE
+        noisy = pd.DataFrame({"conv_id": fl["conv_id"][flagged]})
+        noisy["kind"] = KIND_NOISY
+        kinds = (pd.concat([df.loc[df["kind"] != KIND_EMPTY,
+                                   ["conv_id", "kind"]], base, noisy],
+                           ignore_index=True)
+                 .drop_duplicates()
+                 .sort_values(["conv_id", "kind"], kind="mergesort"))
+        ms = (kinds.groupby("conv_id", as_index=False, sort=True)["kind"]
+              .agg(",".join))
+        # conv-level signal list in fixed detection order
+        sig = np.full(len(fl), "", object)
+        for col, tok in zip(("any_ctrl", "any_zw", "any_curly"),
+                            STREAM_SIGNAL_ORDER):
+            p = np.where(fl[col].to_numpy(), tok, "").astype(object)
+            both = (sig != "") & (p != "")
+            sig = np.where(both, sig + "," + p, sig + p)
+        return pa.table({
+            "conv_id": pa.array(fl["conv_id"], pa.string()),
+            "any_ctrl": pa.array(fl["any_ctrl"], pa.bool_()),
+            "any_artifact": pa.array(fl["any_zw"] | fl["any_curly"],
+                                     pa.bool_()),
+            "signals": pa.array(sig, pa.string()),
+            "modalities": pa.array(ms["kind"], pa.string()),
+        })
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
+
+
+NON_ASCII_PAT = r"[^\x00-\x7F]"
+
+
+def turns_despeckle(paths: str | list[str]) -> ray.data.Dataset:
+    """Flag-CONDITIONED cleaning chain — the enhancement-mode flip the
+    reference applies only to fax pages (binarize + despeckle,
+    ``pdf_processor.py:164-172``): every turn gets the standard clean
+    (control/zero-width strip, quote normalize); turns whose RAW payload
+    carried any stream signal additionally get the aggressive 7-bit
+    binarization (all non-ASCII dropped) that would corrupt clean prose
+    if applied unconditionally. Pure streaming map, no shuffle."""
+    import pyarrow.compute as pc
+
+    from ..functions.modality import detect_stream_flags_batch
+    from ..stages.extract import _clean_column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hc, hz, hq, sig = detect_stream_flags_batch(batch["text"])
+        flagged = pa.array(hc | hz | hq)
+        cleaned = _clean_column(batch["text"])
+        out = pc.if_else(
+            flagged,
+            pc.replace_substring_regex(cleaned, NON_ASCII_PAT, ""),
+            cleaned)
+        n_binarized = pc.subtract(pc.utf8_length(cleaned),
+                                  pc.utf8_length(out))
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "despeckled": flagged,
+            "signals": pa.array(sig, pa.string()),
+            "n_binarized": pc.cast(n_binarized, pa.int64()),
+            "text_out": out,
+        })
+
+    return read_transcripts(paths).map_batches(fn, batch_format="pyarrow")
+
+
 def transcripts_quality_check(paths: str | list[str]) -> ray.data.Dataset:
     """Input-contract pre-check (validate-before-process, the analogue of
     the reference's PDF validation gate,

@@ -1,0 +1,148 @@
+"""Round-4 scale smoke (VERDICT r3 #6): the round-3 operator families at
+10× sf0.1 — 50k documents / 1M events — against the same operators at
+sf0.1, recorded in BASELINE.md ("Round-3 operator families at 10×").
+
+Corpus: sf0.1 tiled ×10 with per-copy perturbation (every copy appends a
+distinct token to the text, so each source doc becomes a 10-member
+near-dup family — the duplicate-heavy worst case, same convention as the
+round-2 "Dedup family at 10×" table). Events get shifted ids/timestamps
+and keep their users, so per-user/day densities grow 10×.
+
+The graph family runs LSH-FED (pairs=minhash_lsh_pairs) — the corpus-
+scale composition the round-3 verdict asked to evidence; the exact
+n-gram pair plan is the small-scale verification path only.
+
+Usage:
+    python scripts/scale_smoke.py               # both scales + report
+    python scripts/scale_smoke.py --tile-only   # just build /tmp corpus
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/scale10x"
+TILES = 10
+
+
+def build_tiled(base: str, out: str, tiles: int = TILES) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    docs = pq.read_table(f"{base}/documents.parquet")
+    parts = []
+    for c in range(tiles):
+        t = docs
+        if c:
+            text = pc.binary_join_element_wise(
+                t["text"], f"tile{c}", " ")
+            t = t.set_column(t.schema.get_field_index("text"), "text", text)
+            t = t.set_column(t.schema.get_field_index("n_chars"), "n_chars",
+                             pc.cast(pc.utf8_length(text), pa.int64()))
+        t = t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(t["doc_id"], pa.scalar(c * 10_000_000, pa.int64())))
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{out}/documents.parquet",
+                   row_group_size=8192)
+
+    ev = pq.read_table(f"{base}/events.parquet")
+    parts = []
+    for c in range(tiles):
+        t = ev.set_column(
+            ev.schema.get_field_index("event_id"), "event_id",
+            pc.add(ev["event_id"], pa.scalar(c * 100_000_000, pa.int64())))
+        t = t.set_column(
+            t.schema.get_field_index("ts"), "ts",
+            pc.add(t["ts"], pa.scalar(c, pa.duration("s"))))
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet",
+                   row_group_size=32768)
+    # tables the family doesn't read can stay at base scale
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        src = f"{base}/{t}.parquet"
+        if os.path.exists(src):
+            shutil.copy(src, f"{out}/{t}.parquet")
+
+
+def run_family(sf_dir: str) -> dict[str, dict]:
+    from agentic_document_extraction_pdf_ray.pipelines import (
+        dedup, documents, events,
+    )
+
+    res: dict[str, dict] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        n = out.count() if hasattr(out, "count") else len(out)
+        res[name] = {"rows": int(n), "wall_sec": round(time.time() - t0, 2)}
+        print(f"  {name}: {n} rows, {res[name]['wall_sec']}s", flush=True)
+
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(sf_dir).materialize()
+    res["minhash_lsh_pairs"] = {"rows": int(pairs.count()),
+                                "wall_sec": round(time.time() - t0, 2)}
+    print(f"  minhash_lsh_pairs: {res['minhash_lsh_pairs']}", flush=True)
+
+    timed("dup_degree_hist[lsh]",
+          lambda: dedup.dup_degree_hist(sf_dir, pairs=pairs))
+    timed("dup_source_matrix[lsh]",
+          lambda: dedup.dup_source_matrix(sf_dir, pairs=pairs))
+    timed("dup_clustering_coeff[lsh]",
+          lambda: dedup.dup_clustering_coeff(sf_dir, pairs=pairs))
+    timed("dup_pagerank[lsh]",
+          lambda: dedup.dup_pagerank(sf_dir, pairs=pairs))
+    timed("doc_dup_components[lsh]",
+          lambda: dedup.doc_dup_components(sf_dir, pairs=pairs))
+    timed("doc_bigram_pmi", lambda: documents.doc_bigram_pmi(sf_dir))
+    timed("doc_decontaminate", lambda: dedup.doc_decontaminate(sf_dir))
+    timed("doc_line_dedup", lambda: dedup.doc_line_dedup(sf_dir))
+    timed("events_rolling_distinct_users",
+          lambda: events.events_rolling_distinct_users(sf_dir))
+    return res
+
+
+def main() -> None:
+    if not os.path.exists(f"{OUT}/documents.parquet"):
+        print(f"tiling {BASE} x{TILES} -> {OUT}", flush=True)
+        build_tiled(BASE, OUT)
+    if "--tile-only" in sys.argv:
+        return
+
+    import ray
+
+    import agentic_document_extraction_pdf_ray  # noqa: F401 (PYTHONPATH)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    report = {"loadavg_start": round(os.getloadavg()[0], 1)}
+    print(f"== sf0.1 base ({BASE})", flush=True)
+    report["base"] = run_family(BASE)
+    print(f"== 10x ({OUT})", flush=True)
+    report["x10"] = run_family(OUT)
+    report["loadavg_end"] = round(os.getloadavg()[0], 1)
+    for name, b in report["base"].items():
+        x = report["x10"][name]
+        ratio = x["wall_sec"] / max(b["wall_sec"], 0.01) / TILES
+        print(f"{name}: {b['wall_sec']}s -> {x['wall_sec']}s "
+              f"(x10 wall / 10·base = {ratio:.2f})", flush=True)
+    print(json.dumps(report))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

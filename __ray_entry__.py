@@ -382,6 +382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round-4 new operators slot in here (inside the window) --
         "conv_stream_flags": _q_conv_stream_flags,   # SQL-matched (fax-signal flag set)
         "turns_despeckle": _q_turns_despeckle,       # SQL-matched (flag-conditioned cleaning)
+        "source_mix_weights": documents.source_mix_weights,  # SQL-matched (DoReMi-lite mixing)
+        "embedding_semdedup": similarity.embedding_semdedup,  # SQL-matched (SemDeDup keep-first)
+        "doc_dup_span_coverage": dedup.doc_dup_span_coverage,  # SQL-matched (ExactSubstr coverage)
         # ==== below: driver-graded green in rounds 1-3 (anchors; the
         # first handful land inside the window as regression canaries) ====
         "doc_normalize": documents.doc_normalize,
@@ -1323,6 +1326,85 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN b USING (sh)
             WHERE s.doc_id % 7 <> 0
             GROUP BY s.doc_id
+        """,
+        # DoReMi-lite uniform-target mixing weights: float64 ratios of
+        # exact integer token counts (doc_token_stats token convention).
+        "source_mix_weights": f"""
+            WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(len(string_split_regex({_CLEAN},
+                                  '\\s+'))) AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS ns FROM s)
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / t.total AS token_share,
+                   CAST(t.total AS DOUBLE) / (t.ns * n_tokens) AS mix_weight
+            FROM s, t
+        """,
+        # SemDeDup keep-first within label clusters: exact fixed-point
+        # integer dots (the label_centroid_sim HUGEINT convention), one
+        # cast to DOUBLE, round 6 — the tau-compare uses the SAME rounded
+        # value on both engines.
+        "embedding_semdedup": """
+            WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              CAST(label AS BIGINT) AS label,
+                              unnest(list_transform(range(1, len(embedding) + 1),
+                                  i -> struct_pack(dim := i - 1,
+                                      q := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                                      * 1000000 + 0.5) AS BIGINT)))) AS s
+                       FROM embeddings),
+            c AS (SELECT vec_id, label, s.dim AS dim, s.q AS q FROM e),
+            nr AS (SELECT vec_id, sum(q * q) AS nrm FROM c GROUP BY vec_id),
+            p AS (SELECT a.vec_id AS u, b.vec_id AS v, sum(a.q * b.q) AS dot
+                  FROM c a JOIN c b ON a.dim = b.dim AND a.label = b.label
+                                    AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+            cs AS (SELECT u, v, round(CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(nu.nrm AS DOUBLE))
+                             * sqrt(CAST(nv.nrm AS DOUBLE))), 6) AS c6
+                   FROM p JOIN nr nu ON nu.vec_id = p.u
+                          JOIN nr nv ON nv.vec_id = p.v),
+            m AS (SELECT v AS vec_id, max(c6) AS max_prior_cos
+                  FROM cs GROUP BY v)
+            SELECT b.vec_id, b.label,
+                   coalesce(m.max_prior_cos, -1.0) AS max_prior_cos,
+                   (coalesce(m.max_prior_cos, -1.0) <= 0.97) AS is_kept
+            FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                         CAST(label AS BIGINT) AS label FROM embeddings) b
+            LEFT JOIN m USING (vec_id)
+        """,
+        # ExactSubstr coverage: duplicated word 8-grams (distinct-doc
+        # count >= 2), per-doc interval-union coverage of their spans.
+        "doc_dup_span_coverage": f"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex({_CLEAN}, '\\s+') AS tk
+                       FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                         || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+                         || ' ' || tk[i+6] || ' ' || tk[i+7] AS sh
+                  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+                        FROM t WHERE len(tk) >= 8)),
+            dup AS (SELECT sh FROM g GROUP BY sh
+                    HAVING count(DISTINCT doc_id) >= 2),
+            f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (sh)),
+            cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT)
+                               AS n_covered
+                    FROM (SELECT doc_id, pos + unnest(range(0, 8)) AS p
+                          FROM f) GROUP BY doc_id),
+            fd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_starts
+                   FROM f GROUP BY doc_id),
+            base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                            CAST(greatest(len(tk) - 7, 0) AS BIGINT)
+                                AS n_grams
+                     FROM t)
+            SELECT base.doc_id, base.n_tokens, base.n_grams,
+                   coalesce(fd.n_dup_starts, 0) AS n_dup_starts,
+                   coalesce(cov.n_covered, 0) AS n_covered,
+                   CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / base.n_tokens
+                       AS coverage
+            FROM base LEFT JOIN fd USING (doc_id)
+                      LEFT JOIN cov USING (doc_id)
         """,
         # LAG-diff inter-arrival stats; gaps are exact int64 microseconds.
         "events_interarrival": """

@@ -1329,3 +1329,114 @@ def dup_clustering_coeff(sf_dir: str, n_buckets: int = 32,
               .union(pairs.map_batches(deg_nodes, batch_format="pandas")))
     return (stream.groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def doc_dup_span_coverage(sf_dir: str, n: int = 8,
+                          n_buckets: int = 64) -> ray.data.Dataset:
+    """Exact-substring duplication coverage — the ExactSubstr dedup class
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): for every document, how much of it is
+    covered by a word ``n``-gram that also occurs in ANOTHER document.
+    Emits per doc: token/gram counts, duplicated-gram start count, the
+    number of token positions covered by the interval union of
+    duplicated-gram spans, and the coverage ratio — the per-doc signal
+    ExactSubstr cuts on.
+
+    Plan (two bucketed shuffles, no suffix array — the n-gram anchor
+    approximation of the suffix-array match, exact for matches of length
+    ``>= n``):
+
+    1. vectorized gram-explode WITH positions (global shifted-concat of
+       the flat token stream, validity-masked at doc boundaries) →
+       groupby(gram-hash bucket): a gram string lives in exactly one
+       bucket, so ``nunique(doc) >= 2`` marks corpus-duplicated grams
+       exactly; only flagged ``(doc, pos)`` rows leave;
+    2. union with the tiny per-doc token-count rows →
+       groupby(doc-hash bucket): interval-union coverage via ONE
+       difference-array cumsum over the bucket's concatenated token
+       ranges (no per-interval loop).
+
+    Token split mirrors ``doc_token_stats`` / the SQL oracle:
+    ``len(string_split_regex(clean, '\\s+'))`` — empty text counts one
+    empty token.
+    """
+    from .documents import read_documents as _read_docs
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        toks = pc.split_pattern_regex(clean, r"\s+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        local = np.arange(len(flat), dtype=np.int64) - starts[par]
+        valid = np.flatnonzero(local <= lens[par] - n)
+        gram = flat[valid].astype(object)
+        for j in range(1, n):
+            gram = gram + " " + flat[valid + j].astype(object)
+        out = pd.DataFrame({
+            "doc_id": doc_ids[par[valid]].astype(np.int64),
+            "pos": local[valid],
+            "gram": gram,
+        })
+        out["_bucket"] = (hash_str_array(out["gram"].to_numpy(object))
+                          % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("gram")["doc_id"].transform("nunique") >= 2
+        out = g.loc[dup, ["doc_id", "pos"]].copy()
+        out["val"] = out.pop("pos")
+        out["is_tok"] = False
+        out["_db"] = bucket_int_array(out["doc_id"].to_numpy(np.int64),
+                                      n_buckets)
+        return out[["doc_id", "val", "is_tok", "_db"]]
+
+    def tokrows(batch: pa.Table) -> pd.DataFrame:
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        ntok = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "val": ntok, "is_tok": True,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        tok = (g[g["is_tok"]].drop_duplicates("doc_id")
+               .sort_values("doc_id", kind="mergesort"))
+        docs = tok["doc_id"].to_numpy(np.int64)
+        ntok = tok["val"].to_numpy(np.int64)
+        off = np.concatenate(([0], np.cumsum(ntok)))
+        idx_of = pd.Series(np.arange(len(docs)), index=docs)
+
+        fl = g[~g["is_tok"]]
+        di = idx_of[fl["doc_id"].to_numpy(np.int64)].to_numpy(np.int64)
+        pos = fl["val"].to_numpy(np.int64)
+        delta = np.zeros(off[-1] + 1, np.int64)
+        np.add.at(delta, off[di] + pos, 1)
+        np.add.at(delta, off[di] + np.minimum(pos + n, ntok[di]), -1)
+        covered = (np.cumsum(delta)[:-1] > 0).astype(np.int64)
+        n_cov = (np.add.reduceat(covered, off[:-1])
+                 if len(docs) else np.zeros(0, np.int64))
+        n_cov[ntok == 0] = 0                    # reduceat quirk on empty seg
+        n_dup = np.zeros(len(docs), np.int64)
+        np.add.at(n_dup, di, 1)
+        return pd.DataFrame({
+            "doc_id": docs,
+            "n_tokens": ntok,
+            "n_grams": np.maximum(ntok - n + 1, 0),
+            "n_dup_starts": n_dup,
+            "n_covered": n_cov,
+            "coverage": n_cov.astype(np.float64) / ntok.astype(np.float64),
+        })
+
+    grams = (_read_docs(sf_dir)
+             .map_batches(explode, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(mark, batch_format="pandas"))
+    ntok_rows = _read_docs(sf_dir).map_batches(tokrows,
+                                               batch_format="pyarrow")
+    return (ntok_rows.union(grams)
+            .groupby("_db").map_groups(cover, batch_format="pandas"))

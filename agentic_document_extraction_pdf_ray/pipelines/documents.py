@@ -1408,3 +1408,57 @@ def doc_row_number(sf_dir: str, n_ranges: int = 32) -> ray.data.Dataset:
 
     return tagged.groupby("_r").map_groups(rank_range,
                                            batch_format="pandas")
+
+
+def source_mix_weights(sf_dir: str) -> ray.data.Dataset:
+    """Domain-mixing weights (DoReMi-lite / The Pile recipe class): per
+    source, the token mass and the resampling weight that would equalize
+    every source's token share in the training blend —
+    ``mix_weight = uniform_target_share / actual_share
+                 = total_tokens / (n_sources · source_tokens)``.
+
+    A weight > 1 means "oversample this source", < 1 "downsample" — the
+    closed-form first step of the data-mixture tuning loop (the learned
+    DoReMi reweighting starts from exactly this uniform-target baseline).
+
+    Plan: map-side per-batch (source, n_docs, n_tokens) partials (one
+    narrow row per source per batch), one tiny shuffle to a single fold
+    task that computes totals and shares — no token ever leaves its read
+    task, so the exchange volume is #sources × #blocks rows regardless of
+    corpus size. Shares/weights are float64 ratios of exact int64 counts
+    (the repo's ratio convention; token count mirrors doc_token_stats).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        ntok = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "n_tokens": ntok,
+        })
+        out = (d.groupby("source", as_index=False)
+               .agg(n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")))
+        out["_k"] = 0
+        return out.astype({"n_docs": "int64", "n_tokens": "int64"})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = (g.groupby("source", as_index=False)
+               .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+               .sort_values("source", kind="mergesort"))
+        total = int(agg["n_tokens"].sum())
+        ns = len(agg)
+        ntok = agg["n_tokens"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "source": agg["source"].to_numpy(object),
+            "n_docs": agg["n_docs"].to_numpy(np.int64),
+            "n_tokens": ntok,
+            "token_share": ntok.astype(np.float64) / float(total),
+            "mix_weight": float(total) / (ns * ntok).astype(np.float64),
+        })
+
+    return (read_documents(sf_dir, ["source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_k").map_groups(fold, batch_format="pandas"))

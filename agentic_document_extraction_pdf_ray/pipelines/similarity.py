@@ -723,3 +723,66 @@ def label_centroid_sim(sf_dir: str) -> pd.DataFrame:
             rows.append((int(la), int(lb), np.round(cos, 6)))
     out = pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
     return out.astype({"label_a": np.int64, "label_b": np.int64})
+
+
+def embedding_semdedup(sf_dir: str, tau: float = 0.97,
+                       n_buckets: int = 16) -> ray.data.Dataset:
+    """SemDeDup-class semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540) within given clusters: vector ``v`` is dropped iff
+    some PRIOR vector ``u`` in the same cluster (``u.vec_id < v.vec_id``)
+    has ``round(cos(u, v), 6) > tau`` — the repo's keep-first dedup
+    convention applied to embedding space. The ``label`` column is the
+    cluster assignment (production wiring feeds :func:`kmeans_fit`
+    assignments); confining the pairwise step to clusters is exactly the
+    SemDeDup trick that turns global O(n²) into Σ O(|cluster|²), so the
+    scale knob is the cluster count, not this operator.
+
+    Exactness: fixed-point ints ``q = floor(x·1e6 + .5)``, int64 Gram
+    matmul (exact), ONE cast to float64, ``round 6`` — the
+    :func:`label_centroid_sim` convention, so the τ-comparison can never
+    diverge from the SQL oracle on float summation order.
+
+    One bucketed shuffle on the label ships each vector once; per-label
+    work is a vectorized integer matmul. Output per vec:
+    ``vec_id, label, max_prior_cos`` (−1.0 when no prior), ``is_kept``.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "label": labels,
+            "embedding": batch["embedding"].to_pylist(),
+            "_b": bucket_int_array(labels, n_buckets),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["label", "vec_id"], kind="mergesort")
+        lab = g["label"].to_numpy(np.int64)
+        ids = g["vec_id"].to_numpy(np.int64)
+        q = np.floor(np.array(g["embedding"].tolist(), np.float64)
+                     * 1e6 + 0.5).astype(np.int64)
+        out_max = np.full(len(g), -1.0)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(lab)) + 1, [len(g)]))
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            G = q[s:e] @ q[s:e].T                   # exact int64 dots
+            nrm = np.sqrt(np.diag(G).astype(np.float64))
+            cos = np.round(G.astype(np.float64) / np.outer(nrm, nrm), 6)
+            cos[np.tril_indices(m)] = -np.inf       # priors are u < v only
+            mx = cos.max(axis=0)
+            out_max[s:e] = np.where(np.isfinite(mx), mx, -1.0)
+        return pd.DataFrame({
+            "vec_id": ids, "label": lab,
+            "max_prior_cos": out_max,
+            "is_kept": out_max <= tau,
+        })
+
+    return (read_embeddings(sf_dir)
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(per_bucket, batch_format="pandas"))

@@ -1,0 +1,117 @@
+"""Round-4 LLM-pipeline operators: domain-mixing weights (DoReMi-lite),
+SemDeDup keep-first within clusters, ExactSubstr duplication coverage.
+Oracle equality is covered by the auto-discovered DuckDB gate; these
+tests pin the BEHAVIORAL semantics on crafted fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(d, texts, sources=None):
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(sources or ["web"] * n, pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceMixWeights:
+    def test_uniform_target_math(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import source_mix_weights
+        # web: 6 tokens over 2 docs; books: 2 tokens over 1 doc
+        _write_docs(tmp_path, ["a b c", "d e f", "g h"],
+                    sources=["web", "web", "books"])
+        got = (source_mix_weights(str(tmp_path)).to_pandas()
+               .set_index("source"))
+        assert got.loc["web", "n_docs"] == 2
+        assert got.loc["web", "n_tokens"] == 6
+        assert got.loc["books", "n_tokens"] == 2
+        assert got.loc["web", "token_share"] == 6 / 8
+        # uniform target 1/2 each: web weight = (1/2)/(6/8) = 8/12
+        assert got.loc["web", "mix_weight"] == 8 / (2 * 6)
+        assert got.loc["books", "mix_weight"] == 8 / (2 * 2)
+
+    def test_balanced_corpus_weights_one(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import source_mix_weights
+        _write_docs(tmp_path, ["a b", "c d"], sources=["s1", "s2"])
+        got = source_mix_weights(str(tmp_path)).to_pandas()
+        assert (got["mix_weight"] == 1.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingSemdedup:
+    def _write_emb(self, d, vecs, labels):
+        t = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        })
+        pq.write_table(t, str(d / "embeddings.parquet"))
+
+    def test_keep_first_is_cluster_confined(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import embedding_semdedup
+        v = [1.0, 0.0, 0.0]
+        w = [0.0, 1.0, 0.0]
+        # ids 0,1: identical vectors, SAME label -> 1 dropped
+        # id 2: identical to 0 but OTHER label -> kept (cluster-confined)
+        # id 3: orthogonal, same label as 0 -> kept
+        self._write_emb(tmp_path, [v, v, v, w], [0, 0, 1, 0])
+        got = (embedding_semdedup(str(tmp_path)).to_pandas()
+               .set_index("vec_id").sort_index())
+        assert got.loc[0, "is_kept"] and got.loc[0, "max_prior_cos"] == -1.0
+        assert not got.loc[1, "is_kept"]
+        assert got.loc[1, "max_prior_cos"] == 1.0
+        assert got.loc[2, "is_kept"]          # same vector, other cluster
+        assert got.loc[3, "is_kept"]
+        assert got.loc[3, "max_prior_cos"] == 0.0
+
+    def test_tau_boundary_uses_rounded_cos(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import embedding_semdedup
+        # cos exactly at tau is KEPT (strict >)
+        a = [1.0, 0.0]
+        b = [0.97, float(np.sqrt(1 - 0.97 ** 2))]
+        self._write_emb(tmp_path, [a, b], [0, 0])
+        got = (embedding_semdedup(str(tmp_path), tau=0.97).to_pandas()
+               .set_index("vec_id"))
+        assert got.loc[1, "max_prior_cos"] == 0.97
+        assert got.loc[1, "is_kept"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSpanCoverage:
+    def test_interval_union_not_sum(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import doc_dup_span_coverage
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"      # 9 tokens: two
+        # overlapping duplicated 8-grams -> union covers 9, not 16
+        doc0 = shared + " x1 x2 x3"
+        doc1 = shared + " y1 y2 y3"
+        doc2 = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"    # no dup grams
+        _write_docs(tmp_path, [doc0, doc1, doc2])
+        got = (doc_dup_span_coverage(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[0, "n_tokens"] == 12 and got.loc[0, "n_grams"] == 5
+        assert got.loc[0, "n_dup_starts"] == 2    # starts at pos 0 and 1
+        assert got.loc[0, "n_covered"] == 9       # union of [0,8) and [1,9)
+        assert got.loc[0, "coverage"] == 9 / 12
+        assert got.loc[1, "n_covered"] == 9
+        assert got.loc[2, "n_dup_starts"] == 0
+        assert got.loc[2, "n_covered"] == 0 and got.loc[2, "coverage"] == 0.0
+
+    def test_short_docs_and_full_dup(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import doc_dup_span_coverage
+        full = "a b c d e f g h"                   # exactly one 8-gram
+        _write_docs(tmp_path, [full, full, "tiny doc"])
+        got = (doc_dup_span_coverage(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert (got.loc[[0, 1], "coverage"] == 1.0).all()
+        assert got.loc[2, "n_grams"] == 0 and got.loc[2, "coverage"] == 0.0

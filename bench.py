@@ -52,6 +52,7 @@ def run_bench() -> dict:
     from agentic_document_extraction_pdf_ray.pipelines import (
         critic, dedup, documents, events, fields, relational, similarity,
     )
+    from agentic_document_extraction_pdf_ray.pipelines import extract as _extract
     from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
     from agentic_document_extraction_pdf_ray.sources.transcripts import transcripts_path
 
@@ -144,6 +145,16 @@ def run_bench() -> dict:
             lambda d: documents.doc_bigram_pmi(d).count(), sf_dir),
         "label_centroids": timed(
             lambda d: similarity.label_centroids(d).count(), sf_dir),
+        "conv_stream_flags": timed(
+            lambda s: _extract.conv_stream_flags(s).count(), src),
+        "turns_despeckle": timed(
+            lambda s: _extract.turns_despeckle(s).count(), src),
+        "embedding_semdedup": timed(
+            lambda d: similarity.embedding_semdedup(d).count(), sf_dir),
+        "doc_dup_span_coverage": timed(
+            lambda d: dedup.doc_dup_span_coverage(d).count(), sf_dir),
+        "source_mix_weights": timed(
+            lambda d: documents.source_mix_weights(d).count(), sf_dir),
     }
 
     ray.shutdown()

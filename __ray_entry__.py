@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_weights": documents.source_mix_weights,  # SQL-matched (DoReMi-lite mixing)
         "embedding_semdedup": similarity.embedding_semdedup,  # SQL-matched (SemDeDup keep-first)
         "doc_dup_span_coverage": dedup.doc_dup_span_coverage,  # SQL-matched (ExactSubstr coverage)
+        "doc_lang_ppl_buckets": documents.doc_lang_ppl_buckets,  # SQL-matched (CCNet tertiles)
+        "dedup_survivors": dedup.dedup_survivors,  # SQL-matched (end-to-end keep-list)
         # ==== below: driver-graded green in rounds 1-3 (anchors; the
         # first handful land inside the window as regression canaries) ====
         "doc_normalize": documents.doc_normalize,
@@ -636,6 +638,54 @@ from agentic_document_extraction_pdf_ray.functions.modality import (  # noqa: E4
 from agentic_document_extraction_pdf_ray.pipelines.extract import (  # noqa: E402
     NON_ASCII_PAT as _NON_ASCII_PAT,
 )
+
+# corpus unigram-LM logprob (shared by doc_unigram_logprob and
+# doc_lang_ppl_buckets): per-doc bits/token under the corpus unigram LM,
+# rounded to 6 so downstream ORDERING is identical on both engines
+_LOGPROB_WITH = """WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+            c AS (SELECT doc_id, token, count(*) AS c
+                  FROM toks WHERE token <> '' GROUP BY 1, 2),
+            t AS (SELECT token, sum(c) AS nt FROM c GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+            lpd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                           sum(c * log2(nt)) AS s
+                    FROM c JOIN t USING (token) GROUP BY doc_id),
+            lp AS (SELECT doc_id, n_tokens,
+                          round(log2(tot.n) - s / n_tokens, 6)
+                              AS bits_per_token
+                   FROM lpd, tot)"""
+
+# near-dup connected-components fixpoint (shared by doc_dup_components
+# and dedup_survivors): exact n-gram Jaccard pair graph + recursive-CTE
+# reachability, min label per component
+_DUP_CC_WITH = f"""WITH RECURSIVE
+            t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pr AS (SELECT doc_a, doc_b FROM p
+                   JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12),
+            e AS (SELECT doc_a AS u, doc_b AS v FROM pr
+                  UNION ALL SELECT doc_b, doc_a FROM pr),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM e)
+                UNION
+                SELECT e.u, r.v FROM reach r JOIN e ON e.v = r.u
+            )"""
 
 _RAW_T = "coalesce(text, '')"
 _SIG_FLAGS = f"""regexp_matches({_RAW_T}, '{_SIG_CTRL_PAT}') AS hc,
@@ -989,32 +1039,20 @@ def oracle_sql() -> dict[str, str]:
         # doc_id. UNION (not UNION ALL) dedups visited states, so the
         # recursion terminates on the cyclic dup graph.
         "doc_dup_components": f"""
-            WITH RECURSIVE
-            t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
-            s AS (SELECT doc_id,
-                         unnest(list_transform(range(1, len(tk) - 1),
-                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-                  FROM t WHERE len(tk) >= 3),
-            d AS (SELECT DISTINCT doc_id, sh FROM s),
-            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
-            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
-            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
-            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-            pr AS (SELECT doc_a, doc_b FROM p
-                   JOIN sz sa ON sa.doc_id = doc_a
-                   JOIN sz sb ON sb.doc_id = doc_b
-                   WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12),
-            e AS (SELECT doc_a AS u, doc_b AS v FROM pr
-                  UNION ALL SELECT doc_b, doc_a FROM pr),
-            reach(u, v) AS (
-                SELECT u, u FROM (SELECT DISTINCT u FROM e)
-                UNION
-                SELECT e.u, r.v FROM reach r JOIN e ON e.v = r.u
-            )
+            {_DUP_CC_WITH}
             SELECT u AS doc_id, min(v) AS cluster_id
             FROM reach GROUP BY u
+        """,
+        # End-to-end dedup keep-list: the components fixpoint joined back
+        # to every doc; singletons are their own canonical.
+        "dedup_survivors": f"""
+            {_DUP_CC_WITH},
+            cc AS (SELECT u AS doc_id, min(v) AS cluster_id
+                   FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id) AS canonical_id,
+                   (coalesce(cc.cluster_id, d.doc_id) = d.doc_id) AS is_kept
+            FROM documents d LEFT JOIN cc USING (doc_id)
         """,
         # Same pair graph as ngram_jaccard_pairs; a<b<c ordering makes
         # each triangle surface exactly once from the three-way join.
@@ -1213,22 +1251,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Per-doc cross-entropy under the corpus unigram LM; round(.,6)
         # absorbs float-sum-order ulps, counts underneath exact integers.
-        "doc_unigram_logprob": """
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(string_split(lower(trim(regexp_replace(
-                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
-                FROM documents),
-            c AS (SELECT doc_id, token, count(*) AS c
-                  FROM toks WHERE token <> '' GROUP BY 1, 2),
-            t AS (SELECT token, sum(c) AS nt FROM c GROUP BY token),
-            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
-            d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-                         sum(c * log2(nt)) AS s
-                  FROM c JOIN t USING (token) GROUP BY doc_id)
-            SELECT doc_id, n_tokens,
-                   round(log2(n) - s / n_tokens, 6) AS bits_per_token
-            FROM d, tot
+        "doc_unigram_logprob": f"""
+            {_LOGPROB_WITH}
+            SELECT doc_id, n_tokens, bits_per_token FROM lp
+        """,
+        # CCNet per-language tertiles over the SAME rounded LM score;
+        # ntile tie-break (bits_per_token, doc_id) mirrored in the engine.
+        "doc_lang_ppl_buckets": f"""
+            {_LOGPROB_WITH},
+            j AS (SELECT d.doc_id, d.lang, lp.bits_per_token
+                  FROM documents d JOIN lp USING (doc_id)),
+            r AS (SELECT *, ntile(3) OVER (
+                      PARTITION BY lang
+                      ORDER BY bits_per_token, doc_id) AS nt FROM j)
+            SELECT doc_id, lang, bits_per_token,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS ppl_bucket
+            FROM r
         """,
         # Cohort retention: first-event-day cohorts, distinct active
         # weeks per user; day arithmetic is exact integer days.

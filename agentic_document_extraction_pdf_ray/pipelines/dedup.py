@@ -1440,3 +1440,53 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8,
                                                batch_format="pyarrow")
     return (ntok_rows.union(grams)
             .groupby("_db").map_groups(cover, batch_format="pandas"))
+
+
+def dedup_survivors(sf_dir: str, n_buckets: int = 32,
+                    pairs: ray.data.Dataset | None = None) -> ray.data.Dataset:
+    """End-to-end near-dup dedup DECISION — the keep-list a curation run
+    actually writes: every document with its canonical (min-id) family
+    representative and the survivor flag. Composes
+    :func:`doc_dup_components` (``pairs=`` respected, so the LSH
+    candidate stream feeds it at corpus scale) with one bucketed attach
+    to the full doc-id column; singleton docs never enter the CC
+    exchange and surface as their own canonical.
+
+    Output per doc: ``doc_id, canonical_id, is_kept``
+    (``is_kept = canonical_id == doc_id`` — keep-first-by-id, the
+    repo-wide dedup convention).
+    """
+    from .documents import read_documents as _read_docs
+
+    comp = doc_dup_components(sf_dir, n_buckets=n_buckets, pairs=pairs)
+
+    def tag_comp(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": b["cluster_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "is_doc": False,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def tag_doc(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "cluster_id": np.int64(-1), "is_doc": True,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g.loc[g["is_doc"], ["doc_id"]]
+        comp_rows = g.loc[~g["is_doc"], ["doc_id", "cluster_id"]]
+        m = docs.merge(comp_rows, on="doc_id", how="left")
+        canon = m["cluster_id"].fillna(m["doc_id"]).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "canonical_id": canon.to_numpy(np.int64),
+            "is_kept": (canon == m["doc_id"]).to_numpy(bool),
+        })
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+    return (docs.map_batches(tag_doc, batch_format="pyarrow")
+            .union(comp.map_batches(tag_comp, batch_format="pyarrow"))
+            .groupby("_db").map_groups(attach, batch_format="pandas"))

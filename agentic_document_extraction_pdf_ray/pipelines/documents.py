@@ -1462,3 +1462,72 @@ def source_mix_weights(sf_dir: str) -> ray.data.Dataset:
     return (read_documents(sf_dir, ["source", "text"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("_k").map_groups(fold, batch_format="pandas"))
+
+
+def doc_lang_ppl_buckets(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): within each language, documents ordered by
+    ``(bits_per_token, doc_id)`` split into balanced tertiles —
+    ``head`` (lowest bits/token: most fluent), ``middle``, ``tail`` —
+    the bucket label CCNet's pipeline keeps alongside every document so
+    downstream consumers can choose their quality slice. ntile
+    semantics: the first ``n mod 3`` buckets take the extra row.
+
+    Composition: :func:`doc_unigram_logprob` (already rounded to 6, so
+    ordering is identical on both engines) bucket-attached to the lang
+    column by doc hash, then per-language assignment. A language's rows
+    must fit one task here — the CCNet shard-per-language regime; for a
+    single dominant language the range-partitioned ``doc_row_number``
+    machinery is the drop-in replacement for the in-task rank.
+    Empty-token docs carry no LM score and are excluded (inner join,
+    mirrored in SQL).
+    """
+    import pandas as pd
+
+    from ..functions.hashing import bucket_int_array
+
+    bits = doc_unigram_logprob(sf_dir, n_buckets=n_buckets)
+    langs = read_documents(sf_dir, ["doc_id", "lang"])
+
+    def tag_bits(b: pa.Table) -> "pd.DataFrame":
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "bits_per_token": b["bits_per_token"].to_numpy(
+                zero_copy_only=False),
+            "lang": None,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def tag_lang(b: pa.Table) -> "pd.DataFrame":
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "bits_per_token": np.nan,
+            "lang": b["lang"].to_numpy(zero_copy_only=False),
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def attach(g: "pd.DataFrame") -> "pd.DataFrame":
+        has_bits = g["lang"].isna()
+        m = (g.loc[has_bits, ["doc_id", "bits_per_token"]]
+             .merge(g.loc[~has_bits, ["doc_id", "lang"]], on="doc_id"))
+        return m[["doc_id", "lang", "bits_per_token"]]
+
+    def assign(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["bits_per_token", "doc_id"],
+                          kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        lab = np.repeat(np.array(["head", "middle", "tail"], object),
+                        sizes)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "lang": g["lang"].to_numpy(object),
+            "bits_per_token": g["bits_per_token"].to_numpy(np.float64),
+            "ppl_bucket": lab,
+        })
+
+    return (bits.map_batches(tag_bits, batch_format="pyarrow")
+            .union(langs.map_batches(tag_lang, batch_format="pyarrow"))
+            .groupby("_db").map_groups(attach, batch_format="pandas")
+            .groupby("lang").map_groups(assign, batch_format="pandas"))

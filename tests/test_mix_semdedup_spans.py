@@ -115,3 +115,32 @@ class TestDupSpanCoverage:
                .set_index("doc_id").sort_index())
         assert (got.loc[[0, 1], "coverage"] == 1.0).all()
         assert got.loc[2, "n_grams"] == 0 and got.loc[2, "coverage"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupSurvivorsAndPplBuckets:
+    def test_survivors_keep_min_id_per_family(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import dedup_survivors
+        base = " ".join(f"w{i}" for i in range(40))
+        _write_docs(tmp_path, [base + " a", base + " b", base + " c",
+                               "totally different standalone words " * 5])
+        got = (dedup_survivors(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[0, "is_kept"] and got.loc[0, "canonical_id"] == 0
+        assert not got.loc[1, "is_kept"] and got.loc[1, "canonical_id"] == 0
+        assert not got.loc[2, "is_kept"] and got.loc[2, "canonical_id"] == 0
+        assert got.loc[3, "is_kept"] and got.loc[3, "canonical_id"] == 3
+
+    def test_ppl_tertiles_balanced_and_ordered(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import doc_lang_ppl_buckets
+        # 7 distinct-fluency docs in one lang: ntile sizes 3/2/2
+        texts = [" ".join(np.random.RandomState(i).choice(
+            ["the", "a", "of", f"rare{i}x", f"rare{i}y"], 30))
+            for i in range(7)]
+        _write_docs(tmp_path, texts)
+        got = doc_lang_ppl_buckets(str(tmp_path)).to_pandas()
+        sizes = got["ppl_bucket"].value_counts()
+        assert sizes["head"] == 3 and sizes["middle"] == 2 \
+            and sizes["tail"] == 2
+        assert got.loc[got["ppl_bucket"] == "head", "bits_per_token"].max() \
+            <= got.loc[got["ppl_bucket"] == "tail", "bits_per_token"].min()

@@ -27,8 +27,10 @@ DEFAULT_BATCH_SIZE = 4096
 DEFAULT_PARTITIONS = 64
 
 
-def read_transcripts(paths: str | list[str]) -> ray.data.Dataset:
-    """Source: only the columns the pipeline touches leave storage.
+def read_transcripts(paths: str | list[str],
+                     columns: list[str] | None = None) -> ray.data.Dataset:
+    """Source: only the columns the pipeline touches leave storage
+    (narrower consumers pass their own ``columns``).
 
     Blocks are sized to ~6 tasks per CPU so the downstream map has smooth,
     well-balanced waves (the per-turn core is ~100x the read cost; coarse
@@ -40,7 +42,8 @@ def read_transcripts(paths: str | list[str]) -> ray.data.Dataset:
     except Exception:
         cpus = 8
     return ray.data.read_parquet(
-        paths, columns=["conv_id", "turn_idx", "role", "text", "tool"],
+        paths, columns=columns or ["conv_id", "turn_idx", "role", "text",
+                                   "tool"],
         override_num_blocks=max(64, cpus * 6))
 
 
@@ -305,7 +308,8 @@ def conv_modalities(paths: str | list[str],
         return pa.table({"conv_id": pa.array(df["conv_id"], pa.string()),
                          "kind": pa.array(df["kind"], pa.string())})
 
-    ds = read_transcripts(paths).map_batches(kinds, batch_format="pyarrow")
+    ds = read_transcripts(paths, columns=["conv_id", "text"]).map_batches(
+        kinds, batch_format="pyarrow")
     ds = _with_pkey(ds, num_partitions)
 
     def per_bucket(part: pa.Table) -> pa.Table:
@@ -371,7 +375,8 @@ def conv_stream_flags(paths: str | list[str],
             "has_curly": pa.array(df["has_curly"], pa.bool_()),
         })
 
-    ds = read_transcripts(paths).map_batches(narrow, batch_format="pyarrow")
+    ds = read_transcripts(paths, columns=["conv_id", "text"]).map_batches(
+        narrow, batch_format="pyarrow")
     ds = _with_pkey(ds, num_partitions)
 
     def per_bucket(part: pa.Table) -> pa.Table:
@@ -450,7 +455,8 @@ def turns_despeckle(paths: str | list[str]) -> ray.data.Dataset:
             "text_out": out,
         })
 
-    return read_transcripts(paths).map_batches(fn, batch_format="pyarrow")
+    return read_transcripts(paths, columns=["conv_id", "turn_idx", "text"]
+                            ).map_batches(fn, batch_format="pyarrow")
 
 
 def transcripts_quality_check(paths: str | list[str]) -> ray.data.Dataset:

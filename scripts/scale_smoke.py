@@ -67,9 +67,20 @@ def build_tiled(base: str, out: str, tiles: int = TILES) -> None:
         parts.append(t)
     pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet",
                    row_group_size=32768)
+    emb = pq.read_table(f"{base}/embeddings.parquet")
+    parts = []
+    for c in range(tiles):
+        # identical copies per tile: the semantic-dedup worst case
+        # (every cluster is 10x denser and full of exact twins)
+        t = emb.set_column(
+            emb.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(emb["vec_id"], pa.scalar(c * 10_000_000, pa.int64())))
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{out}/embeddings.parquet",
+                   row_group_size=8192)
     # tables the family doesn't read can stay at base scale
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "embeddings"):
+              "orders", "lineitem"):
         src = f"{base}/{t}.parquet"
         if os.path.exists(src):
             shutil.copy(src, f"{out}/{t}.parquet")
@@ -77,7 +88,7 @@ def build_tiled(base: str, out: str, tiles: int = TILES) -> None:
 
 def run_family(sf_dir: str) -> dict[str, dict]:
     from agentic_document_extraction_pdf_ray.pipelines import (
-        dedup, documents, events,
+        dedup, documents, events, similarity,
     )
 
     res: dict[str, dict] = {}
@@ -110,6 +121,17 @@ def run_family(sf_dir: str) -> dict[str, dict]:
     timed("doc_line_dedup", lambda: dedup.doc_line_dedup(sf_dir))
     timed("events_rolling_distinct_users",
           lambda: events.events_rolling_distinct_users(sf_dir))
+    # round-4 operators
+    timed("dedup_survivors[lsh]",
+          lambda: dedup.dedup_survivors(sf_dir, pairs=pairs))
+    timed("doc_dup_span_coverage",
+          lambda: dedup.doc_dup_span_coverage(sf_dir))
+    timed("embedding_semdedup",
+          lambda: similarity.embedding_semdedup(sf_dir))
+    timed("source_mix_weights",
+          lambda: documents.source_mix_weights(sf_dir))
+    timed("doc_lang_ppl_buckets",
+          lambda: documents.doc_lang_ppl_buckets(sf_dir))
     return res
 
 

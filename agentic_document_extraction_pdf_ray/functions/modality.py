@@ -154,15 +154,24 @@ def detect_stream_flags_batch(texts):
     has_ctrl = m(CTRL_STREAM_PAT)
     has_zw = m(ZW_STREAM_PAT)
     has_curly = m(CURLY_STREAM_PAT)
+    return (has_ctrl, has_zw, has_curly,
+            join_signal_tokens(has_ctrl, has_zw, has_curly))
 
-    parts = [np.where(mask, tok, "").astype(object)
+
+def join_signal_tokens(has_ctrl, has_zw, has_curly):
+    """Comma-join the present signal tokens in detection order — the ONE
+    implementation of the list convention (also mirrored by the oracle's
+    ``concat_ws`` fragment); used per turn and per conversation."""
+    import numpy as np
+
+    parts = [np.where(np.asarray(mask, bool), tok, "").astype(object)
              for mask, tok in zip((has_ctrl, has_zw, has_curly),
                                   STREAM_SIGNAL_ORDER)]
     signals = parts[0]
     for p in parts[1:]:
         both = (signals != "") & (p != "")
         signals = np.where(both, signals + "," + p, signals + p)
-    return has_ctrl, has_zw, has_curly, signals
+    return signals
 
 
 def conversation_modalities(kinds: list[str]) -> list[str]:

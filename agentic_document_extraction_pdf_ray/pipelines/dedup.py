@@ -704,8 +704,12 @@ def dup_triangles(sf_dir: str, n_buckets: int = 32,
     The pair plan is materialized once and reused in both roles.
     """
     if pairs is None:
-        pairs = ngram_jaccard_pairs(sf_dir)
-    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+        pairs = (ngram_jaccard_pairs(sf_dir)
+                 .select_columns(["doc_a", "doc_b"]).materialize())
+    else:
+        # caller-supplied pair sets are used as-is (pass a materialized
+        # dataset when the plan is expensive) — no second object-store copy
+        pairs = pairs.select_columns(["doc_a", "doc_b"])
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         mid = b["doc_b"].to_numpy(np.int64)
@@ -985,8 +989,12 @@ def dup_pagerank(sf_dir: str, n_iter: int = 10, damping: float = 0.85,
     numpy power iteration and Σrank == 1.
     """
     if pairs is None:
-        pairs = ngram_jaccard_pairs(sf_dir)
-    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+        pairs = (ngram_jaccard_pairs(sf_dir)
+                 .select_columns(["doc_a", "doc_b"]).materialize())
+    else:
+        # caller-supplied pair sets are used as-is (pass a materialized
+        # dataset when the plan is expensive) — no second object-store copy
+        pairs = pairs.select_columns(["doc_a", "doc_b"])
 
     if pairs.count() <= local_max_pairs:
         return _pagerank_local(pairs, n_iter, damping)
@@ -1291,8 +1299,12 @@ def dup_clustering_coeff(sf_dir: str, n_buckets: int = 32,
     from ray.data.aggregate import Sum
 
     if pairs is None:
-        pairs = ngram_jaccard_pairs(sf_dir)
-    pairs = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+        pairs = (ngram_jaccard_pairs(sf_dir)
+                 .select_columns(["doc_a", "doc_b"]).materialize())
+    else:
+        # caller-supplied pair sets are used as-is (pass a materialized
+        # dataset when the plan is expensive) — no second object-store copy
+        pairs = pairs.select_columns(["doc_a", "doc_b"])
     tri = dup_triangles(sf_dir, n_buckets=n_buckets, pairs=pairs)
 
     def tri_nodes(b: pd.DataFrame) -> pd.DataFrame:
@@ -1347,12 +1359,13 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8,
     ``>= n``):
 
     1. vectorized gram-explode WITH positions (global shifted-concat of
-       the flat token stream, validity-masked at doc boundaries) →
-       groupby(gram-hash bucket): a gram string lives in exactly one
+       the flat token stream, validity-masked at doc boundaries), the
+       tiny per-doc token-count rows riding in the SAME output (one
+       corpus read, one tokenize) → groupby(gram-hash bucket; token
+       rows bucket by doc hash): a gram string lives in exactly one
        bucket, so ``nunique(doc) >= 2`` marks corpus-duplicated grams
-       exactly; only flagged ``(doc, pos)`` rows leave;
-    2. union with the tiny per-doc token-count rows →
-       groupby(doc-hash bucket): interval-union coverage via ONE
+       exactly; only flagged ``(doc, pos)`` + token rows leave;
+    2. groupby(doc-hash bucket): interval-union coverage via ONE
        difference-array cumsum over the bucket's concatenated token
        ranges (no per-interval loop).
 
@@ -1376,33 +1389,31 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8,
         gram = flat[valid].astype(object)
         for j in range(1, n):
             gram = gram + " " + flat[valid + j].astype(object)
+        ids64 = doc_ids.astype(np.int64)
+        # gram rows bucket by gram hash; the one token-count row per doc
+        # (is_tok) buckets by DOC hash — both ride the same exchange, so
+        # the corpus is read and tokenized exactly once
         out = pd.DataFrame({
-            "doc_id": doc_ids[par[valid]].astype(np.int64),
-            "pos": local[valid],
-            "gram": gram,
+            "doc_id": np.r_[ids64[par[valid]], ids64],
+            "pos": np.r_[local[valid], lens],
+            "gram": np.r_[gram, np.full(len(ids64), "", object)],
+            "is_tok": np.r_[np.zeros(len(valid), bool),
+                            np.ones(len(ids64), bool)],
         })
-        out["_bucket"] = (hash_str_array(out["gram"].to_numpy(object))
-                          % np.uint64(n_buckets)).astype(np.int64)
+        gb = (hash_str_array(gram) % np.uint64(n_buckets)).astype(np.int64)
+        out["_bucket"] = np.r_[gb, bucket_int_array(ids64, n_buckets)]
         return out
 
     def mark(g: pd.DataFrame) -> pd.DataFrame:
-        dup = g.groupby("gram")["doc_id"].transform("nunique") >= 2
-        out = g.loc[dup, ["doc_id", "pos"]].copy()
-        out["val"] = out.pop("pos")
-        out["is_tok"] = False
+        tok = g[g["is_tok"]]
+        gr = g[~g["is_tok"]]
+        dup = gr.groupby("gram")["doc_id"].transform("nunique") >= 2
+        out = pd.concat([gr.loc[dup, ["doc_id", "pos", "is_tok"]],
+                         tok[["doc_id", "pos", "is_tok"]]],
+                        ignore_index=True).rename(columns={"pos": "val"})
         out["_db"] = bucket_int_array(out["doc_id"].to_numpy(np.int64),
                                       n_buckets)
         return out[["doc_id", "val", "is_tok", "_db"]]
-
-    def tokrows(batch: pa.Table) -> pd.DataFrame:
-        clean = _norm_ws(pc.fill_null(batch["text"], ""))
-        ntok = pc.cast(pc.list_value_length(
-            pc.split_pattern_regex(clean, r"\s+")), pa.int64()
-        ).to_numpy(zero_copy_only=False)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pd.DataFrame({
-            "doc_id": ids, "val": ntok, "is_tok": True,
-            "_db": bucket_int_array(ids, n_buckets)})
 
     def cover(g: pd.DataFrame) -> pd.DataFrame:
         tok = (g[g["is_tok"]].drop_duplicates("doc_id")
@@ -1433,12 +1444,9 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8,
             "coverage": n_cov.astype(np.float64) / ntok.astype(np.float64),
         })
 
-    grams = (_read_docs(sf_dir)
-             .map_batches(explode, batch_format="pyarrow")
-             .groupby("_bucket").map_groups(mark, batch_format="pandas"))
-    ntok_rows = _read_docs(sf_dir).map_batches(tokrows,
-                                               batch_format="pyarrow")
-    return (ntok_rows.union(grams)
+    return (_read_docs(sf_dir)
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(mark, batch_format="pandas")
             .groupby("_db").map_groups(cover, batch_format="pandas"))
 
 

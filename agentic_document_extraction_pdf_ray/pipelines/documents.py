@@ -1495,19 +1495,25 @@ def doc_lang_ppl_buckets(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
             "doc_id": ids,
             "bits_per_token": b["bits_per_token"].to_numpy(
                 zero_copy_only=False),
-            "lang": None,
+            "lang": "",
+            "is_bits": True,
             "_db": bucket_int_array(ids, n_buckets)})
 
     def tag_lang(b: pa.Table) -> "pd.DataFrame":
         ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # NULL lang folds to '' (mirrored by coalesce in the oracle) so a
+        # null-lang doc is ranked in its own partition, not dropped
+        lang = pd.Series(b["lang"].to_numpy(zero_copy_only=False),
+                         dtype=object).fillna("")
         return pd.DataFrame({
             "doc_id": ids,
             "bits_per_token": np.nan,
-            "lang": b["lang"].to_numpy(zero_copy_only=False),
+            "lang": lang.to_numpy(object),
+            "is_bits": False,
             "_db": bucket_int_array(ids, n_buckets)})
 
     def attach(g: "pd.DataFrame") -> "pd.DataFrame":
-        has_bits = g["lang"].isna()
+        has_bits = g["is_bits"].to_numpy(bool)
         m = (g.loc[has_bits, ["doc_id", "bits_per_token"]]
              .merge(g.loc[~has_bits, ["doc_id", "lang"]], on="doc_id"))
         return m[["doc_id", "lang", "bits_per_token"]]

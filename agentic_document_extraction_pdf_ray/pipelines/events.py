@@ -1048,28 +1048,20 @@ def events_heavy_hitters(sf_dir: str, k: int | None = None) -> pd.DataFrame:
     merge==fold property are pytest-asserted against exact counts.
 
     ``k=None`` (the graded default) runs the EXACT regime: MG never
-    decrements once k ≥ the number of distinct keys, so sizing k to the
-    global distinct-user count (one cheap bounded pre-aggregate: per-block
-    distinct users, ≤ |users| narrow rows leave each block) makes
-    ``min_count`` the exact per-user event count — a plain GROUP BY in
-    the DuckDB oracle. The bounded-k approximate regime (pass ``k``)
-    stays the 100 TB scale path, pytest-error-bounded."""
+    decrements once k ≥ the number of distinct keys, so skipping
+    truncation entirely (each fold uses its own key count as k — the
+    identity fold) makes ``min_count`` the exact per-user event count —
+    a plain GROUP BY in the DuckDB oracle, with NO extra pass to size a
+    global k. The bounded-k approximate regime (pass ``k``) stays the
+    100 TB scale path, pytest-error-bounded."""
     from ..functions.sketch import mg_fold
-
-    if k is None:
-        distinct = (read_events(sf_dir, ["user_id"])
-                    .map_batches(
-                        lambda b: {"user_id": np.unique(
-                            b["user_id"].to_numpy(zero_copy_only=False))},
-                        batch_format="pyarrow")
-                    .to_pandas())
-        k = int(distinct["user_id"].nunique())
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         c = batch.groupby("user_id", as_index=False).agg(
             n=("user_id", "size"))
         summ = mg_fold(c["user_id"].to_numpy(np.int64),
-                       c["n"].to_numpy(np.int64), k)
+                       c["n"].to_numpy(np.int64),
+                       len(c) if k is None else k)
         return pd.DataFrame({"user_id": np.fromiter(summ, np.int64,
                                                     len(summ)),
                              "cnt": np.fromiter(summ.values(), np.int64,
@@ -1082,7 +1074,8 @@ def events_heavy_hitters(sf_dir: str, k: int | None = None) -> pd.DataFrame:
     # in many), then one reduction back to k — mg_merge semantics.
     agg = parts.groupby("user_id", as_index=False)["cnt"].sum()
     merged = mg_fold(agg["user_id"].to_numpy(np.int64),
-                     agg["cnt"].to_numpy(np.int64), k)
+                     agg["cnt"].to_numpy(np.int64),
+                     len(agg) if k is None else k)
     out = pd.DataFrame({"user_id": list(merged),
                         "min_count": list(merged.values())})
     return (out.sort_values(["min_count", "user_id"],

@@ -353,8 +353,8 @@ def conv_stream_flags(paths: str | list[str],
     import pandas as pd
 
     from ..functions.modality import (
-        KIND_EMPTY, KIND_NOISY, KIND_PROSE, STREAM_SIGNAL_ORDER,
-        detect_payload_kind_batch, detect_stream_flags_batch,
+        KIND_EMPTY, KIND_NOISY, KIND_PROSE, detect_payload_kind_batch,
+        detect_stream_flags_batch, join_signal_tokens,
     )
 
     def narrow(batch: pa.Table) -> pa.Table:
@@ -401,13 +401,10 @@ def conv_stream_flags(paths: str | list[str],
                  .sort_values(["conv_id", "kind"], kind="mergesort"))
         ms = (kinds.groupby("conv_id", as_index=False, sort=True)["kind"]
               .agg(",".join))
-        # conv-level signal list in fixed detection order
-        sig = np.full(len(fl), "", object)
-        for col, tok in zip(("any_ctrl", "any_zw", "any_curly"),
-                            STREAM_SIGNAL_ORDER):
-            p = np.where(fl[col].to_numpy(), tok, "").astype(object)
-            both = (sig != "") & (p != "")
-            sig = np.where(both, sig + "," + p, sig + p)
+        # conv-level signal list via the SHARED join convention
+        sig = join_signal_tokens(fl["any_ctrl"].to_numpy(),
+                                 fl["any_zw"].to_numpy(),
+                                 fl["any_curly"].to_numpy())
         return pa.table({
             "conv_id": pa.array(fl["conv_id"], pa.string()),
             "any_ctrl": pa.array(fl["any_ctrl"], pa.bool_()),

@@ -773,7 +773,13 @@ def embedding_semdedup(sf_dir: str, tau: float = 0.97,
                 continue
             G = q[s:e] @ q[s:e].T                   # exact int64 dots
             nrm = np.sqrt(np.diag(G).astype(np.float64))
-            cos = np.round(G.astype(np.float64) / np.outer(nrm, nrm), 6)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(G.astype(np.float64) / np.outer(nrm, nrm), 6)
+            # zero-norm (zero-quantized) vectors give 0/0 -> NaN; the SQL
+            # oracle's 0.0/0.0 is NULL and max() ignores NULLs — mirror
+            # that by excluding non-finite entries from the prior max
+            # (a NaN would otherwise poison max for every later vector)
+            cos[~np.isfinite(cos)] = -np.inf
             cos[np.tril_indices(m)] = -np.inf       # priors are u < v only
             mx = cos.max(axis=0)
             out_max[s:e] = np.where(np.isfinite(mx), mx, -1.0)

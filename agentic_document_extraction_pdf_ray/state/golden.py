@@ -104,9 +104,12 @@ class GoldenStore:
         if not os.path.isdir(base):
             return []
         out = []
-        for d in sorted(os.listdir(base)):
+        # numeric order, not lexicographic: v1000 must sort after v999
+        dirs = [d for d in os.listdir(base)
+                if d.startswith("v") and d[1:].isdigit()]
+        for d in sorted(dirs, key=lambda s: int(s[1:])):
             mf = os.path.join(base, d, "manifest.json")
-            if d.startswith("v") and os.path.exists(mf):
+            if os.path.exists(mf):
                 with open(mf, encoding="utf-8") as f:
                     out.append(json.load(f))
         return out
@@ -152,13 +155,15 @@ class GoldenStore:
             parts["h_xor"].to_numpy(np.uint64))) if len(parts) else 0
         content_hash = f"{h_sum:016x}{h_xor:016x}"
 
-        # cheap local-unique short-circuit, exact global check only when
-        # the per-block counts can't prove uniqueness
+        # cheap local check first; the exact global pass (another full
+        # plan execution) only runs when >1 block means local counts
+        # can't prove global uniqueness
         if int(parts["n_unique_local"].sum()) != n:
             raise ValueError("duplicate sample_id within a block")
-        n_distinct = ds.select_columns(["sample_id"]).unique("sample_id")
-        if len(n_distinct) != n:
-            raise ValueError("duplicate sample_id in commit")
+        if len(parts) > 1:
+            n_distinct = ds.select_columns(["sample_id"]).unique("sample_id")
+            if len(n_distinct) != n:
+                raise ValueError("duplicate sample_id in commit")
 
         latest = self.latest_version(name)
         if latest is not None:

@@ -80,7 +80,10 @@ class TestPairSourceParam:
             a = _norm(fn(d, pairs=exact))
             b = _norm(fn(d, pairs=lsh))
             assert list(a.columns) == list(b.columns), fn.__name__
-            pd.testing.assert_frame_equal(a, b, check_exact=True), fn.__name__
+            try:
+                pd.testing.assert_frame_equal(a, b, check_exact=True)
+            except AssertionError as err:
+                raise AssertionError(f"{fn.__name__}: {err}") from err
 
     def test_default_pair_source_unchanged(self, ray_session, graph_fixture):
         """pairs=None still routes through the exact n-gram plan."""

@@ -75,6 +75,20 @@ class TestEmbeddingSemdedup:
         assert got.loc[3, "is_kept"]
         assert got.loc[3, "max_prior_cos"] == 0.0
 
+    def test_zero_norm_vector_does_not_poison_cluster(self, tmp_path):
+        """0/0 cosine is NULL under the SQL oracle and excluded from
+        max() — a zero vector must not disable dedup for later vectors
+        in its cluster (review finding: NaN poisoned the column max)."""
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import embedding_semdedup
+        v = [1.0, 0.0]
+        z = [0.0, 0.0]
+        self._write_emb(tmp_path, [v, z, v], [0, 0, 0])
+        got = (embedding_semdedup(str(tmp_path)).to_pandas()
+               .set_index("vec_id").sort_index())
+        assert got.loc[1, "max_prior_cos"] == -1.0 and got.loc[1, "is_kept"]
+        assert got.loc[2, "max_prior_cos"] == 1.0
+        assert not got.loc[2, "is_kept"]      # the duplicate still drops
+
     def test_tau_boundary_uses_rounded_cos(self, tmp_path):
         from agentic_document_extraction_pdf_ray.pipelines.similarity import embedding_semdedup
         # cos exactly at tau is KEPT (strict >)

@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_span_coverage": dedup.doc_dup_span_coverage,  # SQL-matched (ExactSubstr coverage)
         "doc_lang_ppl_buckets": documents.doc_lang_ppl_buckets,  # SQL-matched (CCNet tertiles)
         "dedup_survivors": dedup.dedup_survivors,  # SQL-matched (end-to-end keep-list)
+        "doc_postings": documents.doc_postings,    # SQL-matched (sharded inverted index)
         # ==== below: driver-graded green in rounds 1-3 (anchors; the
         # first handful land inside the window as regression canaries) ====
         "doc_normalize": documents.doc_normalize,
@@ -1999,6 +2000,22 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # Sharded inverted index: exact df, capped ascending postings
+        # (first 16 ids), min_df 2; vocab token convention.
+        "doc_postings": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+            d AS (SELECT DISTINCT token, doc_id FROM toks
+                  WHERE token <> ''),
+            f AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+                         list_sort(list(doc_id)) AS post
+                  FROM d GROUP BY token)
+            SELECT token, df, array_to_string(post[1:16], ',') AS postings
+            FROM f WHERE df >= 2
         """,
         "doc_top_terms": """
             WITH toks AS (

@@ -1537,3 +1537,61 @@ def doc_lang_ppl_buckets(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
             .union(langs.map_batches(tag_lang, batch_format="pyarrow"))
             .groupby("_db").map_groups(attach, batch_format="pandas")
             .groupby("lang").map_groups(assign, batch_format="pandas"))
+
+
+def doc_postings(sf_dir: str, cap: int = 16, min_df: int = 2,
+                 n_buckets: int = 32) -> ray.data.Dataset:
+    """Sharded inverted index — the retrieval-side primitive a corpus
+    pipeline builds for token lookups: per token, the exact document
+    frequency and the CAPPED ascending posting list (first ``cap`` doc
+    ids, comma-joined) for tokens appearing in ``>= min_df`` documents.
+
+    One token-hash shuffle of DISTINCT ``(token, doc)`` pairs — the
+    map-side distinct bounds the exchange at one narrow row per (batch,
+    token, doc); a token lives in exactly one bucket, so df is exact and
+    the per-bucket mergesort yields ascending postings. The cap bounds
+    every OUTPUT row (a stopword's full posting list is corpus-sized);
+    at production scale the uncapped lists go to a parquet sink sharded
+    by the same token hash — never to the driver. Token convention
+    matches ``doc_vocab_topk`` (lowercased whitespace tokens of the
+    normalized text).
+    """
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+
+    def pairs_(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pd.DataFrame({
+            "token": flat.to_numpy(zero_copy_only=False),
+            "doc_id": ids[parents],
+        })
+        d = d[d["token"] != ""].drop_duplicates()
+        d["_bucket"] = (hash_str_array(d["token"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def build(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = (g.drop_duplicates(["token", "doc_id"])
+             .sort_values(["token", "doc_id"], kind="mergesort"))
+        grp = g.groupby("token", sort=False)
+        df_ = grp.size()
+        rank = grp.cumcount()
+        capped = g[rank < cap].copy()
+        capped["doc_str"] = capped["doc_id"].astype(str)
+        post = (capped.groupby("token", sort=False)["doc_str"]
+                .agg(",".join))
+        out = pd.DataFrame({
+            "token": df_.index.to_numpy(object),
+            "df": df_.to_numpy(np.int64),
+            "postings": post.reindex(df_.index).to_numpy(object),
+        })
+        return out[out["df"] >= min_df]
+
+    return (read_documents(sf_dir)
+            .map_batches(pairs_, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(build, batch_format="pandas"))

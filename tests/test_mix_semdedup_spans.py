@@ -158,3 +158,20 @@ class TestDedupSurvivorsAndPplBuckets:
             and sizes["tail"] == 2
         assert got.loc[got["ppl_bucket"] == "head", "bits_per_token"].max() \
             <= got.loc[got["ppl_bucket"] == "tail", "bits_per_token"].min()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocPostings:
+    def test_cap_bounds_postings_not_df(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import doc_postings
+        # 'common' in all 20 docs; 'pair' in docs 3 and 7 only
+        texts = [f"common filler{i}" + (" pair" if i in (3, 7) else "")
+                 for i in range(20)]
+        _write_docs(tmp_path, texts)
+        got = (doc_postings(str(tmp_path), cap=5).to_pandas()
+               .set_index("token"))
+        assert got.loc["common", "df"] == 20          # df stays exact
+        assert got.loc["common", "postings"] == "0,1,2,3,4"   # capped
+        assert got.loc["pair", "df"] == 2
+        assert got.loc["pair", "postings"] == "3,7"
+        assert "filler0" not in got.index             # min_df filter

@@ -155,6 +155,10 @@ def run_bench() -> dict:
             lambda d: dedup.doc_dup_span_coverage(d).count(), sf_dir),
         "source_mix_weights": timed(
             lambda d: documents.source_mix_weights(d).count(), sf_dir),
+        "doc_postings": timed(
+            lambda d: documents.doc_postings(d).count(), sf_dir),
+        "dedup_survivors": timed(
+            lambda d: dedup.dedup_survivors(d).count(), sf_dir),
     }
 
     ray.shutdown()

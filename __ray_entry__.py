@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_ppl_buckets": documents.doc_lang_ppl_buckets,  # SQL-matched (CCNet tertiles)
         "dedup_survivors": dedup.dedup_survivors,  # SQL-matched (end-to-end keep-list)
         "doc_postings": documents.doc_postings,    # SQL-matched (sharded inverted index)
+        "doc_bm25_topk": documents.doc_bm25_topk,  # SQL-matched (Okapi BM25 retrieval)
         # ==== below: driver-graded green in rounds 1-3 (anchors; the
         # first handful land inside the window as regression canaries) ====
         "doc_normalize": documents.doc_normalize,
@@ -662,6 +663,48 @@ _LOGPROB_WITH = """WITH toks AS (
                           round(log2(tot.n) - s / n_tokens, 6)
                               AS bits_per_token
                    FROM lpd, tot)"""
+
+# Okapi BM25 oracle, generated from the SAME default term tuple as the
+# engine so the literals can never drift; expression shapes mirror the
+# engine's float op order exactly (avgdl = Σdl/N then dl/avgdl; fixed
+# term-order sum; one round 6 absorbing libm ln ulps).
+_BM25_TERMS = ("hash", "join", "filter")
+
+
+def _bm25_sql() -> str:
+    tfs = ",\n                   ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    dfs = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}" for i in range(len(_BM25_TERMS)))
+    idfs = ",\n                   ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) AS idf{i}"
+        for i in range(len(_BM25_TERMS)))
+    score = "\n                     + ".join(
+        f"idf{i} * (tf{i} * (1.2 + 1.0)) / (tf{i} + 1.2 * (1.0 - 0.75"
+        f" + 0.75 * (dl / avgdl)))" for i in range(len(_BM25_TERMS)))
+    anytf = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, '\\s+')
+                                  AS tk FROM documents),
+            d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                   {tfs}
+                  FROM t),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(dl) AS BIGINT) AS sum_dl,
+                   {dfs}
+                  FROM d),
+            c AS (SELECT n, sum_dl / CAST(n AS DOUBLE) AS avgdl,
+                   {idfs}
+                  FROM g),
+            s AS (SELECT doc_id,
+                         round({score}, 6) AS score
+                  FROM d, c WHERE {anytf} > 0)
+            SELECT doc_id, score FROM s
+            ORDER BY score DESC, doc_id LIMIT 10
+        """
+
 
 # near-dup connected-components fixpoint (shared by doc_dup_components
 # and dedup_survivors): exact n-gram Jaccard pair graph + recursive-CTE
@@ -2001,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
         """,
+        "doc_bm25_topk": _bm25_sql(),
         # Sharded inverted index: exact df, capped ascending postings
         # (first 16 ids), min_df 2; vocab token convention.
         "doc_postings": """

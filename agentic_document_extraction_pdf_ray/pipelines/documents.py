@@ -1595,3 +1595,85 @@ def doc_postings(sf_dir: str, cap: int = 16, min_df: int = 2,
     return (read_documents(sf_dir)
             .map_batches(pairs_, batch_format="pyarrow")
             .groupby("_bucket").map_groups(build, batch_format="pandas"))
+
+
+def doc_bm25_topk(sf_dir: str,
+                  terms: tuple[str, ...] = ("hash", "join", "filter"),
+                  k: int = 10, k1: float = 1.2,
+                  b: float = 0.75) -> "pd.DataFrame":
+    """Okapi BM25 top-k retrieval — the scoring side of the
+    :func:`doc_postings` index: rank documents for a (tiny, broadcast)
+    query term set with the standard
+    ``idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` formula, Lucene's
+    always-positive ``ln((N−df+0.5)/(df+0.5)+1)`` idf.
+
+    Two pruned scans, driver state = O(#terms) scalars:
+
+    1. per-batch partials (N, Σdl, per-term df — each batch emits ONE
+       narrow row) fold driver-side into the corpus constants;
+    2. vectorized per-batch scoring (token ``index_in`` against the
+       term list + per-row bincount) → per-block partial top-k, so at
+       most k rows leave any block (``relational.topk``).
+
+    Float parity with the oracle: both engines evaluate the SAME
+    expression shapes on the same doubles (``avgdl = Σdl/N`` then
+    ``dl/avgdl``; per-doc score summed in fixed term order), with one
+    ``round 6`` on the final score absorbing libm ``ln`` ulps; ranking
+    orders by the ROUNDED score with doc_id tie-break.
+    """
+    import math
+
+    import pandas as pd
+
+    from .relational import topk
+
+    terms = list(terms)
+    m = len(terms)
+    term_arr = pa.array(terms, pa.string())
+
+    def tf_dl(batch: pa.Table):
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        dl = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        rows = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+        code = pc.fill_null(pc.index_in(flat, value_set=term_arr),
+                            -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = np.zeros((len(dl), m), np.int64)
+        hit = code >= 0
+        np.add.at(tf, (rows[hit], code[hit]), 1)
+        return dl, tf
+
+    def stats(batch: pa.Table) -> "pd.DataFrame":
+        dl, tf = tf_dl(batch)
+        row = {"n": [len(dl)], "sum_dl": [int(dl.sum())]}
+        for i in range(m):
+            row[f"df{i}"] = [int((tf[:, i] > 0).sum())]
+        return pd.DataFrame(row)
+
+    st = (read_documents(sf_dir)
+          .map_batches(stats, batch_format="pyarrow").to_pandas())
+    n = int(st["n"].sum())
+    sum_dl = int(st["sum_dl"].sum())
+    avgdl = sum_dl / n
+    idf = [math.log((n - int(st[f"df{i}"].sum()) + 0.5)
+                    / (int(st[f"df{i}"].sum()) + 0.5) + 1)
+           for i in range(m)]
+
+    def score(batch: pa.Table) -> "pd.DataFrame":
+        dl, tf = tf_dl(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dlr = dl.astype(np.float64) / avgdl
+        s = np.zeros(len(dl), np.float64)
+        for i in range(m):
+            tfi = tf[:, i].astype(np.float64)
+            s = s + idf[i] * (tfi * (k1 + 1.0)) \
+                / (tfi + k1 * (1.0 - b + b * dlr))
+        keep = tf.sum(axis=1) > 0
+        return pd.DataFrame({"doc_id": ids[keep],
+                             "score": np.round(s[keep], 6)})
+
+    scored = read_documents(sf_dir).map_batches(score,
+                                                batch_format="pyarrow")
+    return topk(scored, ["score", "doc_id"], k, ascending=[False, True])

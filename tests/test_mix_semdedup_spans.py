@@ -175,3 +175,20 @@ class TestDocPostings:
         assert got.loc["pair", "df"] == 2
         assert got.loc["pair", "postings"] == "3,7"
         assert "filler0" not in got.index             # min_df filter
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25:
+    def test_ranking_semantics(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import doc_bm25_topk
+        _write_docs(tmp_path, [
+            "hash join filter",                      # all terms, short
+            "hash " + "padding " * 40,               # one term, long
+            "nothing relevant here at all",          # no terms -> excluded
+            "join filter " + "pad " * 5,             # two terms
+        ])
+        got = doc_bm25_topk(str(tmp_path), k=10)
+        assert got["doc_id"].tolist()[0] == 0        # best: all terms, short
+        assert 2 not in got["doc_id"].tolist()       # no-term doc excluded
+        s = got.set_index("doc_id")["score"]
+        assert s[0] > s[3] > s[1] > 0

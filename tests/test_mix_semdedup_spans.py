@@ -159,6 +159,37 @@ class TestDedupSurvivorsAndPplBuckets:
         assert got.loc[got["ppl_bucket"] == "head", "bits_per_token"].max() \
             <= got.loc[got["ppl_bucket"] == "tail", "bits_per_token"].min()
 
+    def test_skewed_language_spans_ranges(self, tmp_path):
+        """90 %-one-language corpus with n_ranges=4: the dominant
+        language is range-partitioned over several tasks, yet the
+        stitched rank must reproduce the exact per-language ntile
+        (sizes AND monotone label order)."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import doc_lang_ppl_buckets
+        rs = np.random.RandomState(7)
+        texts, langs = [], []
+        for i in range(44):                      # 40 en + 4 fr
+            vocab = ["the", "a", "of", "to", f"r{i}a", f"r{i}b", f"r{i}c"]
+            texts.append(" ".join(rs.choice(vocab, 20 + (i % 11))))
+            langs.append("fr" if i % 11 == 5 else "en")
+        n = len(texts)
+        t = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["web"] * n, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = doc_lang_ppl_buckets(str(tmp_path), n_ranges=4).to_pandas()
+        order = {"head": 0, "middle": 1, "tail": 2}
+        for lang, g in got.groupby("lang"):
+            g = g.sort_values(["bits_per_token", "doc_id"])
+            labs = g["ppl_bucket"].map(order).to_numpy()
+            assert (np.diff(labs) >= 0).all()    # monotone along the rank
+            base, extra = divmod(len(g), 3)
+            want = [base + (1 if i < extra else 0) for i in range(3)]
+            assert list(np.bincount(labs, minlength=3)) == want
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDocPostings:

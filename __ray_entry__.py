@@ -670,6 +670,12 @@ _LOGPROB_WITH = """WITH toks AS (
 # term-order sum; one round 6 absorbing libm ln ulps).
 _BM25_TERMS = ("hash", "join", "filter")
 
+# BM25's token source must mirror the ENGINE's convention exactly —
+# lowercased, null-filled, whitespace-normalized (the doc_postings /
+# doc_vocab_topk convention). The bare _CLEAN fragment lacks lower() and
+# coalesce(), which diverges on uppercase or NULL text (ADVICE r4).
+_CLEAN_LC = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
+
 
 def _bm25_sql() -> str:
     tfs = ",\n                   ".join(
@@ -686,7 +692,7 @@ def _bm25_sql() -> str:
         f" + 0.75 * (dl / avgdl)))" for i in range(len(_BM25_TERMS)))
     anytf = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
     return f"""
-            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, '\\s+')
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN_LC}, '\\s+')
                                   AS tk FROM documents),
             d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
                    {tfs}

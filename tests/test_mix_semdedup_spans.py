@@ -223,3 +223,29 @@ class TestBm25:
         assert 2 not in got["doc_id"].tolist()       # no-term doc excluded
         s = got.set_index("doc_id")["score"]
         assert s[0] > s[3] > s[1] > 0
+
+    def test_mixed_case_and_null_oracle_parity(self, tmp_path):
+        """Engine lowercases + null-fills before tokenizing; the oracle
+        must use the identical token source (ADVICE r4: the bare _CLEAN
+        fragment diverged on 'Hash join filter hash' and NULL text)."""
+        import duckdb
+
+        from __ray_entry__ import _bm25_sql
+        from agentic_document_extraction_pdf_ray.pipelines.documents import doc_bm25_topk
+        texts = ["Hash join filter hash", "HASH " + "Padding " * 30,
+                 None, "Join FILTER pad pad", "no match at all"]
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["web"] * len(texts), pa.string()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = doc_bm25_topk(str(tmp_path), k=10).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        want = con.execute(_bm25_sql()).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["score"].tolist() == want["score"].tolist()
+        assert 0 in got["doc_id"].tolist()           # uppercase doc scored

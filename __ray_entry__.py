@@ -339,13 +339,15 @@ def _q_doc_pages(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from agentic_document_extraction_pdf_ray.pipelines import (
-        dedup, documents, events, relational, similarity,
+        corrections, dedup, documents, events, relational, similarity,
     )
     return {
         # ==== DRIVER GRADING WINDOW (the driver grades the FIRST ~50
-        # entries): round-3 verdict ordering fix — the 33 queries that
-        # were repo-oracle-green but never received a driver row in
-        # rounds 1-3 come first, so CORRECTNESS_r4 finally grades them.
+        # entries). Round-5 rotation: every operator CHANGED or ADDED in
+        # round 5 leads the window so it gets a fresh driver row
+        # (VERDICT r4 ask #7), followed by the round-4 entries and the
+        # oldest-graded anchors.
+        "doc_apply_corrections": corrections.doc_apply_corrections,  # SQL-matched (human merge-back, r5)
         "events_asof": events.events_asof_purchase_click,        # SQL-matched (ASOF JOIN oracle)
         "events_value_quantiles": events.events_value_quantiles,  # SQL-matched
         "events_daily_ma7": events.events_daily_ma7,             # SQL-matched
@@ -807,6 +809,37 @@ def oracle_sql() -> dict[str, str]:
     if not os.path.exists(_WINNOW_GOLDEN_LINK):
         _winnow_golden_for("/root/testdata/sf0.01")
     return {
+        # human-correction merge-back (reference runner.py:251-306 /
+        # orchestrator.py:1510-1572): corrected value wins @ conf 1.0,
+        # unknown fields become new scalar rows, provenance flagged.
+        "doc_apply_corrections": """
+            WITH base AS (
+                SELECT doc_id, 'lang' AS field, 'scalar' AS kind,
+                       coalesce(lang, '') AS value,
+                       CAST(1 AS BIGINT) AS n_values,
+                       CAST(0.8 AS DOUBLE) AS confidence FROM documents
+                UNION ALL
+                SELECT doc_id, 'n_chars', 'scalar',
+                       CAST(n_chars AS VARCHAR), CAST(1 AS BIGINT),
+                       CAST(0.9 AS DOUBLE) FROM documents),
+            corr AS (
+                SELECT doc_id, 'lang' AS field, 'xx' AS corrected
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id, 'review', 'approved'
+                FROM documents WHERE doc_id % 13 = 0)
+            SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+                   coalesce(b.field, c.field) AS field,
+                   coalesce(b.kind, 'scalar') AS kind,
+                   CASE WHEN c.doc_id IS NOT NULL THEN c.corrected
+                        ELSE b.value END AS value,
+                   coalesce(b.n_values, 1) AS n_values,
+                   CASE WHEN c.doc_id IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                        ELSE b.confidence END AS confidence,
+                   c.doc_id IS NOT NULL AS correction_applied
+            FROM base b FULL OUTER JOIN corr c
+              ON b.doc_id = c.doc_id AND b.field = c.field
+        """,
         "doc_winnow_fingerprint": f"""
             SELECT doc_id, n_kgrams, n_selected, fp_xor
             FROM read_parquet('{_WINNOW_GOLDEN_LINK}')

@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
         "doc_apply_corrections": corrections.doc_apply_corrections,  # SQL-matched (human merge-back, r5)
+        "doc_bm25_from_postings": documents.doc_bm25_from_postings,  # SQL-matched (stats ride the index build, r5)
         "events_asof": events.events_asof_purchase_click,        # SQL-matched (ASOF JOIN oracle)
         "events_value_quantiles": events.events_value_quantiles,  # SQL-matched
         "events_daily_ma7": events.events_daily_ma7,             # SQL-matched
@@ -2084,6 +2085,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "doc_bm25_topk": _bm25_sql(),
+        # identical SQL: the postings-fed path must be bit-identical to
+        # the stats-scan path (same int constants, same float shapes)
+        "doc_bm25_from_postings": _bm25_sql(),
         # Sharded inverted index: exact df, capped ascending postings
         # (first 16 ids), min_df 2; vocab token convention.
         "doc_postings": """

@@ -249,3 +249,40 @@ class TestBm25:
         assert got["doc_id"].tolist() == want["doc_id"].tolist()
         assert got["score"].tolist() == want["score"].tolist()
         assert 0 in got["doc_id"].tolist()           # uppercase doc scored
+
+    def test_postings_fed_path_bit_identical(self, tmp_path):
+        """doc_bm25_from_postings (constants riding the index build)
+        must reproduce doc_bm25_topk exactly — including a term absent
+        from the corpus (df=0) and NULL text."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_bm25_from_postings, doc_bm25_topk,
+        )
+        texts = ["hash join filter hash", "hash " + "padding " * 30,
+                 None, "join filter pad pad", "no match at all"]
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        terms = ("hash", "join", "nosuchterm")
+        a = doc_bm25_topk(str(tmp_path), terms=terms).reset_index(drop=True)
+        b = doc_bm25_from_postings(str(tmp_path),
+                                   terms=terms).reset_index(drop=True)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["score"].tolist() == b["score"].tolist()
+
+    def test_postings_stats_rows(self, tmp_path):
+        """with_stats=True emits exactly two reserved rows carrying
+        N and Σdl; default output is unchanged."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            _POSTINGS_STAT_DL, _POSTINGS_STAT_N, doc_postings,
+        )
+        _write_docs(tmp_path, ["a b c", "a b", ""])
+        got = (doc_postings(str(tmp_path), min_df=1, with_stats=True)
+               .to_pandas().set_index("token"))
+        assert got.loc[_POSTINGS_STAT_N, "df"] == 3
+        # dl convention: '' splits to one empty token -> 3 + 2 + 1
+        assert got.loc[_POSTINGS_STAT_DL, "df"] == 6
+        plain = (doc_postings(str(tmp_path), min_df=1).to_pandas()
+                 ["token"].tolist())
+        assert _POSTINGS_STAT_N not in plain

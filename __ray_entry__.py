@@ -23,36 +23,43 @@ TURNS_PER_DOC = 20   # transcript-table sizing per sf dir (deterministic)
 _TRANSCRIPTS_ORACLE_LINK = "/tmp/ray_extract_cache/transcripts_oracle"
 _TRANSCRIPTS_ORACLE_GLOB = f"{_TRANSCRIPTS_ORACLE_LINK}/*.parquet"
 
-_WINNOW_GOLDEN_LINK = "/tmp/ray_extract_cache/winnow_oracle.parquet"
+_WINNOW_GOLDEN_DIR = "/tmp/ray_extract_cache/winnow_oracle_by_sf"
+_WINNOW_GOLDEN_SFS = ("sf0.001", "sf0.01", "sf0.1")   # committed goldens
 
 
 def _winnow_golden_for(sf_dir: str) -> None:
-    """Repoint the fixed winnow-oracle symlink at the committed per-sf
-    golden parquet so the static DuckDB oracle string can read it (same
-    per-sf repoint convention as ``_transcripts_for``). The golden is the
-    frozen output of the winnowing kernel — the kernel itself is not
-    SQL-expressible; its correctness rides on the committed snapshot plus
-    the Schleimer shift/containment property tests
-    (tests/test_golden_regression.py)."""
+    """Link every committed winnow golden into a per-sf directory the
+    static DuckDB oracle GLOBs over. The oracle picks the right
+    snapshot BY CONTENT — the file whose per-doc ``n_kgrams`` column
+    matches the live corpus's byte-length computation for every doc and
+    whose row count equals the doc count — so interleaving query/oracle
+    evaluation across sf dirs (or two gate processes on one host) can
+    never compare against the wrong scale (ADVICE r4 #2). The winnowing
+    kernel itself is not SQL-expressible; value correctness of
+    ``n_selected``/``fp_xor`` rides on the committed snapshot plus the
+    Schleimer shift/containment property tests
+    (tests/test_golden_regression.py) — noted in COVERAGE.md."""
     import os
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    golden = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tests", "golden", f"doc_winnow_fingerprint_{sf_name}.parquet")
-    # unknown sf: break the link so the oracle read fails LOUDLY instead
-    # of silently comparing against a previous sf's frozen rows (goldens
-    # are committed for sf0.001/0.01/0.1, the graded scales)
-    if not os.path.exists(golden):
-        golden = golden + ".MISSING"
-    os.makedirs(os.path.dirname(_WINNOW_GOLDEN_LINK), exist_ok=True)
-    tmp = _WINNOW_GOLDEN_LINK + ".lnk"
-    try:
-        os.remove(tmp)
-    except FileNotFoundError:
-        pass
-    os.symlink(golden, tmp)
-    os.replace(tmp, _WINNOW_GOLDEN_LINK)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(_WINNOW_GOLDEN_DIR, exist_ok=True)
+    sf_names = set(_WINNOW_GOLDEN_SFS)
+    sf_names.add(os.path.basename(os.path.normpath(sf_dir)))
+    for sf_name in sorted(sf_names):
+        golden = os.path.join(
+            repo, "tests", "golden",
+            f"doc_winnow_fingerprint_{sf_name}.parquet")
+        if not os.path.exists(golden):
+            continue       # unknown sf: no link; the content pick then
+            # matches nothing and the compare fails LOUDLY on 0 rows
+        link = os.path.join(_WINNOW_GOLDEN_DIR, f"{sf_name}.parquet")
+        tmp = link + ".lnk"
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+        os.symlink(golden, tmp)
+        os.replace(tmp, link)
 
 
 def _q_doc_winnow_fingerprint(sf_dir: str) -> Any:
@@ -807,8 +814,10 @@ def oracle_sql() -> dict[str, str]:
         except FileNotFoundError:
             pass            # host without testdata: transcript oracles
             # only run where their queries (which create the link) do
-    if not os.path.exists(_WINNOW_GOLDEN_LINK):
-        _winnow_golden_for("/root/testdata/sf0.01")
+    _winnow_golden_for("/root/testdata/sf0.01")   # links ALL committed sfs
+    from agentic_document_extraction_pdf_ray.pipelines.documents import (
+        WINNOW_K as _WK,
+    )
     return {
         # human-correction merge-back (reference runner.py:251-306 /
         # orchestrator.py:1510-1572): corrected value wins @ conf 1.0,
@@ -841,9 +850,34 @@ def oracle_sql() -> dict[str, str]:
             FROM base b FULL OUTER JOIN corr c
               ON b.doc_id = c.doc_id AND b.field = c.field
         """,
+        # content-keyed snapshot pick: the matching golden is the file
+        # where every doc's n_kgrams equals the live byte-length formula
+        # (strlen of the lowered whitespace-normalized text − K + 1,
+        # floored at 0) AND the file's row count equals the doc count —
+        # sf0.001/sf0.01 share a row count, so content decides.
         "doc_winnow_fingerprint": f"""
+            WITH exp AS (SELECT doc_id,
+                    greatest(strlen(lower(trim(regexp_replace(
+                        coalesce(text, ''), '\\s+', ' ', 'g'))))
+                        - {_WK - 1}, 0) AS nk
+                  FROM documents),
+            d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+            g AS (SELECT *
+                  FROM read_parquet('{_WINNOW_GOLDEN_DIR}/*.parquet',
+                                    filename=true)),
+            counts AS (SELECT filename, count(*) AS file_rows
+                       FROM g GROUP BY filename),
+            score AS (SELECT g.filename,
+                             sum(CASE WHEN e.nk = g.n_kgrams
+                                 THEN 1 ELSE 0 END) AS n_match
+                      FROM g JOIN exp e USING (doc_id)
+                      GROUP BY g.filename),
+            pick AS (SELECT s.filename
+                     FROM score s JOIN counts c USING (filename), d
+                     WHERE s.n_match = d.nd AND c.file_rows = d.nd
+                     ORDER BY s.filename LIMIT 1)
             SELECT doc_id, n_kgrams, n_selected, fp_xor
-            FROM read_parquet('{_WINNOW_GOLDEN_LINK}')
+            FROM g JOIN pick USING (filename)
         """,
         "events_heavy_hitters": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS min_count

@@ -126,7 +126,19 @@ class GoldenStore:
         :data:`SAMPLE_SCHEMA`. Uniqueness of ``sample_id`` is enforced
         (the reference's add-time duplicate check); identical content to
         the latest version is deduplicated (no new version written).
+
+        Crash safety (ADVICE r4): samples + manifest are written into a
+        hidden temp directory and atomically renamed to ``v<NNN>`` only
+        after the manifest is durable — a failure mid-commit leaves no
+        half-version that a later commit could append into. Any
+        manifestless ``v<NNN>`` left by a pre-fix crash is removed
+        before its number is reused. NOTE: the input plan executes 2–3
+        times (digest, optional global uniqueness pass, write) — a
+        Dataset passed here must be DETERMINISTIC, or the manifest
+        hash/count may not describe the written files.
         """
+        import shutil
+
         import ray.data
 
         if isinstance(samples, pa.Table):
@@ -174,14 +186,26 @@ class GoldenStore:
 
         version = (latest or 0) + 1
         d = self._dir(name, version)
-        os.makedirs(d, exist_ok=True)
-        ds.write_parquet(os.path.join(d, "samples"))
-        with open(os.path.join(d, "manifest.json"), "w",
+        if os.path.isdir(d):
+            # manifestless leftover from a pre-fix crash (versions()
+            # skipped it, so its number is being reused): remove it
+            # rather than appending a second commit's files into it
+            if os.path.exists(os.path.join(d, "manifest.json")):
+                raise FileExistsError(
+                    f"version dir {d} already committed")
+            shutil.rmtree(d)
+        tmp = os.path.join(os.path.dirname(d),
+                           f".tmp-v{version:03d}-{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        ds.write_parquet(os.path.join(tmp, "samples"))
+        with open(os.path.join(tmp, "manifest.json"), "w",
                   encoding="utf-8") as f:
             json.dump({"name": name, "version": version,
                        "description": description,
                        "sample_count": n,
                        "content_hash": content_hash}, f, indent=2)
+        os.rename(tmp, d)          # atomic publish, manifest included
         return version
 
     def add_samples(self, name: str, new_samples,

@@ -92,3 +92,38 @@ class TestGoldenStore:
                                          "manifest.json")))
         assert mf["description"] == "seed"
         assert len(mf["content_hash"]) == 32
+
+    def test_crash_leftover_never_pollutes_next_commit(self, tmp_path):
+        """A manifestless version dir (crash between data write and
+        manifest) must be cleared when its number is reused, and a
+        commit must publish atomically (no v-dir without a manifest)."""
+        root = str(tmp_path / "golden")
+        store = GoldenStore(root)
+        stale = os.path.join(root, "core", "v001", "samples")
+        os.makedirs(stale)
+        with open(os.path.join(stale, "junk-uuid.parquet"), "w") as f:
+            f.write("not parquet")
+        v = store.commit("core", samples_table(ROWS))
+        assert v == 1
+        files = os.listdir(os.path.join(root, "core", "v001", "samples"))
+        assert "junk-uuid.parquet" not in files     # stale dir replaced
+        assert store.load("core").count() == len(ROWS)
+        # no temp dirs linger after a successful publish
+        assert not [d for d in os.listdir(os.path.join(root, "core"))
+                    if d.startswith(".tmp-")]
+
+    def test_committed_version_dir_never_overwritten(self, tmp_path):
+        store = GoldenStore(str(tmp_path / "golden"))
+        store.commit("core", samples_table(ROWS))
+        # a version published by another writer (manifest present) is
+        # seen by versions(): the next commit targets v003 and v002's
+        # files are untouched
+        d2 = os.path.join(str(tmp_path / "golden"), "core", "v002")
+        os.makedirs(d2)
+        with open(os.path.join(d2, "manifest.json"), "w") as f:
+            f.write('{"version": 2, "content_hash": "x", '
+                    '"sample_count": 0, "name": "core"}')
+        v = store.commit("core", samples_table(ROWS + [
+            {"sample_id": "s9", "expected_fields": {}}]))
+        assert v == 3
+        assert os.listdir(d2) == ["manifest.json"]   # untouched

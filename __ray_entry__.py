@@ -348,7 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from agentic_document_extraction_pdf_ray.pipelines import (
         corrections, dedup, documents, events, relational, similarity,
     )
-    return {
+    q = {
         # ==== DRIVER GRADING WINDOW (the driver grades the FIRST ~50
         # entries). Round-5 rotation: every operator CHANGED or ADDED in
         # round 5 leads the window so it gets a fresh driver row
@@ -496,6 +496,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # golden parquet check)
         "simhash_signatures": dedup.simhash_signatures,
     }
+    # ==== round-5 window rotation (VERDICT r4 ask #7): everything
+    # CHANGED in round 5 leads so it gets a fresh driver row; the slots
+    # behind it go to the OLDEST-graded anchors (rounds 1-3); the 37
+    # entries freshly graded in round 4 rotate to the back (they hold
+    # the newest driver rows). simhash_signatures stays last.
+    r5_changed = [
+        "doc_apply_corrections", "doc_bm25_from_postings",
+        "doc_lang_ppl_buckets", "doc_dup_span_coverage", "doc_bm25_topk",
+        "doc_postings", "doc_winnow_fingerprint", "dedup_survivors",
+    ]
+    r4_graded = [
+        "events_asof", "events_value_quantiles", "events_daily_ma7",
+        "events_hll_users", "events_value_tdigest", "events_user_paths",
+        "events_daily_pivot", "events_daily_unpivot",
+        "events_user_running_total", "events_cube",
+        "events_distinct_users", "users_click_and_purchase",
+        "user_days_click_except_purchase", "events_daily_full_outer",
+        "events_user_islands", "events_user_mode", "events_transitions",
+        "customer_balance_percentile", "customer_balance_ntile",
+        "customer_balance_bands", "customers_without_urgent",
+        "customers_with_urgent", "customers_above_nation_avg",
+        "orders_top2_per_customer", "orders_priority_rollup",
+        "lineitem_corr", "lineitem_regression", "dup_pagerank",
+        "ann_topk_ivf_kmeans", "doc_bottomk_sample", "doc_vocab_topk",
+        "doc_top_terms", "doc_weighted_sample", "events_heavy_hitters",
+        "conv_stream_flags", "turns_despeckle", "source_mix_weights",
+        "embedding_semdedup",
+    ]
+    out = {k: q.pop(k) for k in r5_changed}
+    back = {k: q.pop(k) for k in r4_graded}
+    last = {"simhash_signatures": q.pop("simhash_signatures")}
+    out.update(q)          # oldest-graded anchors, original order
+    out.update(back)
+    out.update(last)
+    return out
 
 
 _CLEAN = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"

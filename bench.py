@@ -52,6 +52,9 @@ def run_bench() -> dict:
     from agentic_document_extraction_pdf_ray.pipelines import (
         critic, dedup, documents, events, fields, relational, similarity,
     )
+    from agentic_document_extraction_pdf_ray.pipelines import (
+        corrections as _corrections,
+    )
     from agentic_document_extraction_pdf_ray.pipelines import extract as _extract
     from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
     from agentic_document_extraction_pdf_ray.sources.transcripts import transcripts_path
@@ -157,8 +160,21 @@ def run_bench() -> dict:
             lambda d: documents.source_mix_weights(d).count(), sf_dir),
         "doc_postings": timed(
             lambda d: documents.doc_postings(d).count(), sf_dir),
+        # exact-pair feed = the oracle-verification configuration;
+        # the LSH feed below is what a production curation run pays
         "dedup_survivors": timed(
             lambda d: dedup.dedup_survivors(d).count(), sf_dir),
+        "dedup_survivors_lsh": timed(
+            lambda d: dedup.dedup_survivors(
+                d, pairs=dedup.minhash_lsh_pairs(d)).count(), sf_dir),
+        "doc_lang_ppl_buckets": timed(
+            lambda d: documents.doc_lang_ppl_buckets(d).count(), sf_dir),
+        "doc_bm25_topk": timed(documents.doc_bm25_topk, sf_dir),
+        "doc_bm25_from_postings": timed(
+            documents.doc_bm25_from_postings, sf_dir),
+        "doc_apply_corrections": timed(
+            lambda d: _corrections.doc_apply_corrections(d).count(),
+            sf_dir),
     }
 
     ray.shutdown()

@@ -12,8 +12,17 @@ The graph family runs LSH-FED (pairs=minhash_lsh_pairs) — the corpus-
 scale composition the round-3 verdict asked to evidence; the exact
 n-gram pair plan is the small-scale verification path only.
 
+``--x100`` (VERDICT r4 ask #8): 100× — 500k documents, every source doc
+a 100-member near-dup family — for the operators whose EXCHANGES grow
+with duplicate density (`doc_dup_span_coverage`, `dedup_survivors[lsh]`,
+`doc_lang_ppl_buckets`, `doc_postings`). The 100× corpus additionally
+skews language: tiles 10–99 are forced to 'en', so one language holds
+≥ 90 % of docs — the regime the range-partitioned per-language rank
+(r5 ask #1) must spread over many tasks instead of one.
+
 Usage:
-    python scripts/scale_smoke.py               # both scales + report
+    python scripts/scale_smoke.py               # 10x scales + report
+    python scripts/scale_smoke.py --x100        # 100x dup-density ops
     python scripts/scale_smoke.py --tile-only   # just build /tmp corpus
 """
 
@@ -135,7 +144,121 @@ def run_family(sf_dir: str) -> dict[str, dict]:
     return res
 
 
+OUT100 = "/tmp/scale100x"
+
+
+def build_docs_tiled(base: str, out: str, tiles: int,
+                     skew_lang: bool = False) -> None:
+    """documents-only tiling (the x100 ops read nothing else); with
+    ``skew_lang``, tiles >= tiles//10 are forced to 'en' so one language
+    dominates (>= 90 %)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out, exist_ok=True)
+    docs = pq.read_table(f"{base}/documents.parquet")
+    writer = pq.ParquetWriter(f"{out}/documents.parquet",
+                              docs.schema)
+    for c in range(tiles):
+        t = docs
+        if c:
+            text = pc.binary_join_element_wise(t["text"], f"tile{c}", " ")
+            t = t.set_column(t.schema.get_field_index("text"), "text", text)
+            t = t.set_column(t.schema.get_field_index("n_chars"), "n_chars",
+                             pc.cast(pc.utf8_length(text), pa.int64()))
+        if skew_lang and c >= tiles // 10:
+            t = t.set_column(
+                t.schema.get_field_index("lang"), "lang",
+                pa.array(["en"] * len(t), pa.string()))
+        t = t.set_column(
+            t.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(t["doc_id"], pa.scalar(c * 10_000_000, pa.int64())))
+        writer.write_table(t, row_group_size=16384)
+    writer.close()
+
+
+def run_x100_family(sf_dir: str) -> dict[str, dict]:
+    from agentic_document_extraction_pdf_ray.pipelines import dedup, documents
+
+    res: dict[str, dict] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        n = out.count() if hasattr(out, "count") else len(out)
+        res[name] = {"rows": int(n), "wall_sec": round(time.time() - t0, 2)}
+        print(f"  {name}: {n} rows, {res[name]['wall_sec']}s", flush=True)
+
+    t0 = time.time()
+    pairs = dedup.minhash_lsh_pairs(sf_dir).materialize()
+    res["minhash_lsh_pairs"] = {"rows": int(pairs.count()),
+                                "wall_sec": round(time.time() - t0, 2)}
+    print(f"  minhash_lsh_pairs: {res['minhash_lsh_pairs']}", flush=True)
+    timed("dedup_survivors[lsh]",
+          lambda: dedup.dedup_survivors(sf_dir, pairs=pairs))
+    timed("doc_dup_span_coverage",
+          lambda: dedup.doc_dup_span_coverage(sf_dir))
+    timed("doc_postings", lambda: documents.doc_postings(sf_dir))
+    timed("doc_lang_ppl_buckets",
+          lambda: documents.doc_lang_ppl_buckets(sf_dir))
+    return res
+
+
+def report_lang_spread(sf_dir: str, n_ranges: int = 32) -> dict:
+    """Evidence for r5 ask #1: the largest single (lang, bits-range)
+    task slice vs the dominant language's total row count, recomputed
+    from the operator output with the operator's own range formula."""
+    import numpy as np
+
+    from agentic_document_extraction_pdf_ray.pipelines.documents import (
+        doc_lang_ppl_buckets,
+    )
+    out = doc_lang_ppl_buckets(sf_dir, n_ranges=n_ranges).to_pandas()
+    lo, hi = out["bits_per_token"].min(), out["bits_per_token"].max()
+    width = (hi - lo) / n_ranges or 1.0
+    r = np.clip(((out["bits_per_token"] - lo) / width).astype(np.int64),
+                0, n_ranges - 1)
+    cell = out.groupby([out["lang"], r]).size()
+    lang_n = out.groupby("lang").size()
+    return {"n_docs": int(len(out)),
+            "dominant_lang_rows": int(lang_n.max()),
+            "dominant_share": round(float(lang_n.max()) / len(out), 3),
+            "max_task_rows": int(cell.max()),
+            "n_task_slices": int(len(cell))}
+
+
 def main() -> None:
+    if "--x100" in sys.argv:
+        import ray
+
+        import agentic_document_extraction_pdf_ray  # noqa: F401
+        if not os.path.exists(f"{OUT100}/documents.parquet"):
+            print(f"tiling {BASE} docs x100 -> {OUT100} (lang-skewed)",
+                  flush=True)
+            build_docs_tiled(BASE, OUT100, 100, skew_lang=True)
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=32, include_dashboard=False,
+                     logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        report = {"loadavg_start": round(os.getloadavg()[0], 1)}
+        print(f"== sf0.1 base ({BASE})", flush=True)
+        report["base"] = run_x100_family(BASE)
+        print(f"== 100x ({OUT100})", flush=True)
+        report["x100"] = run_x100_family(OUT100)
+        print("== lang spread at 100x (skewed: >=90% 'en')", flush=True)
+        report["lang_spread_x100"] = report_lang_spread(OUT100)
+        print(f"  {report['lang_spread_x100']}", flush=True)
+        report["loadavg_end"] = round(os.getloadavg()[0], 1)
+        for name, b in report["base"].items():
+            x = report["x100"][name]
+            ratio = x["wall_sec"] / max(b["wall_sec"], 0.01) / 100
+            print(f"{name}: {b['wall_sec']}s -> {x['wall_sec']}s "
+                  f"(x100 wall / 100·base = {ratio:.2f})", flush=True)
+        print(json.dumps(report))
+        ray.shutdown()
+        return
     if not os.path.exists(f"{OUT}/documents.parquet"):
         print(f"tiling {BASE} x{TILES} -> {OUT}", flush=True)
         build_tiled(BASE, OUT)

@@ -1464,6 +1464,32 @@ def source_mix_weights(sf_dir: str) -> ray.data.Dataset:
             .groupby("_k").map_groups(fold, batch_format="pandas"))
 
 
+def ppl_sample_bits(att: ray.data.Dataset,
+                    per_block: int = 32) -> "np.ndarray":
+    """Deterministic boundary sample for the perplexity range partition:
+    every ``len(block)//per_block``-th ``bits_per_token`` value of each
+    block — ≤ per_block+1 float64 per block reach the driver regardless
+    of corpus size (the protocol a distributed sort's boundary sampling
+    uses)."""
+    import pandas as pd  # noqa: F401  (batch_format="pandas")
+
+    def pick(b: "pd.DataFrame") -> "pd.DataFrame":
+        step = max(1, len(b) // per_block)
+        return b.iloc[::step][["bits_per_token"]]
+
+    return (att.map_batches(pick, batch_format="pandas")
+            .to_pandas()["bits_per_token"].to_numpy(np.float64))
+
+
+def ppl_range_boundaries(bits: "np.ndarray", n_ranges: int) -> "np.ndarray":
+    """Quantile range boundaries over a bits sample; deduped so the
+    searchsorted range ids stay dense. Equal values always land on one
+    side of every boundary, so ties share a range no matter where the
+    boundaries fall — the property the prefix-sum rank requires."""
+    qs = np.linspace(0.0, 1.0, n_ranges + 1)[1:-1]
+    return np.unique(np.quantile(bits, qs))
+
+
 def doc_lang_ppl_buckets(sf_dir: str, n_buckets: int = 32,
                          n_ranges: int = 32) -> ray.data.Dataset:
     """CCNet-style per-language perplexity bucketing (Wenzek et al.
@@ -1478,16 +1504,24 @@ def doc_lang_ppl_buckets(sf_dir: str, n_buckets: int = 32,
     ordering is identical on both engines) bucket-attached to the lang
     column by doc hash, then a RANGE-PARTITIONED per-language rank (the
     ``doc_row_number`` machinery specialized to the (bits, doc_id) key):
-    equal-width ``bits_per_token`` ranges, per-(lang, range) counts, a
-    driver-side prefix sum over ≤ #langs·n_ranges integers, and an
+    SAMPLED-QUANTILE ``bits_per_token`` range boundaries (the same
+    boundary protocol a distributed sort uses — a deterministic
+    per-block sample, driver-side quantiles), per-(lang, range) counts,
+    a driver-side prefix sum over ≤ #langs·n_ranges integers, and an
     in-range vectorized sort. No task ever holds more than one (lang,
     range) slice — a corpus that is 90 % one language spreads that
     language over ``n_ranges`` tasks instead of landing it in one
-    (VERDICT r4 "What's wrong" #1). Rows with equal bits share a range
-    by construction, so the in-range (bits, doc_id) sort plus the
-    range-offset prefix sum reproduces the exact global per-language
-    rank. Empty-token docs carry no LM score and are excluded (inner
-    join, mirrored in SQL).
+    (VERDICT r4 "What's wrong" #1). Correctness does not depend on
+    WHERE the boundaries sit: equal bits values fall on the same side
+    of every boundary, so ties always share a range and the in-range
+    (bits, doc_id) sort plus the range-offset prefix sum reproduces the
+    exact global per-language rank. Quantile (rather than equal-width)
+    boundaries additionally balance MASS — a peaked bits distribution
+    (the 100× smoke's 100-member dup families) piled ~37 % of the
+    dominant language into one equal-width range; quantile boundaries
+    cap a slice at ~1/n_ranges of the corpus plus the largest
+    irreducible tie mass. Empty-token docs carry no LM score and are
+    excluded (inner join, mirrored in SQL).
     """
     import pandas as pd
 
@@ -1532,17 +1566,15 @@ def doc_lang_ppl_buckets(sf_dir: str, n_buckets: int = 32,
            .groupby("_db").map_groups(attach, batch_format="pandas")
            ).materialize()
 
-    lo = att.min("bits_per_token")
-    hi = att.max("bits_per_token")
-    if lo is None:                              # empty corpus
+    sample = ppl_sample_bits(att)
+    if sample.size == 0:                        # empty corpus
         return att
-    width = (float(hi) - float(lo)) / n_ranges or 1.0
+    bnd = ppl_range_boundaries(sample, n_ranges)
 
     def tag_range(b: "pd.DataFrame") -> "pd.DataFrame":
-        r = ((b["bits_per_token"].to_numpy(np.float64) - float(lo))
-             / width).astype(np.int64)
         b = b.copy()
-        b["_r"] = np.clip(r, 0, n_ranges - 1)
+        b["_r"] = np.searchsorted(
+            bnd, b["bits_per_token"].to_numpy(np.float64), side="right")
         return b
 
     tagged = att.map_batches(tag_range, batch_format="pandas")

@@ -208,17 +208,19 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
 def report_lang_spread(sf_dir: str, n_ranges: int = 32) -> dict:
     """Evidence for r5 ask #1: the largest single (lang, bits-range)
     task slice vs the dominant language's total row count, recomputed
-    from the operator output with the operator's own range formula."""
+    from the operator output with the operator's own boundary helper
+    (exact quantiles of the full output bits — the sampled in-operator
+    boundaries approximate these)."""
     import numpy as np
 
     from agentic_document_extraction_pdf_ray.pipelines.documents import (
-        doc_lang_ppl_buckets,
+        doc_lang_ppl_buckets, ppl_range_boundaries,
     )
     out = doc_lang_ppl_buckets(sf_dir, n_ranges=n_ranges).to_pandas()
-    lo, hi = out["bits_per_token"].min(), out["bits_per_token"].max()
-    width = (hi - lo) / n_ranges or 1.0
-    r = np.clip(((out["bits_per_token"] - lo) / width).astype(np.int64),
-                0, n_ranges - 1)
+    bnd = ppl_range_boundaries(
+        out["bits_per_token"].to_numpy(np.float64), n_ranges)
+    r = np.searchsorted(bnd, out["bits_per_token"].to_numpy(np.float64),
+                        side="right")
     cell = out.groupby([out["lang"], r]).size()
     lang_n = out.groupby("lang").size()
     return {"n_docs": int(len(out)),

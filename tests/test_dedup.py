@@ -249,6 +249,38 @@ class TestDupComponents:
         out = out.sort_values("doc_id").reset_index(drop=True)
         return dict(zip(out["doc_id"], out["cluster_id"]))
 
+    def test_local_fast_path_equals_distributed_loop(self, ray_session):
+        """The small-graph driver path (default threshold) and the
+        distributed min-label loop (threshold forced to 0) must agree
+        exactly on a seeded random graph with chains, cliques and
+        cross-links — same fixpoint (min doc_id per component)."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            _connected_components,
+        )
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 400, 600)
+        b = rng.integers(0, 400, 600)
+        keep = a != b
+        pairs = pd.DataFrame({"doc_a": a[keep].astype(np.int64),
+                              "doc_b": b[keep].astype(np.int64)})
+
+        def run(threshold):
+            out = _connected_components(
+                ray.data.from_pandas(pairs), n_buckets=4,
+                local_edge_threshold=threshold).to_pandas()
+            return (out.sort_values("doc_id").reset_index(drop=True)
+                    .astype({"doc_id": "int64", "cluster_id": "int64"}))
+
+        local, dist = run(10**9), run(0)
+        pd.testing.assert_frame_equal(local, dist)
+        # fixpoint property: every cluster label IS its own min member
+        g = local.groupby("cluster_id")["doc_id"].min()
+        assert (g.index.to_numpy() == g.to_numpy()).all()
+
     def test_chain_collapses_transitively(self, ray_session):
         """a~b, b~c, ... without a~c: the whole 10-node chain must land
         in ONE cluster labelled by its min doc_id — the case pairwise

@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oldest-graded anchors.
         "doc_apply_corrections": corrections.doc_apply_corrections,  # SQL-matched (human merge-back, r5)
         "doc_bm25_from_postings": documents.doc_bm25_from_postings,  # SQL-matched (stats ride the index build, r5)
+        "doc_pack_bins": documents.doc_pack_bins,                 # SQL-matched (sequence packing scan, r5)
         "events_asof": events.events_asof_purchase_click,        # SQL-matched (ASOF JOIN oracle)
         "events_value_quantiles": events.events_value_quantiles,  # SQL-matched
         "events_daily_ma7": events.events_daily_ma7,             # SQL-matched
@@ -502,7 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries freshly graded in round 4 rotate to the back (they hold
     # the newest driver rows). simhash_signatures stays last.
     r5_changed = [
-        "doc_apply_corrections", "doc_bm25_from_postings",
+        "doc_apply_corrections", "doc_bm25_from_postings", "doc_pack_bins",
         "doc_lang_ppl_buckets", "doc_dup_span_coverage", "doc_bm25_topk",
         "doc_postings", "doc_winnow_fingerprint", "dedup_survivors",
     ]
@@ -1525,6 +1526,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DoReMi-lite uniform-target mixing weights: float64 ratios of
         # exact integer token counts (doc_token_stats token convention).
+        # sequence packing: bin = exclusive per-source prefix tokens //
+        # budget, doc_id order; SUM(BIGINT) OVER is exact (HUGEINT), //
+        # is floor division on non-negative prefixes — matches the
+        # engine's int64 cumsum bit-for-bit.
+        "doc_pack_bins": """
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len(string_split_regex(
+                                  trim(regexp_replace(coalesce(text, ''),
+                                       '\\s+', ' ', 'g')),
+                                  '\\s+')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id) AS cum
+                  FROM t)
+            SELECT doc_id, source, n_tokens,
+                   CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+            FROM c
+        """,
         "source_mix_weights": f"""
             WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                               CAST(sum(len(string_split_regex({_CLEAN},

@@ -1410,6 +1410,76 @@ def doc_row_number(sf_dir: str, n_ranges: int = 32) -> ray.data.Dataset:
                                            batch_format="pandas")
 
 
+def doc_pack_bins(sf_dir: str, token_budget: int = 2048,
+                  n_ranges: int = 32) -> ray.data.Dataset:
+    """Sequence packing — the step that turns a curated corpus into
+    fixed-token-budget training examples: each document, in ``doc_id``
+    order within its ``source``, is assigned the bin where a streaming
+    boundary-splitting packer would place its FIRST token,
+
+        ``bin_id = (exclusive prefix tokens within source) // budget``
+
+    (token convention = the repo-wide whitespace count, identical to
+    ``source_mix_weights``). The per-source prefix sum is a scan, not an
+    aggregate, so the scale problem is the same one ``doc_row_number``
+    solves: a plain ``groupby(source)`` would hand a whole source's
+    token stream to ONE task. Distributed instead as the range-partition
+    prefix-scan — equal-width ``doc_id`` ranges, per-(range, source)
+    token partials (≤ n_ranges × n_sources rows to the driver), a
+    driver prefix sum per source, and an in-range vectorized cumsum —
+    no task ever holds more than one range, whatever the source skew.
+    """
+    import pandas as pd
+
+    docs = read_documents(sf_dir, ["doc_id", "source", "text"])
+    lo = docs.min("doc_id")
+    hi = docs.max("doc_id")
+    width = max(1, (int(hi) - int(lo) + n_ranges) // n_ranges)
+
+    def tag(batch: pa.Table) -> "pd.DataFrame":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        ntok = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "n_tokens": ntok,
+            "_r": np.minimum((ids - int(lo)) // width, n_ranges - 1)})
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow").materialize()
+
+    partials = (tagged.map_batches(
+        lambda b: b.groupby(["_r", "source"], as_index=False)
+                   .agg(t=("n_tokens", "sum")),
+        batch_format="pandas").to_pandas()
+        .groupby(["_r", "source"], as_index=False)["t"].sum())
+    offs: dict[int, dict] = {r: {} for r in range(n_ranges)}
+    for src, grp in partials.groupby("source"):
+        cum = 0
+        by_r = dict(zip(grp["_r"].astype(int), grp["t"].astype(int)))
+        for r in range(n_ranges):
+            offs[r][src] = cum
+            cum += by_r.get(r, 0)
+
+    def pack_range(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id", kind="mergesort")
+        ntok = g["n_tokens"].to_numpy(np.int64)
+        excl = (g.groupby("source")["n_tokens"].cumsum()
+                .to_numpy(np.int64) - ntok)
+        base = (g["source"].map(offs[int(g["_r"].iloc[0])])
+                .to_numpy(np.int64))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "source": g["source"].to_numpy(),
+            "n_tokens": ntok,
+            "bin_id": (excl + base) // token_budget})
+
+    return tagged.groupby("_r").map_groups(pack_range,
+                                           batch_format="pandas")
+
+
 def source_mix_weights(sf_dir: str) -> ray.data.Dataset:
     """Domain-mixing weights (DoReMi-lite / The Pile recipe class): per
     source, the token mass and the resampling weight that would equalize

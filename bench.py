@@ -167,6 +167,8 @@ def run_bench() -> dict:
             lambda d: documents.source_mix_weights(d).count(), sf_dir),
         "doc_postings": timed(
             lambda d: documents.doc_postings(d).count(), sf_dir),
+        "doc_pack_bins": timed(
+            lambda d: documents.doc_pack_bins(d).count(), sf_dir),
         # exact-pair feed = the oracle-verification configuration;
         # the LSH feed below is what a production curation run pays
         "dedup_survivors": timed(

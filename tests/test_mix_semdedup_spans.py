@@ -286,3 +286,52 @@ class TestBm25:
         plain = (doc_postings(str(tmp_path), min_df=1).to_pandas()
                  ["token"].tolist())
         assert _POSTINGS_STAT_N not in plain
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocPackBins:
+    """Sequence packing (doc_pack_bins): bin = per-source exclusive
+    token prefix // budget, doc_id order. Oracle equality is in the
+    auto-discovered DuckDB gate; these pin the packing semantics and
+    the range-partition invariance."""
+
+    def _run(self, d, budget, n_ranges=32):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_pack_bins,
+        )
+        out = doc_pack_bins(str(d), token_budget=budget,
+                            n_ranges=n_ranges).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def test_budget_boundary_and_source_independence(self, tmp_path):
+        # web docs: 3 + 3 + 3 tokens, budget 4 -> exclusive prefixes
+        # 0,3,6 -> bins 0,0,1; books restarts its own scan at 0.
+        _write_docs(tmp_path,
+                    ["a b c", "d e f", "g h i", "x y z w"],
+                    sources=["web", "web", "web", "books"])
+        got = self._run(tmp_path, budget=4)
+        by = got.set_index("doc_id")
+        assert by.loc[0, "bin_id"] == 0
+        assert by.loc[1, "bin_id"] == 0
+        assert by.loc[2, "bin_id"] == 1
+        assert by.loc[3, "bin_id"] == 0          # own source, own scan
+        assert by.loc[3, "n_tokens"] == 4
+
+    def test_range_partition_invariance(self, tmp_path):
+        # the bin assignment must not depend on how many id-ranges the
+        # prefix scan is split into (cross-range offsets do the work)
+        rng = np.random.default_rng(3)
+        texts = [" ".join(["t"] * int(k)) for k in rng.integers(1, 9, 60)]
+        srcs = [("web", "books", "wiki")[i % 3] for i in range(60)]
+        _write_docs(tmp_path, texts, sources=srcs)
+        a = self._run(tmp_path, budget=10, n_ranges=1)
+        b = self._run(tmp_path, budget=10, n_ranges=7)
+        c = self._run(tmp_path, budget=10, n_ranges=32)
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, c)
+        # every bin except a source's last holds <= budget tokens and
+        # bins are contiguous non-decreasing per source in doc_id order
+        for _, g in a.groupby("source"):
+            bins = g["bin_id"].to_numpy()
+            assert (np.diff(bins) >= 0).all()

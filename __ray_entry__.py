@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_apply_corrections": corrections.doc_apply_corrections,  # SQL-matched (human merge-back, r5)
         "doc_bm25_from_postings": documents.doc_bm25_from_postings,  # SQL-matched (stats ride the index build, r5)
         "doc_pack_bins": documents.doc_pack_bins,                 # SQL-matched (sequence packing scan, r5)
+        "doc_chunk_windows": documents.doc_chunk_windows,         # SQL-matched (sliding-window chunker, r5)
         "events_asof": events.events_asof_purchase_click,        # SQL-matched (ASOF JOIN oracle)
         "events_value_quantiles": events.events_value_quantiles,  # SQL-matched
         "events_daily_ma7": events.events_daily_ma7,             # SQL-matched
@@ -504,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the newest driver rows). simhash_signatures stays last.
     r5_changed = [
         "doc_apply_corrections", "doc_bm25_from_postings", "doc_pack_bins",
+        "doc_chunk_windows",
         "doc_lang_ppl_buckets", "doc_dup_span_coverage", "doc_bm25_topk",
         "doc_postings", "doc_winnow_fingerprint", "dedup_survivors",
     ]
@@ -1544,6 +1546,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens,
                    CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
             FROM c
+        """,
+        # sliding-window chunker: 1 + ceil(max(n-32,0)/24) chunks per
+        # doc; DuckDB list slices are 1-based inclusive, so chunk k
+        # covers toks[k*24 + 1 : least(k*24 + 32, n)].
+        "doc_chunk_windows": """
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(
+                                  trim(regexp_replace(coalesce(text, ''),
+                                       '\\s+', ' ', 'g')),
+                                  '\\s+') AS toks
+                       FROM documents),
+            n AS (SELECT doc_id, toks,
+                         CAST(len(toks) AS BIGINT) AS n FROM t),
+            g AS (SELECT doc_id, toks, n,
+                         unnest(range(0, 1 + CAST(ceil(
+                             greatest(n - 32, 0) / 24.0) AS BIGINT)))
+                             AS chunk_idx
+                  FROM n)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(least(chunk_idx * 24 + 32, n) - chunk_idx * 24
+                        AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(
+                       toks[chunk_idx * 24 + 1
+                            : least(chunk_idx * 24 + 32, n)],
+                       ' ') AS chunk_text
+            FROM g
         """,
         "source_mix_weights": f"""
             WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

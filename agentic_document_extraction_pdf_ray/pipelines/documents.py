@@ -1480,6 +1480,65 @@ def doc_pack_bins(sf_dir: str, token_budget: int = 2048,
                                            batch_format="pandas")
 
 
+def doc_chunk_windows(sf_dir: str, window: int = 32,
+                      stride: int = 24) -> ray.data.Dataset:
+    """Overlapping fixed-token-window chunking — the pretraining / RAG
+    chunker: each document yields ``1 + ceil(max(n_tokens - window, 0)
+    / stride)`` chunks, chunk ``k`` covering token positions
+    ``[k·stride, min(k·stride + window, n_tokens))`` (whitespace-token
+    convention shared repo-wide). Embarrassingly parallel — a pure
+    per-batch flat-map with NO exchange; chunk assembly is fully
+    vectorized Arrow (list-flatten, one gather with computed indices,
+    ``binary_join`` back to strings) — no Python loop touches a row.
+
+    Output per chunk: ``doc_id, chunk_idx, n_chunk_tokens, chunk_text``.
+    """
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        toks = pc.split_pattern_regex(clean, r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+
+        n_chunks = 1 + np.ceil(
+            np.maximum(lens - window, 0) / stride).astype(np.int64)
+        total = int(n_chunks.sum())
+        # chunk_idx = 0..n_chunks-1 within each doc, flattened
+        firsts = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+        chunk_idx = (np.arange(total, dtype=np.int64)
+                     - np.repeat(firsts, n_chunks))
+        rep_lens = np.repeat(lens, n_chunks)
+        start = chunk_idx * stride
+        stop = np.minimum(start + window, rep_lens)
+        clens = stop - start
+        # gather indices into the flat token array: per chunk,
+        # doc_offset + start .. doc_offset + stop - 1
+        ctotal = int(clens.sum())
+        cfirsts = np.concatenate([[0], np.cumsum(clens)])[:-1]
+        take_idx = (np.arange(ctotal, dtype=np.int64)
+                    - np.repeat(cfirsts, clens)
+                    + np.repeat(np.repeat(doc_off, n_chunks) + start,
+                                clens))
+        taken = pc.take(flat, pa.array(take_idx, pa.int64()))
+        if isinstance(taken, pa.ChunkedArray):
+            taken = taken.combine_chunks()
+        chunks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(clens)]), pa.int32()),
+            taken)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, n_chunks), pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_chunk_tokens": pa.array(clens, pa.int64()),
+            "chunk_text": pc.binary_join(chunks, " "),
+        })
+
+    return (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(chunk, batch_format="pyarrow"))
+
+
 def source_mix_weights(sf_dir: str) -> ray.data.Dataset:
     """Domain-mixing weights (DoReMi-lite / The Pile recipe class): per
     source, the token mass and the resampling weight that would equalize

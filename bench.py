@@ -169,6 +169,8 @@ def run_bench() -> dict:
             lambda d: documents.doc_postings(d).count(), sf_dir),
         "doc_pack_bins": timed(
             lambda d: documents.doc_pack_bins(d).count(), sf_dir),
+        "doc_chunk_windows": timed(
+            lambda d: documents.doc_chunk_windows(d).count(), sf_dir),
         # exact-pair feed = the oracle-verification configuration;
         # the LSH feed below is what a production curation run pays
         "dedup_survivors": timed(

@@ -335,3 +335,44 @@ class TestDocPackBins:
         for _, g in a.groupby("source"):
             bins = g["bin_id"].to_numpy()
             assert (np.diff(bins) >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocChunkWindows:
+    """Sliding-window chunker boundary math (oracle equality is in the
+    auto-discovered DuckDB gate)."""
+
+    def _run(self, d, window, stride):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_chunk_windows,
+        )
+        out = doc_chunk_windows(str(d), window=window,
+                                stride=stride).to_pandas()
+        return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    def test_window_and_overlap_content(self, tmp_path):
+        toks = [f"t{i}" for i in range(10)]
+        _write_docs(tmp_path, [" ".join(toks), "a b", ""])
+        got = self._run(tmp_path, window=6, stride=4)
+        d0 = got[got["doc_id"] == 0]
+        # n=10, W=6, S=4 -> 1 + ceil(4/4) = 2 chunks: [0,6) and [4,10)
+        assert list(d0["chunk_idx"]) == [0, 1]
+        assert list(d0["chunk_text"]) == [
+            " ".join(toks[0:6]), " ".join(toks[4:10])]
+        assert list(d0["n_chunk_tokens"]) == [6, 6]
+        # short doc: single full chunk; empty text: one empty chunk
+        d1 = got[got["doc_id"] == 1]
+        assert list(d1["chunk_text"]) == ["a b"]
+        d2 = got[got["doc_id"] == 2]
+        assert list(d2["n_chunk_tokens"]) == [1]  # split('') -> ['']
+        assert list(d2["chunk_text"]) == [""]
+
+    def test_exact_multiple_and_tail(self, tmp_path):
+        # n = W + k*S exactly -> last chunk is full-width; n = W + 1
+        # -> a 1-token-new tail chunk still appears (cover-all rule)
+        _write_docs(tmp_path, [" ".join(["x"] * 14), " ".join(["y"] * 7)])
+        got = self._run(tmp_path, window=6, stride=4)
+        d0 = got[got["doc_id"] == 0]          # 14 = 6 + 2*4 -> 3 chunks
+        assert list(d0["n_chunk_tokens"]) == [6, 6, 6]
+        d1 = got[got["doc_id"] == 1]          # 7 = 6 + 1 -> 2 chunks
+        assert list(d1["n_chunk_tokens"]) == [6, 3]

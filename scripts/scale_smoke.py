@@ -202,6 +202,11 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
     timed("doc_postings", lambda: documents.doc_postings(sf_dir))
     timed("doc_lang_ppl_buckets",
           lambda: documents.doc_lang_ppl_buckets(sf_dir))
+    # round-5 additions: the packing prefix-scan (range-partitioned —
+    # the source-skew-proof claim) and the no-exchange chunker.
+    timed("doc_pack_bins", lambda: documents.doc_pack_bins(sf_dir))
+    timed("doc_chunk_windows",
+          lambda: documents.doc_chunk_windows(sf_dir))
     return res
 
 

@@ -55,6 +55,14 @@ def run_bench() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # Measured (round 5, BASELINE.md "operator resource reservation"):
+    # the streaming executor's per-operator CPU reservation idles
+    # ~40-50% of a 32-cpu node on this repo's short multi-stage plans
+    # (extract stage ran at 15.6/32 effective cores). Disabling it is
+    # uniformly faster across every query shape here (headline 9.3s ->
+    # 7.4s warm) and does not change results — revisit under
+    # memory-constrained multi-node backpressure.
+    ctx.op_resource_reservation_enabled = False
 
     from agentic_document_extraction_pdf_ray.pipelines import (
         critic, dedup, documents, events, fields, relational, similarity,

@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "doc_pii_scrub": documents.doc_pii_scrub,                 # SQL-matched (PII detect+redact, r5)
+        "doc_epoch_shuffle": documents.doc_epoch_shuffle,         # SQL-matched (deterministic epoch shuffle, r5)
+        "embedding_quantize": similarity.embedding_quantize,      # SQL-matched (int8 scalar quantization, r5)
         "doc_apply_corrections": corrections.doc_apply_corrections,  # SQL-matched (human merge-back, r5)
         "doc_bm25_from_postings": documents.doc_bm25_from_postings,  # SQL-matched (stats ride the index build, r5)
         "doc_pack_bins": documents.doc_pack_bins,                 # SQL-matched (sequence packing scan, r5)
@@ -870,6 +873,99 @@ def oracle_sql() -> dict[str, str]:
         WINNOW_K as _WK,
     )
     return {
+        # PII detect+redact (reference src/utils/phi_redaction.py classes;
+        # engine pipelines/documents.py:doc_pii_scrub). Same RE2 patterns
+        # both sides; the deterministic doc_id-derived seed plants
+        # measurable PII in the digit-free synthetic corpus.
+        "doc_pii_scrub": """
+            WITH seeded AS (
+                SELECT doc_id, coalesce(text, '') ||
+                    CASE CAST(doc_id % 7 AS INTEGER)
+                      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com'
+                      WHEN 1 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                  || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                                  || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                      WHEN 2 THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                  || '.' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                                  || '.' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                      WHEN 3 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                  || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                      ELSE ''
+                    END AS s
+                FROM documents)
+            SELECT doc_id,
+                CAST(len(regexp_extract_all(s,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(s,
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssns,
+                CAST(len(regexp_extract_all(s,
+                    '\\b\\d{3}\\.\\d{3}\\.\\d{4}\\b')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(s,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                    AS BIGINT) AS n_ipv4,
+                CAST(length(
+                    regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(s,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+                        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                        '\\b\\d{3}\\.\\d{3}\\.\\d{4}\\b', '<PHONE>', 'g'),
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                        '<IP>', 'g')) AS BIGINT) AS redacted_len
+            FROM seeded
+        """,
+        # deterministic epoch shuffle (engine doc_epoch_shuffle): shard =
+        # first-two-hex-chars bucket // 32 (8 shards), pos = 1-based rank
+        # by (shuffle_key, doc_id) within shard. md5 matches the engine's
+        # per-row key verbatim.
+        "doc_epoch_shuffle": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || '|ep0') AS shuffle_key
+                FROM documents),
+            g AS (
+                SELECT doc_id, shuffle_key,
+                    (strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1)
+                    * 16 +
+                    (strpos('0123456789abcdef', substr(shuffle_key, 2, 1)) - 1)
+                    AS gg
+                FROM keyed)
+            SELECT doc_id, shuffle_key,
+                   CAST(gg // 32 AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY gg // 32
+                        ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+            FROM g
+        """,
+        # int8-class scalar quantization (engine embedding_quantize):
+        # per-dim (lo, span) over fixed-point q=floor(v*1e6+0.5), code =
+        # (q-lo)*255 // span — every step exact integer on both engines.
+        "embedding_quantize": """
+            WITH flat AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       unnest(range(len(embedding))) AS dim
+                FROM embeddings),
+            q AS (
+                SELECT vec_id, dim,
+                       CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                       AS qv
+                FROM flat),
+            stats AS (
+                SELECT dim, min(qv) AS lo,
+                       greatest(max(qv) - min(qv), 1) AS span
+                FROM q GROUP BY dim),
+            codes AS (
+                SELECT q.vec_id, (q.qv - s.lo) * 255 // s.span AS code
+                FROM q JOIN stats s USING (dim))
+            SELECT vec_id,
+                   CAST(sum(code) AS BIGINT) AS code_sum,
+                   CAST(min(code) AS BIGINT) AS code_min,
+                   CAST(max(code) AS BIGINT) AS code_max,
+                   CAST(count(*) AS BIGINT) AS n_dims
+            FROM codes GROUP BY vec_id
+        """,
         # human-correction merge-back (reference runner.py:251-306 /
         # orchestrator.py:1510-1572): corrected value wins @ conf 1.0,
         # unknown fields become new scalar rows, provenance flagged.

@@ -1973,3 +1973,146 @@ def doc_bm25_from_postings(sf_dir: str,
     dfs = [int(small.get(t, 0)) for t in terms_l]
     return _bm25_score_scan(sf_dir, _bm25_tf_dl(terms_l), n, sum_dl, dfs,
                             k, k1, b)
+
+
+# --- PII scrubbing -----------------------------------------------------
+# Corpus-level analogue of the reference's PHI redaction pass
+# (/root/reference/src/utils/phi_redaction.py class; engine twin
+# stages/phi.py applies the same classes to extraction fields). The four
+# pattern classes below are RE2-portable: pyarrow's count/replace
+# kernels and DuckDB's regexp functions both compile RE2, so the oracle
+# runs the literal same patterns.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("n_ssns", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("n_phones", r"\b\d{3}\.\d{3}\.\d{4}\b", "<PHONE>"),
+    ("n_ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_seed_suffix(ids: "np.ndarray") -> "np.ndarray":
+    """Deterministic PII decoration derived from ``doc_id`` — the test
+    harness that makes the scrub measurable on the digit-free synthetic
+    corpus. Reproduced verbatim in SQL by the oracle (integer modulo +
+    string concat only), so counts/redaction stay hash-verifiable."""
+    import pandas as pd
+
+    s = pd.Series(ids.astype(np.int64))
+    m = (s % 7).to_numpy()
+    a = (s % 900 + 100).astype(str)     # 3 digits, never zero-padded
+    b = (s % 90 + 10).astype(str)       # 2 digits
+    c = (s % 9000 + 1000).astype(str)   # 4 digits
+    suf = pd.Series([""] * len(s), dtype=object)
+    suf[m == 0] = (" contact user" + s.astype(str) + "@example.com")[m == 0]
+    suf[m == 1] = (" ssn " + a + "-" + b + "-" + c)[m == 1]
+    suf[m == 2] = (" call " + a + "." + a + "." + c)[m == 2]
+    suf[m == 3] = (" host 10." + (s % 256).astype(str) + ".0."
+                   + (s % 100).astype(str))[m == 3]
+    return suf.to_numpy()
+
+
+def pii_scrub_batch(texts: pa.Array | pa.ChunkedArray):
+    """Vectorized PII scrub core over one Arrow string column: per-class
+    match counts on the ORIGINAL text + a chained redaction. Pure RE2
+    kernels (count_substring_regex / replace_substring_regex) — no
+    Python row loop; patterns are module constants compiled once inside
+    Arrow. Returns (counts dict, redacted array)."""
+    counts = {name: pc.cast(pc.count_substring_regex(texts, pat),
+                            pa.int64())
+              for name, pat, _tok in PII_PATTERNS}
+    red = texts
+    for _name, pat, tok in PII_PATTERNS:
+        red = pc.replace_substring_regex(red, pat, tok)
+    return counts, red
+
+
+def doc_pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII detection + redaction over the corpus — the scrub step a
+    training-data pipeline runs before anything leaves the curation
+    boundary (reference analogue: the PHI redaction classes,
+    ``/root/reference/src/utils/phi_redaction.py``; engine twin
+    ``stages/phi.py``). Embarrassingly parallel: one RE2 pass per
+    pattern class per batch, NO exchange; at 100 TB this is a pure
+    map stage limited by regex throughput.
+
+    The synthetic corpus is digit-free, so a deterministic,
+    SQL-reproducible decoration (:func:`pii_seed_suffix`) plants one
+    PII instance in ~4/7 of documents; counts are computed on the
+    seeded text and the redaction is verified by ``redacted_len``
+    (DuckDB ``length`` == Arrow ``utf8_length``, both chars)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        base = pc.fill_null(batch["text"], "")
+        seeded = pc.binary_join_element_wise(
+            base, pa.array(pii_seed_suffix(ids), pa.string()), "")
+        counts, red = pii_scrub_batch(seeded)
+        cols = {"doc_id": batch["doc_id"]}
+        cols.update(counts)
+        cols["redacted_len"] = pc.cast(pc.utf8_length(red), pa.int64())
+        return pa.table(cols)
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def doc_epoch_shuffle(sf_dir: str, epoch: int = 0,
+                      n_shards: int = 8) -> ray.data.Dataset:
+    """Deterministic training-epoch shuffle: every document gets a
+    reproducible ``(shard, pos)`` — the global-shuffle-without-a-shuffle
+    primitive a trainer needs to stream an epoch in a fixed pseudorandom
+    order from any worker. ``shuffle_key = md5(doc_id|ep{epoch})``;
+    ``shard`` = first hex nibble / (16/n_shards); ``pos`` = dense 1-based
+    rank by ``(shuffle_key, doc_id)`` within the shard.
+
+    Scale path = the :func:`doc_row_number` range-partition rank, keyed
+    on the key's first TWO hex chars (256 uniform ranges, each nested
+    inside exactly one shard because shard is a prefix of the range):
+    per-range counts -> driver prefix sum per shard (256 ints) ->
+    in-range argsort. No task ever holds more than ~N/256 rows and the
+    only cross-range coordination is the offset table — a plain
+    ``groupby(shard)`` rank would put a whole shard (N/8 rows) in one
+    task. md5-per-row is the documented DuckDB-parity price
+    (:func:`doc_sample`); production swaps in functions/hashing's
+    vectorized siphash."""
+    import pandas as pd
+
+    if 16 % n_shards:
+        raise ValueError("n_shards must divide 16")
+    w = 16 // n_shards          # hex nibbles per shard
+
+    def tag(batch: pa.Table) -> "pd.DataFrame":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [hashlib.md5(f"{i}|ep{epoch}".encode()).hexdigest()
+                for i in ids]
+        g = np.array([int(k[:2], 16) for k in keys], np.int64)
+        return pd.DataFrame({"doc_id": ids, "shuffle_key": keys, "_g": g})
+
+    tagged = (read_documents(sf_dir, ["doc_id"])
+              .map_batches(tag, batch_format="pyarrow").materialize())
+    counts = (tagged.map_batches(
+        lambda b: b.groupby("_g", as_index=False).agg(c=("_g", "size")),
+        batch_format="pandas").to_pandas()
+        .groupby("_g")["c"].sum())          # <= 256 rows ever
+    offs = np.zeros(256, np.int64)
+    for shard in range(n_shards):
+        cum = 0
+        for g in range(shard * w * 16, (shard + 1) * w * 16):
+            offs[g] = cum
+            cum += int(counts.get(g, 0))
+
+    def rank_range(grp: "pd.DataFrame") -> "pd.DataFrame":
+        g = int(grp["_g"].iloc[0])
+        order = np.lexsort((grp["doc_id"].to_numpy(np.int64),
+                            grp["shuffle_key"].to_numpy()))
+        pos = np.empty(len(grp), np.int64)
+        pos[order] = np.arange(1, len(grp) + 1, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": grp["doc_id"].to_numpy(np.int64),
+            "shuffle_key": grp["shuffle_key"].to_numpy(),
+            "shard": np.full(len(grp), g // (w * 16), np.int64),
+            "pos": pos + offs[g]})
+
+    return tagged.groupby("_g").map_groups(rank_range,
+                                           batch_format="pandas")

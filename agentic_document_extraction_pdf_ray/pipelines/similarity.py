@@ -792,3 +792,60 @@ def embedding_semdedup(sf_dir: str, tau: float = 0.97,
     return (read_embeddings(sf_dir)
             .map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_b").map_groups(per_bucket, batch_format="pandas"))
+
+
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """Int8-class scalar quantization of the embedding column — the
+    compression step an ANN/retrieval system applies before indexing at
+    scale (4x smaller vectors; reference analogue: the FAISS field-
+    history store's quantized index option,
+    ``/root/reference/src/services/field_history.py``). Per dimension d:
+    ``code = (q - lo_d) * 255 // max(hi_d - lo_d, 1)`` over the
+    fixed-point ``q = floor(v*1e6 + 0.5)`` int64 values (the repo's
+    label_centroids money-cents convention), so every code is an exact
+    integer on both engines and the oracle hash-verifies it.
+
+    Scale shape: pass 1 emits one (dim, lo, hi) partial row per block —
+    a fixed d-row state per block, folded driver-side (<= n_blocks x d
+    tiny ints; the classic broadcast-small pattern, ray.put for large
+    d); pass 2 is an embarrassingly-parallel vectorized map with the
+    (lo, hi) arrays broadcast in the task closure. NO all-to-all
+    exchange at any size. Output is the exact-int per-vector summary
+    (code_sum / code_min / code_max / n_dims) — hash-stable, and it
+    pins every element of the quantization."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def partial_minmax(batch: pa.Table) -> "pd.DataFrame":
+        if batch.num_rows == 0:
+            return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                                 "lo": pd.Series([], dtype=np.int64),
+                                 "hi": pd.Series([], dtype=np.int64)})
+        emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"dim": np.arange(q.shape[1], dtype=np.int64),
+                             "lo": q.min(axis=0), "hi": q.max(axis=0)})
+
+    part = (ds.map_batches(partial_minmax, batch_format="pyarrow")
+            .to_pandas())                     # <= n_blocks x d rows
+    agg = (part.groupby("dim").agg(lo=("lo", "min"), hi=("hi", "max"))
+           .sort_index())
+    lo = agg["lo"].to_numpy(np.int64)
+    span = np.maximum(agg["hi"].to_numpy(np.int64) - lo, 1)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        code = (q - lo) * 255 // span         # ints in [0, 255], exact
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "code_sum": pa.array(code.sum(axis=1), pa.int64()),
+            "code_min": pa.array(code.min(axis=1), pa.int64()),
+            "code_max": pa.array(code.max(axis=1), pa.int64()),
+            "n_dims": pa.array(np.full(len(q), q.shape[1]), pa.int64()),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

@@ -204,6 +204,12 @@ def run_bench() -> dict:
         "doc_apply_corrections": timed(
             lambda d: _corrections.doc_apply_corrections(d).count(),
             sf_dir),
+        "doc_pii_scrub": timed(
+            lambda d: documents.doc_pii_scrub(d).count(), sf_dir),
+        "doc_epoch_shuffle": timed(
+            lambda d: documents.doc_epoch_shuffle(d).count(), sf_dir),
+        "embedding_quantize": timed(
+            lambda d: similarity.embedding_quantize(d).count(), sf_dir),
     }
 
     ray.shutdown()

@@ -207,6 +207,15 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
     timed("doc_pack_bins", lambda: documents.doc_pack_bins(sf_dir))
     timed("doc_chunk_windows",
           lambda: documents.doc_chunk_windows(sf_dir))
+    # round-5 late additions: the no-exchange RE2 scrub, the 256-range
+    # epoch-shuffle rank (its sort exchange grows with the corpus), and
+    # the two-pass no-exchange quantizer (embeddings table).
+    from agentic_document_extraction_pdf_ray.pipelines import similarity
+    timed("doc_pii_scrub", lambda: documents.doc_pii_scrub(sf_dir))
+    timed("doc_epoch_shuffle",
+          lambda: documents.doc_epoch_shuffle(sf_dir))
+    timed("embedding_quantize",
+          lambda: similarity.embedding_quantize(sf_dir))
     return res
 
 

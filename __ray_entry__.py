@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "doc_dsir_weights": documents.doc_dsir_weights,           # SQL-matched (DSIR importance weights, r5)
+        "source_trigram_diversity": documents.source_trigram_diversity,  # SQL-matched (n-gram TTR, r5)
         "doc_pii_scrub": documents.doc_pii_scrub,                 # SQL-matched (PII detect+redact, r5)
         "doc_epoch_shuffle": documents.doc_epoch_shuffle,         # SQL-matched (deterministic epoch shuffle, r5)
         "embedding_quantize": similarity.embedding_quantize,      # SQL-matched (int8 scalar quantization, r5)
@@ -965,6 +967,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(code) AS BIGINT) AS code_max,
                    CAST(count(*) AS BIGINT) AS n_dims
             FROM codes GROUP BY vec_id
+        """,
+        # DSIR importance-resampling log-weights (engine
+        # documents.doc_dsir_weights): hashed unigram+bigram features,
+        # bucket = first-8-md5-bytes % 1024 (the documented DuckDB-parity
+        # hash), target = lang='en' slice, add-1 smoothing over the 1024
+        # buckets; log-ratio expression mirrored term-for-term, per-doc
+        # sum rounded to 6 (float-sum-order convention).
+        "doc_dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split({_CLEAN_LC}, ' '),
+                                   x -> x <> '') AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id, lang, unnest(t) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, lang,
+                       unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])) AS g
+                FROM toks),
+            b AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % 1024
+                            AS BIGINT) AS bkt
+                FROM grams),
+            c AS (
+                SELECT bkt, CAST(count(*) AS BIGINT) AS n_raw,
+                       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT)
+                       AS n_tgt
+                FROM b GROUP BY bkt),
+            tot AS (SELECT CAST(sum(n_raw) AS DOUBLE) AS r,
+                           CAST(sum(n_tgt) AS DOUBLE) AS t FROM c),
+            lr AS (
+                SELECT bkt, ln((n_tgt + 1.0) / (t + 1024.0))
+                            - ln((n_raw + 1.0) / (r + 1024.0)) AS w
+                FROM c, tot),
+            dw AS (
+                SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                       sum(lr.w) AS s
+                FROM b JOIN lr USING (bkt) GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(dw.n_grams, 0) AS BIGINT) AS n_grams,
+                   round(coalesce(dw.s, 0.0), 6) AS dsir_logw
+            FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+        """,
+        # per-source trigram type-token ratio (engine
+        # documents.source_trigram_diversity): DISTINCT trigram types /
+        # total trigram occurrences, exact integers, ratio rounded to 6.
+        "source_trigram_diversity": f"""
+            WITH toks AS (
+                SELECT source,
+                       list_filter(string_split({_CLEAN_LC}, ' '),
+                                   x -> x <> '') AS t
+                FROM documents),
+            tri AS (
+                SELECT source,
+                       unnest(list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS g
+                FROM toks)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+                   round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+                   AS ttr
+            FROM tri GROUP BY source
         """,
         # human-correction merge-back (reference runner.py:251-306 /
         # orchestrator.py:1510-1572): corrected value wins @ conf 1.0,

@@ -2116,3 +2116,174 @@ def doc_epoch_shuffle(sf_dir: str, epoch: int = 0,
 
     return tagged.groupby("_g").map_groups(rank_range,
                                            batch_format="pandas")
+
+
+def _md5_bucket64(uniq: np.ndarray, n_buckets: int) -> np.ndarray:
+    """int64 bucket per UNIQUE string via the first 8 md5 bytes — the
+    SQL-reproducible hash (DuckDB ``('0x'||substr(md5(g),1,16))::UBIGINT``).
+    Python-loop over uniques only (occurrences attach via factorize
+    codes); production swaps in functions/hashing's vectorized siphash —
+    md5 is the documented DuckDB-parity price (:func:`doc_sample`)."""
+    return np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:16], 16) % n_buckets
+         for s in uniq], dtype=np.int64)
+
+
+def _gram_stream(batch: pa.Table):
+    """Flattened unigram+bigram occurrence stream for a batch: returns
+    ``(uni_tokens, uni_parents, bi_tokens, bi_parents, n_rows)`` with
+    empty-doc ``['']`` artifacts dropped and bigrams built from the
+    vectorized same-parent adjacency (the :func:`doc_bigram_pmi`
+    skeleton — no per-doc Python loop)."""
+    txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+    toks = pc.split_pattern(txt, " ")
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = flat != ""            # [''] artifact of empty docs only —
+    flat, parents = flat[keep], parents[keep]   # never mid-sequence
+    if len(flat) > 1:
+        same = parents[1:] == parents[:-1]
+        bi = flat[:-1][same] + " " + flat[1:][same]
+        bip = parents[:-1][same]
+    else:
+        bi = np.empty(0, object)
+        bip = np.empty(0, np.int64)
+    return flat, parents, bi, bip, batch.num_rows
+
+
+def doc_dsir_weights(sf_dir: str, n_buckets: int = 1024,
+                     target_lang: str = "en") -> ray.data.Dataset:
+    """DSIR importance-resampling log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): per-doc
+    ``Σ_grams log p_target(bucket(g)) − log p_raw(bucket(g))`` over
+    HASHED unigram+bigram features, add-1 smoothed over the fixed
+    ``n_buckets`` feature space. The target distribution here is the
+    ``lang == target_lang`` slice of the same corpus (deterministic, no
+    external data); a trainer resamples docs ∝ exp(weight) to tilt the
+    raw blend toward the target domain.
+
+    Two passes, both bounded exchanges — the hashed feature space is
+    exactly what makes this work at 100 TB:
+
+    1. stats pass: per-batch bucket bincounts (map-side combiner →
+       ≤n_buckets partial rows per batch), one ``groupby(bucket)`` sum
+       → ≤n_buckets rows on the driver; the log-ratio vector is 8 KB
+       at K=1024, captured by value in the apply closure (a ray.put
+       broadcast at larger K);
+    2. apply pass: per-batch gram → bucket → ``np.bincount(parents,
+       weights=logratio[bucket])`` — one weighted bincount per batch,
+       no exchange at all.
+
+    Floats: the log-ratio expression is mirrored term-for-term in the
+    oracle and the per-doc sum is rounded to 6 decimals (the repo's
+    float-sum-order convention, :func:`source_token_kl`)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def bucketize(tokens: np.ndarray) -> np.ndarray:
+        codes, uniq = pd.factorize(tokens)
+        if not len(uniq):
+            return np.empty(0, np.int64)
+        return _md5_bucket64(np.asarray(uniq, object), n_buckets)[codes]
+
+    def stats_partial(batch: pa.Table) -> "pd.DataFrame":
+        uni, up, bi, bip, _ = _gram_stream(batch)
+        tgt = (batch["lang"].to_numpy(zero_copy_only=False)
+               == target_lang)
+        b = np.concatenate([bucketize(uni), bucketize(bi)])
+        t = np.concatenate([tgt[up], tgt[bip]])
+        raw = np.bincount(b, minlength=n_buckets)
+        tgt_c = np.bincount(b[t], minlength=n_buckets)
+        nz = np.flatnonzero(raw)
+        return pd.DataFrame({"bkt": nz.astype(np.int64),
+                             "n_raw": raw[nz].astype(np.int64),
+                             "n_tgt": tgt_c[nz].astype(np.int64)})
+
+    stats = (read_documents(sf_dir, ["text", "lang"])
+             .map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("bkt")
+             .aggregate(Sum("n_raw", alias_name="n_raw"),
+                        Sum("n_tgt", alias_name="n_tgt"))
+             .to_pandas())                 # bounded: ≤n_buckets rows
+    raw = np.zeros(n_buckets, np.float64)
+    tgt = np.zeros(n_buckets, np.float64)
+    raw[stats["bkt"].to_numpy()] = stats["n_raw"].to_numpy(np.float64)
+    tgt[stats["bkt"].to_numpy()] = stats["n_tgt"].to_numpy(np.float64)
+    r_tot, t_tot = raw.sum(), tgt.sum()
+    logratio = (np.log((tgt + 1.0) / (t_tot + n_buckets))
+                - np.log((raw + 1.0) / (r_tot + n_buckets)))
+
+    def apply_weights(batch: pa.Table) -> pa.Table:
+        uni, up, bi, bip, n = _gram_stream(batch)
+        b = np.concatenate([bucketize(uni), bucketize(bi)])
+        p = np.concatenate([up, bip])
+        n_grams = np.bincount(p, minlength=n).astype(np.int64)
+        w = np.bincount(p, weights=logratio[b], minlength=n)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_grams": pa.array(n_grams, pa.int64()),
+                         "dsir_logw": pa.array(np.round(w, 6))})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        apply_weights, batch_format="pyarrow")
+
+
+def source_trigram_diversity(sf_dir: str,
+                             n_buckets: int = 32) -> "pd.DataFrame":
+    """Per-source n-gram diversity: total trigram occurrences, DISTINCT
+    trigram types, and the type-token ratio — the corpus-diversity /
+    memorization-risk diagnostic (a low TTR source is repetitive
+    boilerplate; the Gopher/RedPajama repetition filters' corpus-level
+    sibling). Same single-token-shuffle skeleton as
+    :func:`source_token_kl`: per-batch (source, trigram) partial counts
+    → trigram-hash buckets (a trigram lives in ONE bucket, so per-source
+    distinct-type counts are exact in-bucket and sum across buckets) →
+    one final grouped sum over ≤|sources|·n_buckets partial rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_str_array
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        flat, parents = flat[keep], parents[keep]
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        if len(flat) > 2:
+            same = parents[2:] == parents[:-2]
+            tri = flat[:-2][same] + " " + flat[1:-1][same] + " " + flat[2:][same]
+            trip = parents[:-2][same]
+        else:
+            tri = np.empty(0, object)
+            trip = np.empty(0, np.int64)
+        d = (pd.DataFrame({"source": src[trip], "g": tri})
+             .groupby(["source", "g"], sort=False)
+             .size().reset_index(name="n"))
+        d["_bucket"] = (hash_str_array(d["g"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def fold_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = g.groupby(["source", "g"], as_index=False)["n"].sum()
+        agg = c.groupby("source", as_index=False).agg(
+            n_part=("n", "sum"), d_part=("g", "size"))
+        agg["n_part"] = agg["n_part"].astype("int64")
+        agg["d_part"] = agg["d_part"].astype("int64")
+        return agg
+
+    merged = (read_documents(sf_dir, ["source", "text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(fold_bucket, batch_format="pandas")
+              .groupby("source")
+              .aggregate(Sum("n_part", alias_name="n_trigrams"),
+                         Sum("d_part", alias_name="n_distinct"))
+              .to_pandas())                # bounded: one row per source
+    merged["n_trigrams"] = merged["n_trigrams"].astype("int64")
+    merged["n_distinct"] = merged["n_distinct"].astype("int64")
+    merged["ttr"] = np.round(
+        merged["n_distinct"].to_numpy(np.float64)
+        / merged["n_trigrams"].to_numpy(np.float64), 6)
+    return merged[["source", "n_trigrams", "n_distinct", "ttr"]]

@@ -2166,10 +2166,16 @@ def doc_dsir_weights(sf_dir: str, n_buckets: int = 1024,
     exactly what makes this work at 100 TB:
 
     1. stats pass: per-batch bucket bincounts (map-side combiner →
-       ≤n_buckets partial rows per batch), one ``groupby(bucket)`` sum
-       → ≤n_buckets rows on the driver; the log-ratio vector is 8 KB
-       at K=1024, captured by value in the apply closure (a ray.put
-       broadcast at larger K);
+       ≤n_buckets partial rows per block), folded with one pandas
+       groupby-sum on the driver — the fixed-width-sketch reduce
+       (:func:`events_hll_users` class). Partial volume is n_blocks ×
+       nz_buckets rows; past ~10⁴ blocks insert ONE intermediate
+       combine stage of the same partial shape (or swap in the
+       sort-based ``groupby(bkt)``, whose fixed exchange cost
+       amortizes there — measured 6 s of pure overhead at this repo's
+       block counts, hence the driver fold). The log-ratio vector is
+       8 KB at K=1024, captured by value in the apply closure (a
+       ray.put broadcast at larger K);
     2. apply pass: per-batch gram → bucket → ``np.bincount(parents,
        weights=logratio[bucket])`` — one weighted bincount per batch,
        no exchange at all.
@@ -2178,7 +2184,6 @@ def doc_dsir_weights(sf_dir: str, n_buckets: int = 1024,
     oracle and the per-doc sum is rounded to 6 decimals (the repo's
     float-sum-order convention, :func:`source_token_kl`)."""
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     def bucketize(tokens: np.ndarray) -> np.ndarray:
         codes, uniq = pd.factorize(tokens)
@@ -2201,10 +2206,8 @@ def doc_dsir_weights(sf_dir: str, n_buckets: int = 1024,
 
     stats = (read_documents(sf_dir, ["text", "lang"])
              .map_batches(stats_partial, batch_format="pyarrow")
-             .groupby("bkt")
-             .aggregate(Sum("n_raw", alias_name="n_raw"),
-                        Sum("n_tgt", alias_name="n_tgt"))
-             .to_pandas())                 # bounded: ≤n_buckets rows
+             .to_pandas()                  # bounded: ≤n_buckets rows/block
+             .groupby("bkt", as_index=False)[["n_raw", "n_tgt"]].sum())
     raw = np.zeros(n_buckets, np.float64)
     tgt = np.zeros(n_buckets, np.float64)
     raw[stats["bkt"].to_numpy()] = stats["n_raw"].to_numpy(np.float64)

@@ -210,6 +210,10 @@ def run_bench() -> dict:
             lambda d: documents.doc_epoch_shuffle(d).count(), sf_dir),
         "embedding_quantize": timed(
             lambda d: similarity.embedding_quantize(d).count(), sf_dir),
+        "doc_dsir_weights": timed(
+            lambda d: documents.doc_dsir_weights(d).count(), sf_dir),
+        "source_trigram_diversity": timed(
+            lambda d: len(documents.source_trigram_diversity(d)), sf_dir),
     }
 
     ray.shutdown()

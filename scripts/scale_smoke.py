@@ -216,6 +216,14 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
           lambda: documents.doc_epoch_shuffle(sf_dir))
     timed("embedding_quantize",
           lambda: similarity.embedding_quantize(sf_dir))
+    # round-5 final additions: the DSIR two-pass (bounded K=1024 bucket
+    # stats + no-exchange apply) and the trigram-diversity single
+    # token-keyed exchange (its (source, trigram) partial volume grows
+    # with the corpus).
+    timed("doc_dsir_weights",
+          lambda: documents.doc_dsir_weights(sf_dir))
+    timed("source_trigram_diversity",
+          lambda: documents.source_trigram_diversity(sf_dir))
     return res
 
 

@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "lang_temperature_weights": documents.lang_temperature_weights,  # SQL-matched (alpha temperature sampling, r5)
+        "doc_budget_select": documents.doc_budget_select,         # SQL-matched (token-budget prefix-scan selection, r5)
+        "dedup_incremental": dedup.dedup_incremental,             # SQL-matched (snapshot Bloom semi-join dedup, r5)
         "doc_dsir_weights": documents.doc_dsir_weights,           # SQL-matched (DSIR importance weights, r5)
         "source_trigram_diversity": documents.source_trigram_diversity,  # SQL-matched (n-gram TTR, r5)
         "doc_pii_scrub": documents.doc_pii_scrub,                 # SQL-matched (PII detect+redact, r5)
@@ -974,6 +977,67 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # alpha-temperature multilingual sampling weights (engine
+        # documents.lang_temperature_weights): exact int64 token counts,
+        # token_share one IEEE division, the two pow-derived ratios
+        # rounded to 6 on both engines.
+        "lang_temperature_weights": f"""
+            WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(len(string_split_regex({_CLEAN},
+                                  '\\s+'))) AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY lang),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+            p AS (SELECT lang, n_docs, n_tokens,
+                         CAST(n_tokens AS DOUBLE) / t.total AS token_share,
+                         pow(CAST(n_tokens AS DOUBLE) / t.total, 0.3) AS pw
+                  FROM s, t),
+            z AS (SELECT sum(pw) AS zs FROM p)
+            SELECT lang, n_docs, n_tokens, token_share,
+                   round(pw / z.zs, 6) AS temp_prob,
+                   round((pw / z.zs) / token_share, 6) AS upsample
+            FROM p, z
+        """,
+        # token-budget greedy selection (engine documents.doc_budget_select):
+        # the SUM() OVER (ORDER BY quality DESC, doc_id) prefix scan,
+        # kept while cum <= total//4. Quality/token math = doc_quality.
+        "doc_budget_select": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS ct FROM documents),
+            m AS (SELECT doc_id,
+                         CAST(len(string_split_regex(ct, '\\s+')) AS BIGINT)
+                             AS n_tokens,
+                         CAST(floor((0.4 * (length(regexp_replace(ct, '[^A-Za-z]', '', 'g'))
+                                            / CAST(greatest(length(ct), 1) AS DOUBLE))
+                                   + 0.3 * least(1.0, len(string_split_regex(ct, '\\s+')) / 100.0)
+                                   + 0.3 * (1.0 - length(regexp_replace(ct, '[^0-9]', '', 'g'))
+                                            / CAST(greatest(length(ct), 1) AS DOUBLE)))
+                                  * 10000 + 0.5) AS BIGINT) AS quality_x100
+                  FROM c),
+            w AS (SELECT doc_id, quality_x100, n_tokens,
+                         CAST(SUM(n_tokens) OVER (
+                             ORDER BY quality_x100 DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_tokens
+                  FROM m),
+            t AS (SELECT CAST(sum(n_tokens) // 4 AS BIGINT) AS b FROM m)
+            SELECT doc_id, quality_x100, n_tokens, cum_tokens
+            FROM w, t WHERE cum_tokens <= t.b
+        """,
+        # incremental snapshot dedup (engine dedup.dedup_incremental):
+        # incoming (odd doc_id) vs snapshot (even) on the md5-64 key of
+        # the lowercase-normalized text — the Bloom is a prefilter only,
+        # the semantics are this exact semi-join.
+        "dedup_incremental": f"""
+            WITH k AS (SELECT doc_id,
+                              ('0x' || substr(md5({_CLEAN_LC}), 1, 16))::UBIGINT
+                                  AS key
+                       FROM documents),
+            snap AS (SELECT DISTINCT key FROM k WHERE doc_id % 2 = 0)
+            SELECT k.doc_id,
+                   CAST(CASE WHEN s.key IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                       AS is_dup
+            FROM k LEFT JOIN snap s ON k.key = s.key
+            WHERE k.doc_id % 2 = 1
+        """,
         "doc_dsir_weights": f"""
             WITH toks AS (
                 SELECT doc_id, lang,

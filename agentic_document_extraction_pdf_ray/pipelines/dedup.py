@@ -1574,3 +1574,123 @@ def dedup_survivors(sf_dir: str, n_buckets: int = 32,
     return (docs.map_batches(tag_doc, batch_format="pyarrow")
             .union(comp.map_batches(tag_comp, batch_format="pyarrow"))
             .groupby("_db").map_groups(attach, batch_format="pandas"))
+
+
+# ------------------------------------------------------- incremental dedup
+
+def _md5_key64(uniq: np.ndarray) -> np.ndarray:
+    """uint64 content key per UNIQUE string via the first 8 md5 bytes —
+    the SQL-reproducible hash (DuckDB
+    ``('0x'||substr(md5(s),1,16))::UBIGINT``), the full-width sibling of
+    documents._md5_bucket64. Python-loop over uniques only."""
+    import hashlib
+    return np.array([int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+                     for s in uniq], dtype=np.uint64)
+
+
+def dedup_incremental(sf_dir: str, n_buckets: int = 32,
+                      m_bits: int | None = None) -> ray.data.Dataset:
+    """Incremental exact dedup of an INCOMING batch against an existing
+    corpus SNAPSHOT — the "don't re-ingest what the last crawl already
+    kept" step of a continuously-updated training corpus. Snapshot =
+    even ``doc_id``, incoming = odd (the repo's deterministic split
+    convention); the content key is the 64-bit md5 of the
+    lowercase-normalized text, so a re-crawled page dedups however its
+    id changed.
+
+    The scale shape is the broadcast-Bloom semi-join
+    (``relational.customers_with_urgent_orders``), pointed at text
+    instead of keys: per-block partial Bloom bitmaps over snapshot keys
+    are OR-folded by the driver into one fixed-size (128 KiB) bitmap and
+    ``ray.put`` once; incoming docs probe it map-side, and only Bloom
+    HITS (true dups + the FP tail) enter the bucketed exact-verify
+    exchange against the snapshot's distinct keys. Misses — the vast
+    majority of a fresh crawl — are answered with zero shuffle bytes.
+    Correctness never depends on the Bloom (the verify stage is exact);
+    at 100 TB the bitmap is sized up via ``m_bits``, still a one-shot
+    broadcast.
+
+    Output per incoming doc: ``doc_id, is_dup`` (int64 0/1).
+    """
+    import pandas as pd
+
+    from .documents import read_documents as _read_docs
+    from .relational import _bloom_positions
+    if m_bits is None:
+        from .relational import BLOOM_BITS
+        m_bits = BLOOM_BITS
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _keys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        clean = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        codes, uniq = pd.factorize(
+            clean.to_numpy(zero_copy_only=False))
+        keys = (_md5_key64(np.asarray(uniq, object))[codes]
+                if len(uniq) else np.empty(0, np.uint64))
+        return ids, keys
+
+    def snap_bloom(batch: pa.Table) -> "pd.DataFrame":
+        ids, keys = _keys(batch)
+        keys = np.unique(keys[ids % 2 == 0])
+        bits = np.zeros(m_bits, dtype=bool)
+        p1, p2 = _bloom_positions(keys.view(np.int64), m_bits)
+        bits[p1] = True
+        bits[p2] = True
+        return pd.DataFrame({"bloom": [np.packbits(bits).tobytes()]})
+
+    packed = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in docs.map_batches(snap_bloom, batch_format="pyarrow",
+                                batch_size=65536).take_all():
+        packed |= np.frombuffer(row["bloom"], dtype=np.uint8)
+    bloom_ref = ray.put(packed)
+
+    def probe(batch: pa.Table) -> "pd.DataFrame":
+        bits = np.unpackbits(ray.get(bloom_ref)).view(bool)
+        ids, keys = _keys(batch)
+        inc = ids % 2 == 1
+        ids, keys = ids[inc], keys[inc]
+        p1, p2 = _bloom_positions(keys.view(np.int64), m_bits)
+        return pd.DataFrame({"doc_id": ids, "key": keys,
+                             "hit": bits[p1] & bits[p2]})
+
+    probed = docs.map_batches(probe, batch_format="pyarrow").materialize()
+
+    def misses(b: "pd.DataFrame") -> "pd.DataFrame":
+        out = b.loc[~b["hit"], ["doc_id"]]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "is_dup": np.zeros(len(out), np.int64)})
+
+    def hit_tag(b: "pd.DataFrame") -> "pd.DataFrame":
+        out = b.loc[b["hit"]]
+        keys = out["key"].to_numpy(np.uint64)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "key": keys, "snap": np.zeros(len(out), np.int8),
+            "_bucket": (keys % np.uint64(n_buckets)).astype(np.int64)})
+
+    def snap_tag(batch: pa.Table) -> "pd.DataFrame":
+        ids, keys = _keys(batch)
+        keys = np.unique(keys[ids % 2 == 0])
+        return pd.DataFrame({
+            "doc_id": np.full(len(keys), -1, np.int64),
+            "key": keys, "snap": np.ones(len(keys), np.int8),
+            "_bucket": (keys % np.uint64(n_buckets)).astype(np.int64)})
+
+    def verify(g: "pd.DataFrame") -> "pd.DataFrame":
+        have = set(g.loc[g["snap"] == 1, "key"].tolist())
+        p = g[g["snap"] == 0]
+        return pd.DataFrame({
+            "doc_id": p["doc_id"].to_numpy(np.int64),
+            "is_dup": p["key"].isin(have).to_numpy(bool)
+                       .astype(np.int64)})
+
+    verified = (probed.map_batches(hit_tag, batch_format="pandas")
+                .union(docs.map_batches(snap_tag, batch_format="pyarrow"))
+                .groupby("_bucket").map_groups(verify,
+                                               batch_format="pandas"))
+    return probed.map_batches(misses,
+                              batch_format="pandas").union(verified)

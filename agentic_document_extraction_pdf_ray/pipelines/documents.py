@@ -2290,3 +2290,139 @@ def source_trigram_diversity(sf_dir: str,
         merged["n_distinct"].to_numpy(np.float64)
         / merged["n_trigrams"].to_numpy(np.float64), 6)
     return merged[["source", "n_trigrams", "n_distinct", "ttr"]]
+
+
+def lang_temperature_weights(sf_dir: str,
+                             alpha: float = 0.3) -> ray.data.Dataset:
+    """Temperature-based multilingual sampling weights (the XLM-R / mT5
+    alpha-sampling recipe, Conneau et al. 2020 §3.1): per language,
+
+        ``temp_prob_l = share_l^alpha / Σ_m share_m^alpha``
+
+    with ``share_l`` the language's exact token share — ``alpha < 1``
+    flattens the blend so tail languages are upsampled
+    (``upsample = temp_prob / share`` > 1) and the head is downsampled.
+    The closed-form step every multilingual data loader applies before
+    sampling shards.
+
+    Same bounded plan as :func:`source_mix_weights`: map-side per-batch
+    ``(lang, n_docs, n_tokens)`` partials (#langs narrow rows per block),
+    one single-fold final — no token leaves its read task, so exchange
+    volume is #langs × #blocks rows at any corpus size. Counts are exact
+    int64; the two pow-derived ratios are rounded to 6 decimals on both
+    engines (the repo float-sum-order convention, :func:`doc_dsir_weights`),
+    while ``token_share`` stays the one exact IEEE division
+    (:func:`source_mix_weights`)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        ntok = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        d = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "n_tokens": ntok,
+        })
+        out = (d.groupby("lang", as_index=False)
+               .agg(n_docs=("n_tokens", "size"),
+                    n_tokens=("n_tokens", "sum")))
+        out["_k"] = 0
+        return out.astype({"n_docs": "int64", "n_tokens": "int64"})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = (g.groupby("lang", as_index=False)
+               .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+               .sort_values("lang", kind="mergesort"))
+        ntok = agg["n_tokens"].to_numpy(np.int64)
+        share = ntok.astype(np.float64) / float(ntok.sum())
+        powed = np.power(share, alpha)
+        prob = powed / powed.sum()
+        return pd.DataFrame({
+            "lang": agg["lang"].to_numpy(object),
+            "n_docs": agg["n_docs"].to_numpy(np.int64),
+            "n_tokens": ntok,
+            "token_share": share,
+            "temp_prob": np.round(prob, 6),
+            "upsample": np.round(prob / share, 6),
+        })
+
+    return (read_documents(sf_dir, ["lang", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_k").map_groups(fold, batch_format="pandas"))
+
+
+def doc_budget_select(sf_dir: str, budget_den: int = 4,
+                      n_ranges: int = 32) -> ray.data.Dataset:
+    """Token-budget corpus selection — the "fill the training budget with
+    the best data first" step (the greedy form of quality-ranked data
+    selection, cf. DSIR/DoReMi pipelines): walk documents in
+    ``(quality_x100 DESC, doc_id ASC)`` order and keep each while the
+    RUNNING token total stays within ``total_tokens // budget_den``.
+    Equivalently ``SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+    <= budget`` — a global-ordering prefix scan, the class a naive plan
+    answers with a full sort.
+
+    Distributed as a VALUE-range partition on the integer quality score
+    (the :func:`doc_row_number` / :func:`doc_pack_bins` primitive, keyed
+    on quality instead of doc_id): ``quality_x100`` lives in the fixed
+    domain [0, 10000], so equal-width value ranges are value-disjoint —
+    ties never straddle a range and in-range ``(quality DESC, doc_id)``
+    order composes to the exact global order. Per-range token partials
+    (≤ n_ranges rows) give the driver the exclusive prefix offsets AND
+    the cutoff range; ranges entirely past the budget are pruned BEFORE
+    the exchange, so at ``budget_den=4`` roughly three quarters of the
+    corpus never enters the shuffle. The in-range scan is one vectorized
+    sort + cumsum. All arithmetic is exact int64 (token convention =
+    :func:`doc_quality`), so the result is hash-identical to the SQL
+    window."""
+    import pandas as pd
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+
+    def tag(batch: pa.Table) -> "pd.DataFrame":
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        _, n_tokens, _, _, q = quality_arrays(clean)
+        ids = batch["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "quality_x100": q,
+            "n_tokens": n_tokens,
+            # descending-quality range index, value-disjoint over [0,10000]
+            "_r": (10000 - q) * n_ranges // 10001})
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow").materialize()
+
+    partials = (tagged.map_batches(
+        lambda b: b.groupby("_r", as_index=False).agg(t=("n_tokens", "sum")),
+        batch_format="pandas").to_pandas()
+        .groupby("_r")["t"].sum())          # ≤ n_ranges rows ever
+    total = int(partials.sum())
+    budget = total // budget_den
+    offs = np.zeros(n_ranges, np.int64)
+    cum = 0
+    cutoff = 0
+    for r in range(n_ranges):
+        offs[r] = cum
+        if cum <= budget:
+            cutoff = r
+        cum += int(partials.get(r, 0))
+    off_map = {r: int(offs[r]) for r in range(n_ranges)}
+
+    def select_range(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["quality_x100", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        cum_tok = (g["n_tokens"].to_numpy(np.int64).cumsum()
+                   + off_map[int(g["_r"].iloc[0])])
+        keep = cum_tok <= budget
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+            "quality_x100": g["quality_x100"].to_numpy(np.int64)[keep],
+            "n_tokens": g["n_tokens"].to_numpy(np.int64)[keep],
+            "cum_tokens": cum_tok[keep]})
+
+    # prune: ranges whose exclusive offset already exceeds the budget
+    # can never contribute a kept row (cum >= offset > budget)
+    return (tagged.filter(expr=f"_r <= {cutoff}")
+            .groupby("_r").map_groups(select_range, batch_format="pandas"))

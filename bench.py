@@ -214,6 +214,12 @@ def run_bench() -> dict:
             lambda d: documents.doc_dsir_weights(d).count(), sf_dir),
         "source_trigram_diversity": timed(
             lambda d: len(documents.source_trigram_diversity(d)), sf_dir),
+        "lang_temperature_weights": timed(
+            lambda d: documents.lang_temperature_weights(d).count(), sf_dir),
+        "doc_budget_select": timed(
+            lambda d: documents.doc_budget_select(d).count(), sf_dir),
+        "dedup_incremental": timed(
+            lambda d: dedup.dedup_incremental(d).count(), sf_dir),
     }
 
     ray.shutdown()

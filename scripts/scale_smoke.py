@@ -224,6 +224,17 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
           lambda: documents.doc_dsir_weights(sf_dir))
     timed("source_trigram_diversity",
           lambda: documents.source_trigram_diversity(sf_dir))
+    # closing additions: the quality-range budget scan (its pruning
+    # claim — ~3/4 of the corpus never enters the exchange — is what
+    # the 100x run exercises), the fixed-broadcast Bloom incremental
+    # dedup (misses answered with zero shuffle bytes), and the
+    # bounded-partial temperature-weights fold.
+    timed("doc_budget_select",
+          lambda: documents.doc_budget_select(sf_dir))
+    timed("dedup_incremental",
+          lambda: dedup.dedup_incremental(sf_dir))
+    timed("lang_temperature_weights",
+          lambda: documents.lang_temperature_weights(sf_dir))
     return res
 
 

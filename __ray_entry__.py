@@ -367,6 +367,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "lang_zipf_slope": documents.lang_zipf_slope,             # SQL-matched (Zipf OLS fit, r5)
+        "token_cooccurrence": documents.token_cooccurrence,       # SQL-matched (GloVe window counts, r5)
+        "doc_blocklist_filter": documents.doc_blocklist_filter,   # SQL-matched (C4 bad-words hygiene, r5)
+        "source_vocab_overlap": documents.source_vocab_overlap,   # SQL-matched (vocab Jaccard set-sim join, r5)
         "lang_temperature_weights": documents.lang_temperature_weights,  # SQL-matched (alpha temperature sampling, r5)
         "doc_budget_select": documents.doc_budget_select,         # SQL-matched (token-budget prefix-scan selection, r5)
         "dedup_incremental": dedup.dedup_incremental,             # SQL-matched (snapshot Bloom semi-join dedup, r5)
@@ -977,6 +981,94 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # per-language Zipf slope (engine documents.lang_zipf_slope):
+        # exact int64 counts, rank = row_number (n DESC, token ASC),
+        # OLS slope over top-k via regr_slope, rounded to 6.
+        "lang_zipf_slope": f"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(list_filter(string_split({_CLEAN_LC}, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents),
+            cnt AS (SELECT lang, token, count(*) AS n
+                    FROM tok GROUP BY 1, 2),
+            rk AS (SELECT lang, n,
+                          row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, token) AS r
+                   FROM cnt)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+                   round(regr_slope(ln(n), ln(r)), 6) AS slope
+            FROM rk WHERE r <= 20 GROUP BY lang
+        """,
+        # windowed token co-occurrence (engine
+        # documents.token_cooccurrence): unordered pairs at distance
+        # 1..2 within a document, exact int64 counts; least/greatest on
+        # ASCII tokens matches numpy minimum/maximum.
+        "token_cooccurrence": f"""
+            WITH toks AS (
+                SELECT list_filter(string_split({_CLEAN_LC}, ' '),
+                                   x -> x <> '') AS t
+                FROM documents),
+            pairs AS (
+                SELECT unnest(list_transform(range(1, len(t) - d + 1),
+                           i -> least(t[i], t[i+d]) || ' '
+                                || greatest(t[i], t[i+d]))) AS p
+                FROM toks, (VALUES (1), (2)) AS offs(d))
+            SELECT split_part(p, ' ', 1) AS tok_a,
+                   split_part(p, ' ', 2) AS tok_b,
+                   CAST(count(*) AS BIGINT) AS n_cooccur
+            FROM pairs GROUP BY 1, 2
+        """,
+        # C4-style blocklist hygiene filter (engine
+        # documents.doc_blocklist_filter): exact int64 token/hit counts,
+        # ratio rounded to 6, keep = ratio <= 0.1; zero-token docs
+        # excluded on both engines.
+        "doc_blocklist_filter": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split({_CLEAN_LC}, ' '),
+                                   x -> x <> '') AS t
+                FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(t,
+                        x -> x IN ('spark', 'dup', 'slow'))) AS BIGINT)
+                       AS n_flagged,
+                   round(CAST(len(list_filter(t,
+                        x -> x IN ('spark', 'dup', 'slow'))) AS DOUBLE)
+                        / len(t), 6) AS flag_ratio,
+                   round(CAST(len(list_filter(t,
+                        x -> x IN ('spark', 'dup', 'slow'))) AS DOUBLE)
+                        / len(t), 6) <= 0.1 AS keep
+            FROM toks WHERE len(t) > 0
+        """,
+        # pairwise source-vocabulary Jaccard (engine
+        # documents.source_vocab_overlap): DISTINCT (source, token)
+        # pairs, inner-join intersection (empty intersections absent on
+        # both engines), exact int64 set sizes, ratio rounded to 6.
+        "source_vocab_overlap": f"""
+            WITH st AS (
+                SELECT DISTINCT source, tok FROM (
+                    SELECT source,
+                           unnest(list_filter(string_split({_CLEAN_LC}, ' '),
+                                              x -> x <> '')) AS tok
+                    FROM documents)),
+            cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                    FROM st GROUP BY source),
+            pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM st a JOIN st b
+                  ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2)
+            SELECT p.source_a, p.source_b, p.n_common,
+                   ca.n AS n_a, cb.n AS n_b,
+                   round(CAST(p.n_common AS DOUBLE)
+                         / (ca.n + cb.n - p.n_common), 6) AS jaccard
+            FROM pairs p
+            JOIN cnt ca ON p.source_a = ca.source
+            JOIN cnt cb ON p.source_b = cb.source
+        """,
         # alpha-temperature multilingual sampling weights (engine
         # documents.lang_temperature_weights): exact int64 token counts,
         # token_share one IEEE division, the two pow-derived ratios

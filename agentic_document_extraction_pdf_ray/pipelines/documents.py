@@ -2426,3 +2426,247 @@ def doc_budget_select(sf_dir: str, budget_den: int = 4,
     # can never contribute a kept row (cum >= offset > budget)
     return (tagged.filter(expr=f"_r <= {cutoff}")
             .groupby("_r").map_groups(select_range, batch_format="pandas"))
+
+
+# C4-style blocklist hygiene filter. The list is a fixed constant the way
+# the C4 "List of Dirty, Naughty …" wordlist is: known at plan-build time,
+# tiny, compiled into every task (no broadcast needed at any scale).
+BLOCKLIST_TOKENS: tuple[str, ...] = ("spark", "dup", "slow")
+BLOCKLIST_MAX_RATIO = 0.1          # keep docs at or below this hit share
+
+
+def doc_blocklist_filter(sf_dir: str) -> ray.data.Dataset:
+    """Blocklist-token hygiene filter (the C4 / RefinedWeb "bad words"
+    pass, reference analogue: the hallucination-pattern token screens of
+    ``/root/reference/src/validation/pattern_detector.py:385-439`` applied
+    corpus-wide): per document, count whitespace tokens that appear in the
+    fixed :data:`BLOCKLIST_TOKENS` list, emit the exact counts plus the
+    keep decision ``flag_ratio <= BLOCKLIST_MAX_RATIO``.
+
+    Embarrassingly parallel — one vectorized ``map_batches`` (Arrow split
+    → ``pc.is_in`` → ``np.bincount`` over list-parent indices), no
+    shuffle, streaming output; the per-task cost is O(tokens in batch).
+    Ratio is a float64 ratio of exact int64 counts rounded to 6 (repo
+    oracle convention). Zero-token docs are excluded on both engines
+    (the ratio is undefined there)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=pa.array(BLOCKLIST_TOKENS)) \
+            .to_numpy(zero_copy_only=False)
+        n_rows = len(batch)
+        n_tokens = np.bincount(parents[nonempty], minlength=n_rows) \
+            .astype(np.int64)
+        n_flagged = np.bincount(parents[nonempty & hit], minlength=n_rows) \
+            .astype(np.int64)
+        keep_rows = n_tokens > 0
+        ratio = np.round(n_flagged[keep_rows]
+                         / n_tokens[keep_rows].astype(np.float64), 6)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64())
+            .filter(pa.array(keep_rows)),
+            "n_tokens": pa.array(n_tokens[keep_rows]),
+            "n_flagged": pa.array(n_flagged[keep_rows]),
+            "flag_ratio": pa.array(ratio),
+            "keep": pa.array(ratio <= BLOCKLIST_MAX_RATIO),
+        })
+
+    return (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(fn, batch_format="pyarrow"))
+
+
+def source_vocab_overlap(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
+    """Pairwise source-vocabulary Jaccard — the set-similarity join a
+    data-mixing report uses to spot near-duplicate crawls/sources before
+    blending (corpus-level sibling of the per-pair similarity ladder,
+    reference ``src/utils/string_utils.py:280-352``): for every source
+    pair, ``|V_a ∩ V_b| / |V_a ∪ V_b|`` over distinct lowercased
+    whitespace-token vocabularies.
+
+    No source's vocabulary is ever collected whole: per-batch DISTINCT
+    ``(source, token)`` partials (the map-side combiner — exchange is
+    bounded by #sources × vocab, never the token stream) → token-hash
+    buckets. A token lives in exactly ONE bucket, so the in-bucket pandas
+    self-merge yields exact per-pair intersection PARTIALS and exact
+    per-source distinct-count partials; both fold in one driver-side sum
+    over ≤ n_buckets × |sources|² narrow rows. Pairs with an empty
+    intersection are not emitted (mirrored in the oracle's inner join).
+    """
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        d = (pd.DataFrame({"source": src[parents[keep]],
+                           "token": flat[keep]})
+             .drop_duplicates())
+        d["_bucket"] = (hash_str_array(d["token"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def bucket_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        st = g[["source", "token"]].drop_duplicates()
+        m = st.merge(st, on="token")
+        m = m[m["source_x"] < m["source_y"]]
+        pairs = (m.groupby(["source_x", "source_y"], as_index=False)
+                 .agg(n_common=("token", "size")))
+        pairs = pairs.rename(columns={"source_x": "source_a",
+                                      "source_y": "source_b"})
+        sizes = (st.groupby("source", as_index=False)
+                 .agg(n_vocab=("token", "size")))
+        sizes = pd.DataFrame({"source_a": sizes["source"],
+                              "source_b": "",        # per-source size rows
+                              "n_common": -sizes["n_vocab"]})
+        return pd.concat([pairs, sizes], ignore_index=True)
+
+    rows = (read_documents(sf_dir, ["source", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_fold, batch_format="pandas")
+            .to_pandas())                  # ≤ n_buckets × |S|² narrow rows
+
+    sizes = (rows[rows["source_b"] == ""]
+             .groupby("source_a")["n_common"].sum().mul(-1))
+    pairs = (rows[rows["source_b"] != ""]
+             .groupby(["source_a", "source_b"], as_index=False)
+             ["n_common"].sum())
+    n_a = sizes.reindex(pairs["source_a"]).to_numpy(np.int64)
+    n_b = sizes.reindex(pairs["source_b"]).to_numpy(np.int64)
+    common = pairs["n_common"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "source_a": pairs["source_a"],
+        "source_b": pairs["source_b"],
+        "n_common": common,
+        "n_a": n_a,
+        "n_b": n_b,
+        "jaccard": np.round(common / (n_a + n_b - common).astype(np.float64),
+                            6),
+    })
+    return out.sort_values(["source_a", "source_b"],
+                           ignore_index=True)
+
+
+def lang_zipf_slope(sf_dir: str, k: int = 20,
+                    n_buckets: int = 32) -> "pd.DataFrame":
+    """Per-language Zipf-law slope — the corpus-health diagnostic
+    (a natural-language slice fits ln(freq) ≈ a + s·ln(rank) with
+    s ≈ −1; machine-generated or template boilerplate departs sharply):
+    OLS slope of ``ln(n)`` on ``ln(rank)`` over each language's top-``k``
+    tokens, rank ordered ``(n DESC, token ASC)``.
+
+    Plan: the :func:`doc_vocab_topk` skeleton keyed ``(lang, token)`` —
+    per-batch combiner partials → token-hash buckets (a token's count
+    folds exactly in ONE bucket) → per-bucket per-lang partial top-k, so
+    at most ``n_buckets × |langs| × k`` narrow rows ever reach the
+    driver, where the final top-k merge and the closed-form OLS (float64
+    over exact int64 counts, slope rounded to 6 — the repo float
+    convention) are O(|langs|·k)."""
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        d = (pd.DataFrame({"lang": lang[parents[keep]], "token": flat[keep]})
+             .groupby(["lang", "token"], sort=False)
+             .size().reset_index(name="n"))
+        d["_bucket"] = (hash_str_array(d["token"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def bucket_topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = g.groupby(["lang", "token"], as_index=False)["n"].sum()
+        c = c.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort")
+        return c.groupby("lang", sort=False).head(k)
+
+    cand = (read_documents(sf_dir, ["lang", "text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_topk, batch_format="pandas")
+            .to_pandas())                  # ≤ n_buckets × |langs| × k rows
+
+    cand = cand.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort")
+    top = cand.groupby("lang", sort=False).head(k)
+
+    rows = []
+    for lang, g in top.groupby("lang", sort=True):
+        n = g["n"].to_numpy(np.int64)
+        x = np.log(np.arange(1, len(n) + 1, dtype=np.float64))
+        y = np.log(n.astype(np.float64))
+        xc, yc = x - x.mean(), y - y.mean()
+        rows.append({"lang": lang, "n_terms": np.int64(len(n)),
+                     "slope": np.round((xc @ yc) / (xc @ xc), 6)})
+    return pd.DataFrame(rows, columns=["lang", "n_terms", "slope"])
+
+
+def token_cooccurrence(sf_dir: str, window: int = 2,
+                       n_buckets: int = 64) -> ray.data.Dataset:
+    """Windowed token co-occurrence counts — the GloVe / word2vec
+    count-matrix builder (Pennington et al. 2014 §3): for every token
+    position, count the unordered pair it forms with each neighbour at
+    distance 1..``window`` inside the same document; emit
+    ``(tok_a ≤ tok_b, n_cooccur)`` over the whole corpus.
+
+    The pair stream never leaves its read task un-aggregated: per-batch
+    vectorized pair formation (numpy shifted-slice compare on the
+    flattened token stream — no Python loop over positions) feeds a
+    C-level pandas groupby combiner, so the exchange carries one row per
+    (batch, distinct pair) — bounded by vocab², not by corpus positions.
+    One pair-hash bucket shuffle folds partials exactly (a pair lives in
+    one bucket). Counts are exact int64."""
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        flat, parents = flat[keep], parents[keep]
+        lo_all, hi_all = [], []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            same = parents[d:] == parents[:-d]
+            a, b = flat[:-d][same], flat[d:][same]
+            lo_all.append(np.minimum(a, b))
+            hi_all.append(np.maximum(a, b))
+        if not lo_all:
+            return pd.DataFrame({"tok_a": [], "tok_b": [], "n": [],
+                                 "_bucket": []})
+        d = (pd.DataFrame({"tok_a": np.concatenate(lo_all),
+                           "tok_b": np.concatenate(hi_all)})
+             .groupby(["tok_a", "tok_b"], sort=False)
+             .size().reset_index(name="n"))
+        d["_bucket"] = (hash_str_array(
+            (d["tok_a"] + " " + d["tok_b"]).to_numpy(object))
+            % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(["tok_a", "tok_b"], as_index=False)["n"].sum()
+        out["n_cooccur"] = out.pop("n").astype("int64")
+        return out
+
+    return (read_documents(sf_dir, ["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pandas"))

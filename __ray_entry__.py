@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "source_contamination_matrix": dedup.source_contamination_matrix,  # SQL-matched (per-source leakage report, r5)
+        "doc_curriculum_order": documents.doc_curriculum_order,   # SQL-matched (quality-staged curriculum rank, r5)
         "lang_zipf_slope": documents.lang_zipf_slope,             # SQL-matched (Zipf OLS fit, r5)
         "token_cooccurrence": documents.token_cooccurrence,       # SQL-matched (GloVe window counts, r5)
         "doc_blocklist_filter": documents.doc_blocklist_filter,   # SQL-matched (C4 bad-words hygiene, r5)
@@ -981,6 +983,63 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # per-source contamination report (engine
+        # dedup.source_contamination_matrix): doc_decontaminate's
+        # shingle semi-join joined back to sources; LEFT JOIN keeps
+        # zero-contamination sources; exact int64 counts, rate round 6.
+        "source_contamination_matrix": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk
+                       FROM documents),
+            s AS (SELECT DISTINCT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 6),
+                             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                                  || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+                                  || ' ' || tk[i+6] || ' ' || tk[i+7])) AS sh
+                  FROM t WHERE len(tk) >= 8),
+            b AS (SELECT DISTINCT sh FROM s WHERE doc_id % 7 = 0),
+            ov AS (SELECT s.doc_id, count(*) AS n_overlap
+                   FROM s JOIN b USING (sh)
+                   WHERE s.doc_id % 7 <> 0 GROUP BY s.doc_id),
+            tr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train
+                   FROM documents WHERE doc_id % 7 <> 0 GROUP BY source),
+            c AS (SELECT d.source,
+                         CAST(count(*) AS BIGINT) AS n_contaminated,
+                         CAST(sum(ov.n_overlap) AS BIGINT) AS total_overlap
+                  FROM ov JOIN documents d USING (doc_id)
+                  GROUP BY d.source)
+            SELECT tr.source, tr.n_train,
+                   coalesce(c.n_contaminated, 0) AS n_contaminated,
+                   coalesce(c.total_overlap, 0) AS total_overlap,
+                   round(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE)
+                         / tr.n_train, 6) AS contamination_rate
+            FROM tr LEFT JOIN c USING (source)
+        """,
+        # quality-staged curriculum rank (engine
+        # documents.doc_curriculum_order): band = quality_x100 // 2500,
+        # global row_number by (band DESC, md5 key, doc_id); quality
+        # formula verbatim from doc_budget_select.
+        "doc_curriculum_order": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS ct FROM documents),
+            m AS (SELECT doc_id,
+                         CAST(floor((0.4 * (length(regexp_replace(ct, '[^A-Za-z]', '', 'g'))
+                                            / CAST(greatest(length(ct), 1) AS DOUBLE))
+                                   + 0.3 * least(1.0, len(string_split_regex(ct, '\\s+')) / 100.0)
+                                   + 0.3 * (1.0 - length(regexp_replace(ct, '[^0-9]', '', 'g'))
+                                            / CAST(greatest(length(ct), 1) AS DOUBLE)))
+                                  * 10000 + 0.5) AS BIGINT) AS quality_x100
+                  FROM c),
+            k AS (SELECT doc_id, quality_x100,
+                         quality_x100 // 2500 AS band,
+                         md5(CAST(doc_id AS VARCHAR) || '|cur')
+                             AS shuffle_key
+                  FROM m)
+            SELECT doc_id, quality_x100, CAST(band AS BIGINT) AS band,
+                   shuffle_key,
+                   CAST(ROW_NUMBER() OVER (
+                        ORDER BY band DESC, shuffle_key, doc_id)
+                        AS BIGINT) AS curriculum_pos
+            FROM k
+        """,
         # per-language Zipf slope (engine documents.lang_zipf_slope):
         # exact int64 counts, rank = row_number (n DESC, token ASC),
         # OLS slope over top-k via regr_slope, rounded to 6.

@@ -1694,3 +1694,83 @@ def dedup_incremental(sf_dir: str, n_buckets: int = 32,
                                                batch_format="pandas"))
     return probed.map_batches(misses,
                               batch_format="pandas").union(verified)
+
+
+def source_contamination_matrix(sf_dir: str, n: int = 8, bench_mod: int = 7,
+                                n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-source benchmark-contamination report — the hygiene summary a
+    curation run publishes next to :func:`doc_decontaminate`'s per-doc
+    rows: for every source, the number of TRAIN documents (the
+    ``doc_id % bench_mod != 0`` slice), how many of them share at least
+    one distinct word ``n``-gram with the held-out benchmark slice, the
+    total overlapping-shingle count, and the contamination rate.
+
+    The per-doc overlap rows reuse :func:`doc_decontaminate`'s
+    distributed semi-join verbatim (no broadcast of the benchmark side).
+    Attaching ``source`` is the corpus-sized-both-sides problem: the
+    doc→source table cannot be a driver dict at 100 TB, so both row sets
+    meet in doc-hash buckets via a schema-aligned union (the
+    edge-attribute-attach pattern, cf. ``dup_source_matrix``), where a
+    vectorized in-bucket merge emits per-source PARTIALS; the final
+    exchange is one grouped sum over ≤ n_buckets × |sources| narrow
+    rows. Sources with zero contamination still appear (their train
+    count rides the documents side of the union)."""
+    contaminated = doc_decontaminate(sf_dir, n=n, bench_mod=bench_mod,
+                                     n_buckets=n_buckets)
+
+    def tag_doc(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        train = ids % bench_mod != 0
+        return pd.DataFrame({
+            "doc_id": ids[train],
+            "source": batch["source"].to_numpy(zero_copy_only=False)[train],
+            "n_overlap": np.int64(0),
+            "is_doc": True,
+            "_db": bucket_int_array(ids[train], n_buckets)})
+
+    def tag_contam(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "source": "",
+            "n_overlap": batch["n_overlap"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "is_doc": False,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    docs_side = (read_documents(sf_dir, ["doc_id", "source"])
+                 .map_batches(tag_doc, batch_format="pyarrow"))
+    cont_side = contaminated.map_batches(tag_contam, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["is_doc"]]
+        cont = g[~g["is_doc"]][["doc_id", "n_overlap"]]
+        merged = docs.merge(cont, on="doc_id", how="left")
+        hit = merged["n_overlap_y"].notna()
+        out = (pd.DataFrame({
+            "source": merged["source"],
+            "one": np.int64(1),
+            "contam": hit.astype(np.int64),
+            "overlap": merged["n_overlap_y"].fillna(0).astype(np.int64)})
+            .groupby("source", as_index=False).sum())
+        return out
+
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch["source"],
+            "n_train": batch["n_train"].astype("int64"),
+            "n_contaminated": batch["n_contaminated"].astype("int64"),
+            "total_overlap": batch["total_overlap"].astype("int64"),
+            "contamination_rate": np.round(
+                batch["n_contaminated"].to_numpy(np.float64)
+                / batch["n_train"].to_numpy(np.float64), 6)})
+
+    return (docs_side.union(cont_side)
+            .groupby("_db").map_groups(attach, batch_format="pandas")
+            .groupby("source")
+            .aggregate(Sum("one", alias_name="n_train"),
+                       Sum("contam", alias_name="n_contaminated"),
+                       Sum("overlap", alias_name="total_overlap"))
+            .map_batches(finish, batch_format="pandas"))

@@ -2670,3 +2670,64 @@ def token_cooccurrence(sf_dir: str, window: int = 2,
             .map_batches(partial, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(fold, batch_format="pandas"))
+
+
+def doc_curriculum_order(sf_dir: str, band_width: int = 2500,
+                         n_ranges_per_band: int = 256) -> ray.data.Dataset:
+    """Curriculum data ordering — the quality-staged training schedule
+    (curriculum-learning recipe: highest-quality band first, pseudorandom
+    order inside a band so no source/length bias survives): every
+    document gets its global 1-based ``curriculum_pos`` under the order
+    ``(band DESC, shuffle_key ASC, doc_id ASC)`` with
+    ``band = quality_x100 // band_width`` and
+    ``shuffle_key = md5(doc_id|cur)``.
+
+    Global ranking without a global sort — the :func:`doc_row_number` /
+    :func:`doc_epoch_shuffle` range-partition machinery on the COMPOSITE
+    value-disjoint key ``(band DESC, first two hex chars of the key)``:
+    ties never straddle a range (band and hex prefix are both prefixes
+    of the global order), so per-range counts → a ≤5×256-entry driver
+    prefix sum → one vectorized in-range argsort reproduce the exact
+    global row number; no task ever holds more than ~N/(5·256) rows.
+    md5-per-row is the documented DuckDB-parity price
+    (:func:`doc_sample`)."""
+    import pandas as pd
+
+    def tag(batch: pa.Table) -> "pd.DataFrame":
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        _, _, _, _, q = quality_arrays(clean)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [hashlib.md5(f"{i}|cur".encode()).hexdigest() for i in ids]
+        band = q // band_width
+        g = np.array([int(k[:2], 16) for k in keys], np.int64)
+        max_band = 10000 // band_width
+        return pd.DataFrame({
+            "doc_id": ids, "quality_x100": q, "band": band,
+            "shuffle_key": keys,
+            "_r": (max_band - band) * n_ranges_per_band + g})
+
+    tagged = (read_documents(sf_dir, ["doc_id", "text"])
+              .map_batches(tag, batch_format="pyarrow").materialize())
+    n_ranges = (10000 // band_width + 1) * n_ranges_per_band
+    counts = (tagged.map_batches(
+        lambda b: b.groupby("_r", as_index=False).agg(c=("_r", "size")),
+        batch_format="pandas").to_pandas()
+        .groupby("_r")["c"].sum())          # ≤ n_ranges narrow rows ever
+    offs = {}
+    cum = 0
+    for r in range(n_ranges):
+        offs[r] = cum
+        cum += int(counts.get(r, 0))
+
+    def rank_range(grp: "pd.DataFrame") -> "pd.DataFrame":
+        grp = grp.sort_values(["shuffle_key", "doc_id"], kind="mergesort")
+        pos = offs[int(grp["_r"].iloc[0])] + np.arange(1, len(grp) + 1,
+                                                       dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": grp["doc_id"].to_numpy(np.int64),
+            "quality_x100": grp["quality_x100"].to_numpy(np.int64),
+            "band": grp["band"].to_numpy(np.int64),
+            "shuffle_key": grp["shuffle_key"].to_numpy(object),
+            "curriculum_pos": pos})
+
+    return tagged.groupby("_r").map_groups(rank_range, batch_format="pandas")

@@ -367,6 +367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "doc_count_cosine_pairs": dedup.doc_count_cosine_pairs,   # SQL-matched (sparse cosine sim join, r5)
+        "doc_prefix_containment": dedup.doc_prefix_containment,   # SQL-matched (crawl-truncation containment, r5)
         "source_contamination_matrix": dedup.source_contamination_matrix,  # SQL-matched (per-source leakage report, r5)
         "doc_curriculum_order": documents.doc_curriculum_order,   # SQL-matched (quality-staged curriculum rank, r5)
         "lang_zipf_slope": documents.lang_zipf_slope,             # SQL-matched (Zipf OLS fit, r5)
@@ -983,6 +985,63 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # sparse count-vector cosine pairs (engine
+        # dedup.doc_count_cosine_pairs): exact int64 tf dot products and
+        # norms, df cap 1000 on dot terms only (norms full-vector), one
+        # final double division mirrored term-for-term, rounded to 6.
+        "doc_count_cosine_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split({_CLEAN_LC}, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n2 AS (SELECT doc_id, sum(tf * tf) AS n2
+                   FROM tf GROUP BY doc_id),
+            dots AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       sum(a.tf * b.tf) AS dot
+                FROM tf a
+                JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                JOIN df ON df.tok = a.tok
+                WHERE df.df <= 1000
+                GROUP BY 1, 2)
+            SELECT d.doc_a, d.doc_b, CAST(d.dot AS BIGINT) AS dot,
+                   round(CAST(d.dot AS DOUBLE)
+                         / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6)
+                       AS cosine
+            FROM dots d
+            JOIN n2 na ON d.doc_a = na.doc_id
+            JOIN n2 nb ON d.doc_b = nb.doc_id
+            WHERE CAST(d.dot AS DOUBLE)
+                  / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.99
+        """,
+        # whole-token prefix containment (engine
+        # dedup.doc_prefix_containment): starts_with on normalized text
+        # + a token boundary, contained side >= 8 tokens; the engine's
+        # first-8-token blocking is lossless under these conditions, and
+        # key blocks > 64 docs are excluded on both engines (hot-key cap).
+        "doc_prefix_containment": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN} AS ct FROM documents),
+            keyed AS (
+                SELECT doc_id, ct,
+                       array_to_string(string_split(ct, ' ')[1:8], ' ')
+                           AS key
+                FROM c WHERE len(string_split(ct, ' ')) >= 8),
+            live AS (
+                SELECT * FROM keyed WHERE key IN (
+                    SELECT key FROM keyed GROUP BY key
+                    HAVING count(*) <= 64))
+            SELECT a.doc_id AS contained, b.doc_id AS container,
+                   CAST(length(a.ct) AS BIGINT) AS len_a,
+                   CAST(length(b.ct) AS BIGINT) AS len_b
+            FROM live a JOIN live b
+              ON a.key = b.key
+             AND length(b.ct) > length(a.ct)
+             AND starts_with(b.ct, a.ct || ' ')
+        """,
         # per-source contamination report (engine
         # dedup.source_contamination_matrix): doc_decontaminate's
         # shingle semi-join joined back to sources; LEFT JOIN keeps

@@ -1774,3 +1774,181 @@ def source_contamination_matrix(sf_dir: str, n: int = 8, bench_mod: int = 7,
                        Sum("contam", alias_name="n_contaminated"),
                        Sum("overlap", alias_name="total_overlap"))
             .map_batches(finish, batch_format="pandas"))
+
+
+DF_COSINE_CAP = 1000     # tokens in more docs than this are excluded from
+                         # dot products (bounds the self-join fan-out;
+                         # mirrored in the oracle — same pattern as
+                         # HOT_SHINGLE_DOC_CAP). Norms use the FULL vector.
+
+
+def doc_count_cosine_pairs(sf_dir: str, threshold: float = 0.99,
+                           n_buckets: int = 64) -> ray.data.Dataset:
+    """Sparse count-vector cosine near-dup pairs — the bag-of-words
+    similarity join (the exact small-scale verification path for the
+    embedding near-dup family, reference similarity ladder
+    ``/root/reference/src/utils/string_utils.py:280-352``): pairs
+    ``doc_a < doc_b`` whose lowercased token-count vectors have cosine
+    ≥ ``threshold``. All inner products are EXACT int64 (tf·tf sums);
+    the single float op is the final ``dot / sqrt(n2_a · n2_b)``,
+    mirrored term-for-term in the oracle and rounded to 6.
+
+    Same three-shuffle pair/size-ride skeleton as
+    :func:`ngram_jaccard_pairs`: (1) per-batch exact ``(doc, token, tf)``
+    rows (a doc lives in one batch) → token-hash buckets, where tokens
+    with document frequency > :data:`DF_COSINE_CAP` are dropped from
+    pair generation (a token lives in ONE bucket, so in-bucket df IS
+    global df) and a vectorized self-merge emits pair partial DOTS plus
+    per-doc partial NORM² rows in the same frame; (2) co-bucket on
+    ``doc_a``: dots and norms finish summing, ``n2_a`` attaches;
+    (3) co-bucket on ``doc_b``: ``n2_b`` attaches, cosine + filter.
+    The norm table never hits the driver and is never broadcast."""
+    def tf_rows(batch: pa.Table) -> pd.DataFrame:
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (pd.DataFrame({"doc_id": ids[parents[keep]], "token": flat[keep]})
+             .groupby(["doc_id", "token"], sort=False)
+             .size().reset_index(name="tf"))
+        d["_bucket"] = (hash_str_array(d["token"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def bucket_dots_and_norms(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["tf2"] = g["tf"] * g["tf"]
+        n2 = g.groupby("doc_id", as_index=False).agg(_n2=("tf2", "sum"))
+        freq = g["token"].value_counts()
+        live = g[g["token"].isin(freq[freq <= DF_COSINE_CAP].index)]
+        m = live.merge(live, on="token")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        m["_d"] = m["tf_x"] * m["tf_y"]
+        p = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+             .agg(val=("_d", "sum")))
+        p = p.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        p["_side"] = "p"
+        s = pd.DataFrame({
+            "doc_a": n2["doc_id"].to_numpy(np.int64),
+            "doc_b": np.zeros(len(n2), np.int64),
+            "val": n2["_n2"].to_numpy(np.int64),
+            "_side": "s"})
+        both = pd.concat([p, s], ignore_index=True)
+        both["_jb"] = bucket_int_array(both["doc_a"].to_numpy(np.int64),
+                                       n_buckets)
+        return both
+
+    stage1 = (read_documents(sf_dir, ["doc_id", "text"])
+              .map_batches(tf_rows, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(bucket_dots_and_norms, batch_format="pandas"))
+
+    def attach_n2_a(g: pd.DataFrame) -> pd.DataFrame:
+        n2 = (g[g["_side"] == "s"]
+              .groupby("doc_a", as_index=False).agg(n2=("val", "sum")))
+        p = (g[g["_side"] == "p"]
+             .groupby(["doc_a", "doc_b"], as_index=False)
+             .agg(val=("val", "sum")))
+        p = p.merge(n2.rename(columns={"n2": "n2_a"}), on="doc_a",
+                    how="inner")
+        p["_side"] = "p"
+        s = pd.DataFrame({
+            "doc_a": np.zeros(len(n2), np.int64),
+            "doc_b": n2["doc_a"].to_numpy(np.int64),
+            "val": n2["n2"].to_numpy(np.int64),
+            "n2_a": np.zeros(len(n2), np.int64),
+            "_side": "s"})
+        both = pd.concat([p[["doc_a", "doc_b", "val", "n2_a", "_side"]], s],
+                         ignore_index=True)
+        both["_jb2"] = bucket_int_array(both["doc_b"].to_numpy(np.int64),
+                                        n_buckets)
+        return both
+
+    stage2 = stage1.groupby("_jb").map_groups(attach_n2_a,
+                                              batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n2 = (g[g["_side"] == "s"]
+              .groupby("doc_b", as_index=False).agg(n2_b=("val", "sum")))
+        p = g[g["_side"] == "p"].merge(n2, on="doc_b", how="inner")
+        dot = p["val"].to_numpy(np.int64)
+        cos = dot / np.sqrt((p["n2_a"].to_numpy(np.int64)
+                             * p["n2_b"].to_numpy(np.int64))
+                            .astype(np.float64))
+        keep = cos >= threshold
+        return pd.DataFrame({
+            "doc_a": p["doc_a"].to_numpy(np.int64)[keep],
+            "doc_b": p["doc_b"].to_numpy(np.int64)[keep],
+            "dot": dot[keep],
+            "cosine": np.round(cos[keep], 6)})
+
+    return stage2.groupby("_jb2").map_groups(finish, batch_format="pandas")
+
+
+PREFIX_BLOCK_CAP = 64    # first-k-token key blocks larger than this are
+                         # skipped from containment pair generation
+                         # (mirrored in the oracle — the HOT_SHINGLE /
+                         # FUZZY_BLOCK_CAP hot-key guard; a block this
+                         # hot is an exact-prefix family the upstream
+                         # keep-first dedup collapses anyway)
+
+
+def doc_prefix_containment(sf_dir: str, k: int = 8,
+                           n_buckets: int = 64) -> ray.data.Dataset:
+    """Whole-token prefix containment pairs — the crawl-truncation
+    artifact detector (a scrape that re-fetched a page mid-render leaves
+    document A equal to a strict prefix of document B): ordered pairs
+    where ``container``'s normalized text starts with ``contained``'s
+    FULL normalized text followed by a token boundary, contained docs
+    restricted to ≥ ``k`` tokens (the blocking-key precondition).
+
+    The blocking is LOSSLESS, not approximate: if B starts with A+' '
+    and A has ≥ k tokens, then A and B share their first-``k``-token
+    key exactly, so one key-hash bucket shuffle finds every qualifying
+    pair (same key as :func:`dedup_exact_prefix`). In-bucket work is a
+    per-key self-merge + a length-gated ``startswith`` over pairs, with
+    key blocks above :data:`PREFIX_BLOCK_CAP` docs excluded on BOTH
+    engines (a key lives in one bucket, so in-bucket block size IS
+    global block size) — the O(b²) guard; a production corpus runs the
+    keep-first exact dedup upstream so identical-prefix families are
+    already collapsed. The exchange ships each doc's clean text once
+    (the payload price every containment check must pay somewhere)."""
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        clean = _norm_ws(pc.fill_null(batch["text"], ""))
+        toks = pc.split_pattern(clean, " ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        texts = clean.to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = n_tok >= k
+        keys = np.array([" ".join(t.split(" ")[:k]) for t in texts[ok]],
+                        object)
+        d = pd.DataFrame({"_key": keys, "doc_id": ids[ok],
+                          "text": texts[ok]})
+        d["_bucket"] = (hash_str_array(keys) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        return d
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g["_key"].value_counts()
+        g = g[g["_key"].isin(sizes[sizes <= PREFIX_BLOCK_CAP].index)]
+        m = g.merge(g, on="_key")
+        la = m["text_x"].str.len().to_numpy(np.int64)
+        lb = m["text_y"].str.len().to_numpy(np.int64)
+        m = m[lb > la]
+        hit = np.fromiter(
+            (y.startswith(x + " ")
+             for x, y in zip(m["text_x"], m["text_y"])),
+            bool, count=len(m))
+        m = m[hit]
+        return pd.DataFrame({
+            "contained": m["doc_id_x"].to_numpy(np.int64),
+            "container": m["doc_id_y"].to_numpy(np.int64),
+            "len_a": m["text_x"].str.len().to_numpy(np.int64),
+            "len_b": m["text_y"].str.len().to_numpy(np.int64)})
+
+    return (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(block_pairs, batch_format="pandas"))

@@ -220,6 +220,22 @@ def run_bench() -> dict:
             lambda d: documents.doc_budget_select(d).count(), sf_dir),
         "dedup_incremental": timed(
             lambda d: dedup.dedup_incremental(d).count(), sf_dir),
+        "doc_blocklist_filter": timed(
+            lambda d: documents.doc_blocklist_filter(d).count(), sf_dir),
+        "source_vocab_overlap": timed(
+            lambda d: len(documents.source_vocab_overlap(d)), sf_dir),
+        "lang_zipf_slope": timed(
+            lambda d: len(documents.lang_zipf_slope(d)), sf_dir),
+        "token_cooccurrence": timed(
+            lambda d: documents.token_cooccurrence(d).count(), sf_dir),
+        "source_contamination_matrix": timed(
+            lambda d: dedup.source_contamination_matrix(d).count(), sf_dir),
+        "doc_curriculum_order": timed(
+            lambda d: documents.doc_curriculum_order(d).count(), sf_dir),
+        "doc_count_cosine_pairs": timed(
+            lambda d: dedup.doc_count_cosine_pairs(d).count(), sf_dir),
+        "doc_prefix_containment": timed(
+            lambda d: dedup.doc_prefix_containment(d).count(), sf_dir),
     }
 
     ray.shutdown()

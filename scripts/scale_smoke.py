@@ -235,6 +235,28 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
           lambda: dedup.dedup_incremental(sf_dir))
     timed("lang_temperature_weights",
           lambda: documents.lang_temperature_weights(sf_dir))
+    # this session's additions: the vocab-Jaccard set-similarity join
+    # (its (source, token) DISTINCT partial volume grows with corpus
+    # vocab), the shingle semi-join + doc-bucket source attach (both
+    # sides corpus-sized), the GloVe window-pair combiner (pair partials
+    # bounded by vocab² per batch), and the composite-range curriculum
+    # rank (its sort exchange grows with the corpus).
+    timed("source_vocab_overlap",
+          lambda: documents.source_vocab_overlap(sf_dir))
+    timed("source_contamination_matrix",
+          lambda: dedup.source_contamination_matrix(sf_dir))
+    timed("token_cooccurrence",
+          lambda: documents.token_cooccurrence(sf_dir))
+    timed("doc_curriculum_order",
+          lambda: documents.doc_curriculum_order(sf_dir))
+    # pair-generating additions (the dup-density-sensitive class): the
+    # sparse-cosine three-shuffle and the lossless prefix-containment
+    # blocking — the tiled corpus makes every source doc a 100-member
+    # shared-prefix family, the worst case for both.
+    timed("doc_count_cosine_pairs",
+          lambda: dedup.doc_count_cosine_pairs(sf_dir))
+    timed("doc_prefix_containment",
+          lambda: dedup.doc_prefix_containment(sf_dir))
     return res
 
 

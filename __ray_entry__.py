@@ -143,6 +143,11 @@ def _q_conv_modalities(sf_dir: str) -> Any:
     return conv_modalities(_transcripts_for(sf_dir))
 
 
+def _q_conv_tool_stats(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_tool_stats
+    return conv_tool_stats(_transcripts_for(sf_dir))
+
+
 def _q_conv_stream_flags(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_stream_flags
     return conv_stream_flags(_transcripts_for(sf_dir))
@@ -367,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_tool_stats": _q_conv_tool_stats,                    # SQL-matched (agent tool-usage profile, r5)
         "doc_count_cosine_pairs": dedup.doc_count_cosine_pairs,   # SQL-matched (sparse cosine sim join, r5)
         "doc_prefix_containment": dedup.doc_prefix_containment,   # SQL-matched (crawl-truncation containment, r5)
         "source_contamination_matrix": dedup.source_contamination_matrix,  # SQL-matched (per-source leakage report, r5)
@@ -1458,6 +1464,33 @@ def oracle_sql() -> dict[str, str]:
                   UNION SELECT DISTINCT conv_id, 'prose' FROM k)
             SELECT conv_id, string_agg(kind, ',' ORDER BY kind) AS modalities
             FROM f GROUP BY conv_id
+        """,
+        # per-conversation tool-usage profile (engine
+        # extract.conv_tool_stats): exact int64 counts, dominant tool =
+        # row_number (n DESC, tool ASC), ratio rounded to 6; convs with
+        # zero tool calls keep top_tool = ''.
+        "conv_tool_stats": f"""
+            WITH t AS (SELECT conv_id, coalesce(tool, '') AS tool
+                       FROM {_T_SRC}),
+            base AS (SELECT conv_id,
+                            CAST(count(*) AS BIGINT) AS n_turns,
+                            CAST(count(CASE WHEN tool <> '' THEN 1 END)
+                                 AS BIGINT) AS n_tool_calls,
+                            CAST(count(DISTINCT CASE WHEN tool <> ''
+                                       THEN tool END) AS BIGINT) AS n_tools
+                     FROM t GROUP BY conv_id),
+            tc AS (SELECT conv_id, tool, count(*) AS n FROM t
+                   WHERE tool <> '' GROUP BY 1, 2),
+            md AS (SELECT conv_id, tool AS top_tool FROM (
+                       SELECT conv_id, tool,
+                              row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY n DESC, tool) AS rn
+                       FROM tc) WHERE rn = 1)
+            SELECT b.conv_id, b.n_turns, b.n_tool_calls, b.n_tools,
+                   coalesce(md.top_tool, '') AS top_tool,
+                   round(CAST(b.n_tool_calls AS DOUBLE) / b.n_turns, 6)
+                       AS tool_ratio
+            FROM base b LEFT JOIN md USING (conv_id)
         """,
         "conv_stream_flags": f"""
             WITH c0 AS (SELECT conv_id, text, {_T_STRIP} AS t FROM {_T_SRC}),

@@ -15,7 +15,9 @@ the same semantics).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import bucket_str_column
@@ -518,3 +520,74 @@ def transcripts_quality_check(paths: str | list[str]) -> ray.data.Dataset:
         })
 
     return parts.repartition(1).map_batches(combine, batch_format="pyarrow")
+
+
+def conv_tool_stats(paths: str | list[str],
+                    num_partitions: int = DEFAULT_PARTITIONS) -> ray.data.Dataset:
+    """Per-conversation tool-usage profile — the agent-telemetry
+    summary over transcript tables (the ``tool`` column of the input
+    schema, cf. ``sources/transcripts.py``; reference analogue: the
+    per-document vlm_call / timing counters of
+    ``/root/reference/src/extraction/multi_record.py:72-96``): turn
+    count, tool-call count (turns with a non-empty ``tool``), distinct
+    tools used, the dominant tool (max calls, ties to the
+    lexicographically first), and the tool-call share of the
+    conversation.
+
+    Map-side combiner: per-batch ``(conv_id, tool) → n`` counts — the
+    shuffle carries at most |tool-alphabet|+1 rows per (conv, batch),
+    never the turn stream. One conv-hash bucket exchange; every partial
+    for a conversation lands in the same bucket, so the grouped sum,
+    the DISTINCT tool count, and the argmax are all exact in-bucket."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+            "tool": pc.fill_null(batch["tool"], "")
+            .to_numpy(zero_copy_only=False)})
+            .groupby(["conv_id", "tool"], sort=False)
+            .size().reset_index(name="n"))
+        return pa.table({"conv_id": pa.array(df["conv_id"], pa.string()),
+                         "tool": pa.array(df["tool"], pa.string()),
+                         "n": pa.array(df["n"].to_numpy(np.int64))})
+
+    ds = _with_pkey(read_transcripts(paths, columns=["conv_id", "tool"])
+                    .map_batches(partial, batch_format="pyarrow"),
+                    num_partitions)
+
+    def per_bucket(part: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({
+            "conv_id": part["conv_id"].to_numpy(zero_copy_only=False),
+            "tool": part["tool"].to_numpy(zero_copy_only=False),
+            "n": part["n"].to_numpy(zero_copy_only=False)})
+            .groupby(["conv_id", "tool"], as_index=False)["n"].sum())
+        turns = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("n", "sum"))
+        calls = df[df["tool"] != ""]
+        cagg = calls.groupby("conv_id", as_index=False).agg(
+            n_tool_calls=("n", "sum"), n_tools=("tool", "size"))
+        top = (calls.sort_values(["n", "tool"], ascending=[False, True],
+                                 kind="mergesort")
+               .groupby("conv_id", as_index=False).first()
+               [["conv_id", "tool"]]
+               .rename(columns={"tool": "top_tool"}))
+        out = (turns.merge(cagg, on="conv_id", how="left")
+               .merge(top, on="conv_id", how="left"))
+        out["n_tool_calls"] = out["n_tool_calls"].fillna(0).astype("int64")
+        out["n_tools"] = out["n_tools"].fillna(0).astype("int64")
+        out["top_tool"] = out["top_tool"].fillna("")
+        out["tool_ratio"] = np.round(
+            out["n_tool_calls"].to_numpy(np.float64)
+            / out["n_turns"].to_numpy(np.float64), 6)
+        out = out.sort_values("conv_id", kind="mergesort")
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "n_turns": pa.array(out["n_turns"].to_numpy(np.int64)),
+            "n_tool_calls": pa.array(out["n_tool_calls"].to_numpy(np.int64)),
+            "n_tools": pa.array(out["n_tools"].to_numpy(np.int64)),
+            "top_tool": pa.array(out["top_tool"], pa.string()),
+            "tool_ratio": pa.array(out["tool_ratio"].to_numpy(np.float64)),
+        })
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")

@@ -236,6 +236,8 @@ def run_bench() -> dict:
             lambda d: dedup.doc_count_cosine_pairs(d).count(), sf_dir),
         "doc_prefix_containment": timed(
             lambda d: dedup.doc_prefix_containment(d).count(), sf_dir),
+        "conv_tool_stats": timed(
+            lambda s: _extract.conv_tool_stats(s).count(), src),
     }
 
     ray.shutdown()

@@ -105,7 +105,8 @@ def run_family(sf_dir: str) -> dict[str, dict]:
     def timed(name, fn):
         t0 = time.time()
         out = fn()
-        n = out.count() if hasattr(out, "count") else len(out)
+        import pandas as _pd
+        n = len(out) if isinstance(out, _pd.DataFrame) else out.count()
         res[name] = {"rows": int(n), "wall_sec": round(time.time() - t0, 2)}
         print(f"  {name}: {n} rows, {res[name]['wall_sec']}s", flush=True)
 
@@ -186,7 +187,8 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
     def timed(name, fn):
         t0 = time.time()
         out = fn()
-        n = out.count() if hasattr(out, "count") else len(out)
+        import pandas as _pd
+        n = len(out) if isinstance(out, _pd.DataFrame) else out.count()
         res[name] = {"rows": int(n), "wall_sec": round(time.time() - t0, 2)}
         print(f"  {name}: {n} rows, {res[name]['wall_sec']}s", flush=True)
 

@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "events_bot_users": events.events_bot_users,              # SQL-matched (inter-arrival CV bot screen, r5)
+        "lang_confusion_matrix": documents.lang_confusion_matrix,  # SQL-matched (lang-ID eval confusion, r5)
         "conv_tool_stats": _q_conv_tool_stats,                    # SQL-matched (agent tool-usage profile, r5)
         "doc_count_cosine_pairs": dedup.doc_count_cosine_pairs,   # SQL-matched (sparse cosine sim join, r5)
         "doc_prefix_containment": dedup.doc_prefix_containment,   # SQL-matched (crawl-truncation containment, r5)
@@ -991,6 +993,64 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # inter-arrival coefficient-of-variation bot screen (engine
+        # events.events_bot_users): exact µs gaps, HUGEINT squared sums,
+        # one big-int→double cast before sqrt, cv rounded to 6,
+        # is_regular compared on the unrounded double.
+        "events_bot_users": """
+            WITH d AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS g
+                FROM events),
+            s AS (SELECT user_id, CAST(count(g) AS BIGINT) AS n_gaps,
+                         CAST(sum(g) AS BIGINT) AS sum_gap_us,
+                         sum(CAST(g AS HUGEINT) * g) AS sg2
+                  FROM d WHERE g IS NOT NULL
+                  GROUP BY user_id HAVING count(g) >= 20),
+            c AS (SELECT user_id, n_gaps, sum_gap_us,
+                         sqrt(CAST(n_gaps * sg2
+                                   - CAST(sum_gap_us AS HUGEINT)
+                                     * sum_gap_us AS DOUBLE))
+                         / CAST(sum_gap_us AS DOUBLE) AS cv_raw
+                  FROM s)
+            SELECT user_id, n_gaps, sum_gap_us,
+                   round(cv_raw, 6) AS cv,
+                   cv_raw < 0.9 AS is_regular
+            FROM c
+        """,
+        # language-ID confusion matrix (engine
+        # documents.lang_confusion_matrix): doc_lang_id's marker argmax
+        # vs the labeled lang column; exact int64 cells, row share
+        # rounded to 6.
+        "lang_confusion_matrix": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z]+') AS tk
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, lang,
+                CAST(len(list_filter(tk, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) AS en_n,
+                CAST(len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS BIGINT) AS de_n,
+                CAST(len(list_filter(tk, x -> list_contains(['el','la','los','que','y','es'], x))) AS BIGINT) AS es_n,
+                CAST(len(list_filter(tk, x -> list_contains(['le','les','des','et','est','une'], x))) AS BIGINT) AS fr_n
+              FROM toks),
+            pred AS (
+              SELECT lang,
+                CASE WHEN en_n >= de_n AND en_n >= es_n AND en_n >= fr_n THEN 'en'
+                     WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+                     WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END
+                    AS predicted_lang
+              FROM cnt),
+            cells AS (SELECT lang, predicted_lang,
+                             CAST(count(*) AS BIGINT) AS n
+                      FROM pred GROUP BY 1, 2)
+            SELECT lang, predicted_lang, n,
+                   round(CAST(n AS DOUBLE)
+                         / sum(n) OVER (PARTITION BY lang), 6) AS row_share
+            FROM cells
+        """,
         # sparse count-vector cosine pairs (engine
         # dedup.doc_count_cosine_pairs): exact int64 tf dot products and
         # norms, df cap 1000 on dot terms only (norms full-vector), one

@@ -2731,3 +2731,39 @@ def doc_curriculum_order(sf_dir: str, band_width: int = 2500,
             "curriculum_pos": pos})
 
     return tagged.groupby("_r").map_groups(rank_range, batch_format="pandas")
+
+
+def lang_confusion_matrix(sf_dir: str) -> "pd.DataFrame":
+    """Language-ID confusion matrix — the classifier-evaluation join
+    between the labeled ``lang`` column and :func:`doc_lang_id`'s
+    marker-argmax prediction (the corpus-level form of the reference's
+    golden-truth field-match evaluation,
+    ``/root/reference/src/evaluation/metrics.py:22-257``): exact cell
+    counts plus each cell's share of its TRUE-label row, the per-class
+    recall diagonal.
+
+    Map-side (lang, predicted) partial counts — ≤ |langs|² narrow rows
+    per block leave the read task — one tiny grouped sum, and the
+    row-share division happens on the ≤ |langs|² aggregate."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        _, _, _, _, pred = lang_id_arrays(batch["text"].to_pylist())
+        return (pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "predicted_lang": pred})
+            .groupby(["lang", "predicted_lang"], sort=False)
+            .size().reset_index(name="n"))
+
+    agg = (read_documents(sf_dir, ["lang", "text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "predicted_lang"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())                   # ≤ |langs|² rows
+    agg["n"] = agg["n"].astype("int64")
+    totals = agg.groupby("lang")["n"].transform("sum")
+    agg["row_share"] = np.round(
+        agg["n"].to_numpy(np.float64) / totals.to_numpy(np.float64), 6)
+    return (agg[["lang", "predicted_lang", "n", "row_share"]]
+            .sort_values(["lang", "predicted_lang"], ignore_index=True))

@@ -1294,3 +1294,61 @@ def events_nearest_click(sf_dir: str, tol_us: int = 7_200_000_000,
     return (ds.map_batches(tag, batch_format="pandas")
             .groupby("_bucket")
             .map_groups(nearest_bucket, batch_format="pandas"))
+
+
+BOT_MIN_GAPS = 20        # users with fewer inter-event gaps are not scored
+BOT_CV_THRESHOLD = 0.9   # coefficient-of-variation below this = "regular"
+
+
+def events_bot_users(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Bot / automation detector over the event stream — the
+    traffic-hygiene screen a training-data pipeline runs before trusting
+    behavioural counts (scripted clients fire on timers, so their
+    inter-arrival times are far more REGULAR than human traffic): for
+    every user with ≥ :data:`BOT_MIN_GAPS` gaps, the coefficient of
+    variation of inter-arrival µs,
+    ``cv = sqrt(n·Σg² − (Σg)²) / Σg``, and the
+    ``is_regular = cv < BOT_CV_THRESHOLD`` flag.
+
+    Same single user-hash bucket plan as :func:`events_interarrival`
+    (one mergesort + ``np.diff`` per bucket, boundary mask, no per-user
+    loop). ``Σg²`` overflows int64 at µs resolution, so the squared sums
+    are exact Python big ints (pandas object dtype, bounded per-user
+    rows) — mirroring DuckDB's automatic HUGEINT sum — and the single
+    lossy step on both engines is one correctly-rounded big-int→double
+    cast before the sqrt."""
+    from ..functions.hashing import bucket_int_array
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=bucket_int_array(
+            batch["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.diff(ts_us)
+        same = uid[1:] == uid[:-1]
+        d = pd.DataFrame({"user_id": uid[1:][same], "gap": gap[same]})
+        d["gap2"] = d["gap"].astype(object) ** 2     # exact big ints
+        out = d.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_gap=("gap", "sum"),
+            sum_gap2=("gap2", "sum"))
+        out = out[out["n_gaps"] >= BOT_MIN_GAPS]
+        num = [int(n) * int(s2) - int(s) * int(s)
+               for n, s, s2 in zip(out["n_gaps"], out["sum_gap"],
+                                   out["sum_gap2"])]
+        sg = out["sum_gap"].to_numpy(np.int64)
+        cv = np.sqrt(np.array([float(v) for v in num], np.float64)) \
+            / sg.astype(np.float64)
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "n_gaps": out["n_gaps"].to_numpy(np.int64),
+            "sum_gap_us": sg,
+            "cv": np.round(cv, 6),
+            "is_regular": cv < BOT_CV_THRESHOLD})
+
+    return (read_events(sf_dir, ["user_id", "ts", "event_id"])
+            .map_batches(bucketize, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

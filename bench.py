@@ -238,6 +238,10 @@ def run_bench() -> dict:
             lambda d: dedup.doc_prefix_containment(d).count(), sf_dir),
         "conv_tool_stats": timed(
             lambda s: _extract.conv_tool_stats(s).count(), src),
+        "events_bot_users": timed(
+            lambda d: events.events_bot_users(d).count(), sf_dir),
+        "lang_confusion_matrix": timed(
+            lambda d: len(documents.lang_confusion_matrix(d)), sf_dir),
     }
 
     ray.shutdown()

@@ -1,0 +1,251 @@
+"""Brute-force property tests for the round-5 closing operators
+(blocklist filter, vocab overlap, Zipf slope, co-occurrence, contamination
+matrix, curriculum order, cosine pairs, prefix containment, tool stats,
+bot screen, confusion matrix) — each distributed plan is compared against
+a direct single-process computation at sf0.001, independent of the DuckDB
+oracle (which tests/test_queries_vs_duckdb.py already enforces)."""
+
+import collections
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> pd.DataFrame:
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def _clean(s: str) -> str:
+    return re.sub(r"\s+", " ", s or "").strip()
+
+
+def _toks(s: str) -> list[str]:
+    t = _clean(s).lower().split(" ")
+    return [x for x in t if x]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurriculumOrder:
+    def test_positions_are_a_permutation_in_band_hash_order(self):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_curriculum_order,
+        )
+        out = doc_curriculum_order(SF).to_pandas()
+        n = len(out)
+        assert sorted(out["curriculum_pos"]) == list(range(1, n + 1))
+        s = out.sort_values("curriculum_pos")
+        key = list(zip(-s["band"].to_numpy(), s["shuffle_key"],
+                       s["doc_id"].to_numpy()))
+        assert key == sorted(key)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPrefixContainment:
+    def test_matches_brute_force(self):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_prefix_containment,
+        )
+        docs = _docs()
+        texts = {int(r.doc_id): _clean(r.text)
+                 for r in docs.itertuples()}
+        brute = set()
+        eligible = {d: t for d, t in texts.items()
+                    if len([x for x in t.split(" ") if x]) >= 8}
+        for a, ta in eligible.items():
+            for b, tb in texts.items():
+                if len(tb) > len(ta) and tb.startswith(ta + " "):
+                    brute.add((a, b))
+        out = doc_prefix_containment(SF).to_pandas()
+        got = set(zip(out["contained"].astype(int),
+                      out["container"].astype(int)))
+        assert got == brute       # blocking is lossless at this scale
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCountCosinePairs:
+    def test_matches_brute_force(self):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_count_cosine_pairs,
+        )
+        docs = _docs()
+        tf = {int(r.doc_id): collections.Counter(_toks(r.text))
+              for r in docs.itertuples()}
+        n2 = {d: sum(v * v for v in c.values()) for d, c in tf.items()}
+        ids = sorted(tf)
+        brute = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                small, big = (tf[a], tf[b]) if len(tf[a]) < len(tf[b]) \
+                    else (tf[b], tf[a])
+                dot = sum(v * big.get(k, 0) for k, v in small.items())
+                if dot and dot / np.sqrt(float(n2[a] * n2[b])) >= 0.99:
+                    brute[(a, b)] = dot
+        out = doc_count_cosine_pairs(SF).to_pandas()
+        got = {(int(r.doc_a), int(r.doc_b)): int(r.dot)
+               for r in out.itertuples()}
+        assert got == brute       # df cap (1000) is inactive at 500 docs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVocabOverlapAndZipf:
+    def test_vocab_overlap_matches_sets(self):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            source_vocab_overlap,
+        )
+        docs = _docs()
+        vocab: dict[str, set] = collections.defaultdict(set)
+        for r in docs.itertuples():
+            vocab[r.source].update(_toks(r.text))
+        out = source_vocab_overlap(SF)
+        for r in out.itertuples():
+            va, vb = vocab[r.source_a], vocab[r.source_b]
+            assert r.n_common == len(va & vb)
+            assert r.n_a == len(va) and r.n_b == len(vb)
+            assert r.jaccard == round(len(va & vb) / len(va | vb), 6)
+        srcs = sorted(vocab)
+        expected_pairs = {(a, b) for i, a in enumerate(srcs)
+                          for b in srcs[i + 1:]
+                          if vocab[a] & vocab[b]}
+        assert set(zip(out["source_a"], out["source_b"])) == expected_pairs
+
+    def test_zipf_slope_matches_direct_ols(self):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            lang_zipf_slope,
+        )
+        docs = _docs()
+        out = lang_zipf_slope(SF).set_index("lang")
+        for lang, g in docs.groupby("lang"):
+            cnt = collections.Counter(
+                t for txt in g["text"] for t in _toks(txt))
+            top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+            y = np.log([n for _, n in top])
+            x = np.log(np.arange(1, len(top) + 1))
+            xc, yc = x - x.mean(), y - y.mean()
+            assert out.loc[lang, "slope"] == round((xc @ yc) / (xc @ xc), 6)
+            assert out.loc[lang, "n_terms"] == len(top)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCooccurrenceAndBlocklist:
+    def test_cooccurrence_matches_counter(self):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            token_cooccurrence,
+        )
+        docs = _docs()
+        brute: collections.Counter = collections.Counter()
+        for txt in docs["text"]:
+            t = _toks(txt)
+            for d in (1, 2):
+                for i in range(len(t) - d):
+                    a, b = sorted((t[i], t[i + d]))
+                    brute[(a, b)] += 1
+        out = token_cooccurrence(SF).to_pandas()
+        got = {(r.tok_a, r.tok_b): int(r.n_cooccur)
+               for r in out.itertuples()}
+        assert got == dict(brute)
+
+    def test_blocklist_matches_direct(self):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            BLOCKLIST_TOKENS, doc_blocklist_filter,
+        )
+        docs = _docs()
+        out = doc_blocklist_filter(SF).to_pandas().set_index("doc_id")
+        bl = set(BLOCKLIST_TOKENS)
+        for r in docs.itertuples():
+            t = _toks(r.text)
+            if not t:
+                assert int(r.doc_id) not in out.index
+                continue
+            row = out.loc[int(r.doc_id)]
+            hits = sum(1 for x in t if x in bl)
+            assert row["n_tokens"] == len(t)
+            assert row["n_flagged"] == hits
+            assert row["keep"] == (round(hits / len(t), 6) <= 0.1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContaminationMatrix:
+    def test_coheres_with_per_doc_decontaminate(self):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_decontaminate, source_contamination_matrix,
+        )
+        docs = _docs()
+        per_doc = doc_decontaminate(SF).to_pandas()
+        mat = source_contamination_matrix(SF).to_pandas()
+        src_of = dict(zip(docs["doc_id"].astype(int), docs["source"]))
+        by_src = collections.Counter(
+            src_of[int(d)] for d in per_doc["doc_id"])
+        ov_by_src: collections.Counter = collections.Counter()
+        for r in per_doc.itertuples():
+            ov_by_src[src_of[int(r.doc_id)]] += int(r.n_overlap)
+        train_by_src = collections.Counter(
+            r.source for r in docs.itertuples() if int(r.doc_id) % 7 != 0)
+        assert set(mat["source"]) == set(train_by_src)
+        for r in mat.itertuples():
+            assert r.n_train == train_by_src[r.source]
+            assert r.n_contaminated == by_src.get(r.source, 0)
+            assert r.total_overlap == ov_by_src.get(r.source, 0)
+            assert r.n_contaminated <= r.n_train
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestToolBotConfusion:
+    def test_tool_stats_match_pandas(self, tiny_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_tool_stats,
+        )
+        t = pq.read_table(tiny_transcripts).to_pandas()
+        out = conv_tool_stats(tiny_transcripts).to_pandas() \
+            .set_index("conv_id")
+        assert len(out) == t["conv_id"].nunique()
+        for conv, g in t.groupby("conv_id"):
+            row = out.loc[conv]
+            calls = g[g["tool"].fillna("") != ""]
+            assert row["n_turns"] == len(g)
+            assert row["n_tool_calls"] == len(calls)
+            assert row["n_tools"] == calls["tool"].nunique()
+            if len(calls):
+                cnt = calls["tool"].value_counts()
+                best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                assert row["top_tool"] == best[0]
+            else:
+                assert row["top_tool"] == ""
+
+    def test_bot_users_match_pandas(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            BOT_CV_THRESHOLD, BOT_MIN_GAPS, events_bot_users,
+        )
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        out = events_bot_users(SF).to_pandas().set_index("user_id")
+        ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n_checked = 0
+        for uid, g in ev.groupby("user_id"):
+            gaps = np.diff(g["ts"].to_numpy()
+                           .astype("datetime64[us]").astype(np.int64))
+            if len(gaps) < BOT_MIN_GAPS:
+                assert uid not in out.index
+                continue
+            n, sg = len(gaps), int(gaps.sum())
+            sg2 = sum(int(x) * int(x) for x in gaps)
+            cv = np.sqrt(float(n * sg2 - sg * sg)) / float(sg)
+            row = out.loc[uid]
+            assert row["n_gaps"] == n and row["sum_gap_us"] == sg
+            assert row["cv"] == round(cv, 6)
+            assert row["is_regular"] == (cv < BOT_CV_THRESHOLD)
+            n_checked += 1
+        assert n_checked == len(out)
+
+    def test_confusion_rows_sum_to_one(self):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            lang_confusion_matrix,
+        )
+        out = lang_confusion_matrix(SF)
+        docs = _docs()
+        assert out["n"].sum() == len(docs)
+        for _, g in out.groupby("lang"):
+            assert abs(g["row_share"].sum() - 1.0) < 1e-5

@@ -178,6 +178,17 @@ def build_docs_tiled(base: str, out: str, tiles: int,
         writer.write_table(t, row_group_size=16384)
     writer.close()
 
+    # the embeddings-reading member of the x100 family (embedding_quantize)
+    # needs the table present at the same scale factor
+    emb = pq.read_table(f"{base}/embeddings.parquet")
+    ew = pq.ParquetWriter(f"{out}/embeddings.parquet", emb.schema)
+    for c in range(tiles):
+        t = emb.set_column(
+            emb.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(emb["vec_id"], pa.scalar(c * 10_000_000, pa.int64())))
+        ew.write_table(t, row_group_size=16384)
+    ew.close()
+
 
 def run_x100_family(sf_dir: str) -> dict[str, dict]:
     from agentic_document_extraction_pdf_ray.pipelines import dedup, documents

@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "doc_softdedup_weights": dedup.doc_softdedup_weights,     # SQL-matched (SoftDeDup 1/k down-weighting, r5)
+        "embedding_dim_variance": similarity.embedding_dim_variance,  # SQL-matched (per-dim feature stats, r5)
         "events_bot_users": events.events_bot_users,              # SQL-matched (inter-arrival CV bot screen, r5)
         "lang_confusion_matrix": documents.lang_confusion_matrix,  # SQL-matched (lang-ID eval confusion, r5)
         "conv_tool_stats": _q_conv_tool_stats,                    # SQL-matched (agent tool-usage profile, r5)
@@ -993,6 +995,48 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # SoftDeDup down-weighting (engine dedup.doc_softdedup_weights):
+        # component family sizes over the same recursive-CTE dup graph
+        # as doc_dup_components; singletons weight 1, weight = 1/size
+        # rounded to 6.
+        "doc_softdedup_weights": f"""
+            {_DUP_CC_WITH},
+            cc AS (SELECT u AS doc_id, min(v) AS cluster_id
+                   FROM reach GROUP BY u),
+            fsz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+                    FROM cc GROUP BY cluster_id)
+            SELECT d.doc_id,
+                   coalesce(cc.cluster_id, d.doc_id) AS canonical_id,
+                   coalesce(fsz.n, 1) AS family_size,
+                   round(1.0 / coalesce(fsz.n, 1), 6) AS soft_weight
+            FROM documents d
+            LEFT JOIN cc USING (doc_id)
+            LEFT JOIN fsz ON cc.cluster_id = fsz.cluster_id
+        """,
+        # per-dimension embedding feature stats (engine
+        # similarity.embedding_dim_variance): fixed-point q ints,
+        # HUGEINT squared sums, two mirrored final divisions rounded 6.
+        "embedding_dim_variance": """
+            WITH flat AS (
+                SELECT unnest(embedding) AS v,
+                       unnest(range(len(embedding))) AS dim
+                FROM embeddings),
+            q AS (SELECT dim,
+                         CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS q
+                  FROM flat),
+            s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(q) AS BIGINT) AS q_sum,
+                         sum(CAST(q AS HUGEINT) * q) AS sq2
+                  FROM q GROUP BY dim)
+            SELECT CAST(dim AS BIGINT) AS dim, n, q_sum,
+                   round(CAST(q_sum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS mean_q,
+                   round(CAST(n * sq2 - CAST(q_sum AS HUGEINT) * q_sum
+                              AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                       AS var_q
+            FROM s
+        """,
         # inter-arrival coefficient-of-variation bot screen (engine
         # events.events_bot_users): exact µs gaps, HUGEINT squared sums,
         # one big-int→double cast before sqrt, cv rounded to 6,

@@ -1952,3 +1952,82 @@ def doc_prefix_containment(sf_dir: str, k: int = 8,
             .map_batches(keyed, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(block_pairs, batch_format="pandas"))
+
+
+def doc_softdedup_weights(sf_dir: str, n_buckets: int = 32,
+                          pairs: ray.data.Dataset | None = None
+                          ) -> ray.data.Dataset:
+    """Soft deduplication weights — down-weight duplicate families
+    instead of dropping them (the SoftDeDup recipe: a doc in a
+    ``k``-member near-dup family trains with weight ``1/k``, preserving
+    its content's marginal contribution without the k× repetition bias
+    that hard keep-first discards entirely): every document with its
+    canonical family id, exact family size, and ``soft_weight = 1/size``
+    (singletons keep weight 1).
+
+    Composes :func:`doc_dup_components` (``pairs=`` respected — the LSH
+    candidate stream feeds it at corpus scale) with TWO bucketed
+    attaches, both narrow: (1) member rows re-key by cluster hash, so
+    each family's exact size is an in-bucket count that attaches to its
+    members in place; (2) the :func:`dedup_survivors` doc-bucket union
+    attach brings singletons in with size 1. No family table is ever
+    collected to the driver."""
+    from .documents import read_documents as _read_docs
+
+    comp = doc_dup_components(sf_dir, n_buckets=n_buckets, pairs=pairs)
+
+    def key_cluster(b: pa.Table) -> pd.DataFrame:
+        cid = b["cluster_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "cluster_id": cid,
+            "_cb": bucket_int_array(cid, n_buckets)})
+
+    def size_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("cluster_id")["doc_id"].transform("size")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "cluster_id": g["cluster_id"].to_numpy(np.int64),
+            "family_size": sz.to_numpy(np.int64)})
+
+    sized = (comp.map_batches(key_cluster, batch_format="pyarrow")
+             .groupby("_cb").map_groups(size_in_bucket,
+                                        batch_format="pandas"))
+
+    def tag_member(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": b["cluster_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "family_size": b["family_size"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "is_doc": False,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def tag_doc(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "cluster_id": np.int64(-1),
+            "family_size": np.int64(1), "is_doc": True,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g.loc[g["is_doc"], ["doc_id"]]
+        mem = g.loc[~g["is_doc"], ["doc_id", "cluster_id", "family_size"]]
+        m = docs.merge(mem, on="doc_id", how="left")
+        canon = m["cluster_id"].fillna(m["doc_id"]).astype(np.int64)
+        size = m["family_size"].fillna(1).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "canonical_id": canon.to_numpy(np.int64),
+            "family_size": size.to_numpy(np.int64),
+            "soft_weight": np.round(
+                1.0 / size.to_numpy(np.float64), 6)})
+
+    docs = _read_docs(sf_dir, ["doc_id"])
+    return (docs.map_batches(tag_doc, batch_format="pyarrow")
+            .union(sized.map_batches(tag_member, batch_format="pyarrow"))
+            .groupby("_db").map_groups(attach, batch_format="pandas"))

@@ -849,3 +849,53 @@ def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
         })
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def embedding_dim_variance(sf_dir: str) -> "pd.DataFrame":
+    """Per-dimension feature statistics over the embedding column — the
+    scaling/whitening prerequisite every vector pipeline computes before
+    quantization or PCA (and the input :func:`embedding_quantize`'s
+    (lo, hi) ranges summarize): exact element count, fixed-point sum,
+    mean, and population variance per dimension, in the repo's
+    ``q = floor(v·1e6 + 0.5)`` integer convention so every accumulation
+    is exact (squared sums as Python big ints — the DuckDB HUGEINT
+    mirror) and the only float ops are the two final mirrored divisions,
+    rounded to 6.
+
+    Scale shape = :func:`embedding_quantize` pass 1: one (dim, n, Σq,
+    Σq²) partial frame per block — fixed d rows per block, NO all-to-all
+    exchange — folded driver-side over ≤ n_blocks × d narrow rows."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        if batch.num_rows == 0:
+            return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "q_sum": pd.Series([], dtype=np.int64),
+                                 "sq2": pd.Series([], dtype=object)})
+        emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        d = q.shape[1]
+        return pd.DataFrame({
+            "dim": np.arange(d, dtype=np.int64),
+            "n": np.full(d, q.shape[0], np.int64),
+            "q_sum": q.sum(axis=0),
+            "sq2": [int(x) for x in (q.astype(object) ** 2).sum(axis=0)]})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for dim, g in part.groupby("dim", sort=True):
+        n = int(g["n"].sum())
+        sq = int(g["q_sum"].sum())
+        sq2 = sum(int(x) for x in g["sq2"])
+        rows.append({
+            "dim": np.int64(dim), "n": np.int64(n),
+            "q_sum": np.int64(sq),
+            "mean_q": np.round(float(sq) / float(n), 6),
+            "var_q": np.round(float(n * sq2 - sq * sq)
+                              / (float(n) * float(n)), 6)})
+    return pd.DataFrame(rows,
+                        columns=["dim", "n", "q_sum", "mean_q", "var_q"])

@@ -242,6 +242,10 @@ def run_bench() -> dict:
             lambda d: events.events_bot_users(d).count(), sf_dir),
         "lang_confusion_matrix": timed(
             lambda d: len(documents.lang_confusion_matrix(d)), sf_dir),
+        "doc_softdedup_weights": timed(
+            lambda d: dedup.doc_softdedup_weights(d).count(), sf_dir),
+        "embedding_dim_variance": timed(
+            lambda d: len(similarity.embedding_dim_variance(d)), sf_dir),
     }
 
     ray.shutdown()

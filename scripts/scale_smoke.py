@@ -270,6 +270,14 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
           lambda: dedup.doc_count_cosine_pairs(sf_dir))
     timed("doc_prefix_containment",
           lambda: dedup.doc_prefix_containment(sf_dir))
+    # SoftDeDup composes the CC family with two more bucketed attaches
+    # (LSH-fed here, like the survivors row); dim-variance is the
+    # no-exchange fixed-d partial fold.
+    timed("doc_softdedup_weights[lsh]",
+          lambda: dedup.doc_softdedup_weights(
+              sf_dir, pairs=dedup.minhash_lsh_pairs(sf_dir)))
+    timed("embedding_dim_variance",
+          lambda: similarity.embedding_dim_variance(sf_dir))
     return res
 
 

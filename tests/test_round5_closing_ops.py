@@ -249,3 +249,47 @@ class TestToolBotConfusion:
         assert out["n"].sum() == len(docs)
         for _, g in out.groupby("lang"):
             assert abs(g["row_share"].sum() - 1.0) < 1e-5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSoftDedupAndDimVariance:
+    def test_softdedup_weights_cohere_with_components(self):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_dup_components, doc_softdedup_weights,
+        )
+        comp = doc_dup_components(SF).to_pandas()
+        out = doc_softdedup_weights(SF).to_pandas()
+        assert len(out) == len(_docs())
+        sizes = comp.groupby("cluster_id").size()
+        by_doc = dict(zip(comp["doc_id"].astype(int),
+                          comp["cluster_id"].astype(int)))
+        for r in out.itertuples():
+            cid = by_doc.get(int(r.doc_id))
+            if cid is None:
+                assert r.family_size == 1 and r.soft_weight == 1.0
+                assert r.canonical_id == r.doc_id
+            else:
+                assert r.canonical_id == cid
+                assert r.family_size == sizes[cid]
+                assert r.soft_weight == round(1.0 / sizes[cid], 6)
+        # each family's weights sum to ~1: the SoftDeDup invariant
+        fam = out.groupby("canonical_id")["soft_weight"].sum()
+        assert np.allclose(fam.to_numpy(), 1.0, atol=1e-4)
+
+    def test_dim_variance_matches_numpy(self):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_dim_variance,
+        )
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        mat = np.stack(emb["embedding"].to_numpy())
+        q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        out = embedding_dim_variance(SF)
+        assert len(out) == q.shape[1]
+        for r in out.itertuples():
+            col = q[:, int(r.dim)]
+            n, sq = len(col), int(col.sum())
+            sq2 = sum(int(x) * int(x) for x in col)
+            assert r.n == n and r.q_sum == sq
+            assert r.mean_q == round(float(sq) / float(n), 6)
+            assert r.var_q == round(
+                float(n * sq2 - sq * sq) / (float(n) * float(n)), 6)

@@ -1051,7 +1051,8 @@ def oracle_sql() -> dict[str, str]:
                          CAST(sum(g) AS BIGINT) AS sum_gap_us,
                          sum(CAST(g AS HUGEINT) * g) AS sg2
                   FROM d WHERE g IS NOT NULL
-                  GROUP BY user_id HAVING count(g) >= 20),
+                  GROUP BY user_id
+                  HAVING count(g) >= 20 AND sum(g) > 0),
             c AS (SELECT user_id, n_gaps, sum_gap_us,
                          sqrt(CAST(n_gaps * sg2
                                    - CAST(sum_gap_us AS HUGEINT)

@@ -1874,9 +1874,13 @@ def doc_count_cosine_pairs(sf_dir: str, threshold: float = 0.99,
               .groupby("doc_b", as_index=False).agg(n2_b=("val", "sum")))
         p = g[g["_side"] == "p"].merge(n2, on="doc_b", how="inner")
         dot = p["val"].to_numpy(np.int64)
-        cos = dot / np.sqrt((p["n2_a"].to_numpy(np.int64)
-                             * p["n2_b"].to_numpy(np.int64))
-                            .astype(np.float64))
+        # exact big-int norm product + ONE correctly-rounded cast — the
+        # DuckDB HUGEINT * -> DOUBLE mirror (an int64 product would wrap
+        # for boilerplate-heavy docs with n2 >= ~3e9)
+        prod = np.array([float(int(a) * int(b))
+                         for a, b in zip(p["n2_a"], p["n2_b"])],
+                        np.float64)
+        cos = dot / np.sqrt(prod)
         keep = cos >= threshold
         return pd.DataFrame({
             "doc_a": p["doc_a"].to_numpy(np.int64)[keep],
@@ -1917,15 +1921,19 @@ def doc_prefix_containment(sf_dir: str, k: int = 8,
     (the payload price every containment check must pay somewhere)."""
     def keyed(batch: pa.Table) -> pd.DataFrame:
         clean = _norm_ws(pc.fill_null(batch["text"], ""))
-        toks = pc.split_pattern(clean, " ")
+        toks = pc.split_pattern(clean, " ")   # single tokenize pass
         n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        texts = clean.to_numpy(zero_copy_only=False)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ok = n_tok >= k
-        keys = np.array([" ".join(t.split(" ")[:k]) for t in texts[ok]],
-                        object)
+        mask = pa.array(ok)
+        # same ' '.join(toks[:k]) key as dedup_exact_prefix, built with
+        # Arrow kernels (list_slice + binary_join) — no re-split
+        keys = pc.binary_join(
+            pc.list_slice(toks.filter(mask), 0, k), " ") \
+            .to_numpy(zero_copy_only=False)
         d = pd.DataFrame({"_key": keys, "doc_id": ids[ok],
-                          "text": texts[ok]})
+                          "text": clean.filter(mask)
+                          .to_numpy(zero_copy_only=False)})
         d["_bucket"] = (hash_str_array(keys) % np.uint64(n_buckets)) \
             .astype(np.int64)
         return d

@@ -2650,8 +2650,13 @@ def token_cooccurrence(sf_dir: str, window: int = 2,
             lo_all.append(np.minimum(a, b))
             hi_all.append(np.maximum(a, b))
         if not lo_all:
-            return pd.DataFrame({"tok_a": [], "tok_b": [], "n": [],
-                                 "_bucket": []})
+            # typed empty frame — an untyped one infers float64 columns
+            # and breaks Arrow schema unification with real partials
+            return pd.DataFrame({
+                "tok_a": pd.Series([], dtype=object),
+                "tok_b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "_bucket": pd.Series([], dtype=np.int64)})
         d = (pd.DataFrame({"tok_a": np.concatenate(lo_all),
                            "tok_b": np.concatenate(hi_all)})
              .groupby(["tok_a", "tok_b"], sort=False)

@@ -1334,7 +1334,9 @@ def events_bot_users(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         out = d.groupby("user_id", as_index=False).agg(
             n_gaps=("gap", "size"), sum_gap=("gap", "sum"),
             sum_gap2=("gap2", "sum"))
-        out = out[out["n_gaps"] >= BOT_MIN_GAPS]
+        # sum_gap == 0 (every event on one identical timestamp) has no
+        # defined CV — excluded on BOTH engines (oracle HAVING mirror)
+        out = out[(out["n_gaps"] >= BOT_MIN_GAPS) & (out["sum_gap"] > 0)]
         num = [int(n) * int(s2) - int(s) * int(s)
                for n, s, s2 in zip(out["n_gaps"], out["sum_gap"],
                                    out["sum_gap2"])]

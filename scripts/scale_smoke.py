@@ -150,9 +150,9 @@ OUT100 = "/tmp/scale100x"
 
 def build_docs_tiled(base: str, out: str, tiles: int,
                      skew_lang: bool = False) -> None:
-    """documents-only tiling (the x100 ops read nothing else); with
-    ``skew_lang``, tiles >= tiles//10 are forced to 'en' so one language
-    dominates (>= 90 %)."""
+    """documents + embeddings tiling (the only tables the x100 family
+    reads); with ``skew_lang``, tiles >= tiles//10 are forced to 'en' so
+    one language dominates (>= 90 %)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -311,7 +311,8 @@ def main() -> None:
         import ray
 
         import agentic_document_extraction_pdf_ray  # noqa: F401
-        if not os.path.exists(f"{OUT100}/documents.parquet"):
+        if not (os.path.exists(f"{OUT100}/documents.parquet")
+                and os.path.exists(f"{OUT100}/embeddings.parquet")):
             print(f"tiling {BASE} docs x100 -> {OUT100} (lang-skewed)",
                   flush=True)
             build_docs_tiled(BASE, OUT100, 100, skew_lang=True)

@@ -293,3 +293,38 @@ class TestSoftDedupAndDimVariance:
             assert r.mean_q == round(float(sq) / float(n), 6)
             assert r.var_q == round(
                 float(n * sq2 - sq * sq) / (float(n) * float(n)), 6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewRegressionPins:
+    def _write_docs(self, tmp_path, texts):
+        import pyarrow as pa
+        df = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+        })
+        pq.write_table(df, f"{tmp_path}/documents.parquet")
+        return str(tmp_path)
+
+    def test_cooccurrence_survives_all_empty_batch(self, tmp_path):
+        # untyped empty partial frames used to break schema unification
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            token_cooccurrence,
+        )
+        d = self._write_docs(tmp_path, ["", "   ", "x"])
+        assert token_cooccurrence(d).count() == 0
+
+    def test_cosine_norm_product_beyond_int64(self, tmp_path):
+        # n2_a * n2_b > 2^63 used to wrap to a negative under int64,
+        # silently dropping the pair the HUGEINT oracle emits
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_count_cosine_pairs,
+        )
+        big = "tok " * 60_000            # n2 = 3.6e9; product = 1.3e19
+        d = self._write_docs(tmp_path, [big, big + "tok"])
+        out = doc_count_cosine_pairs(d).to_pandas()
+        assert len(out) == 1
+        assert out["cosine"].iloc[0] == 1.0

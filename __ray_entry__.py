@@ -143,6 +143,16 @@ def _q_conv_modalities(sf_dir: str) -> Any:
     return conv_modalities(_transcripts_for(sf_dir))
 
 
+def _q_conv_response_latency(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_response_latency
+    return conv_response_latency(_transcripts_for(sf_dir))
+
+
+def _q_conv_role_alternation(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_role_alternation
+    return conv_role_alternation(_transcripts_for(sf_dir))
+
+
 def _q_conv_tool_stats(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_tool_stats
     return conv_tool_stats(_transcripts_for(sf_dir))
@@ -372,6 +382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_response_latency": _q_conv_response_latency,        # SQL-matched (assistant latency analytic, r5)
+        "conv_role_alternation": _q_conv_role_alternation,        # SQL-matched (SFT alternation check, r5)
+        "embedding_norm_outliers": similarity.embedding_norm_outliers,  # SQL-matched (vector hygiene screen, r5)
         "doc_softdedup_weights": dedup.doc_softdedup_weights,     # SQL-matched (SoftDeDup 1/k down-weighting, r5)
         "embedding_dim_variance": similarity.embedding_dim_variance,  # SQL-matched (per-dim feature stats, r5)
         "events_bot_users": events.events_bot_users,              # SQL-matched (inter-arrival CV bot screen, r5)
@@ -995,6 +1008,76 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # per-conversation assistant response latency (engine
+        # extract.conv_response_latency): exact µs gaps over adjacent
+        # user->assistant pairs by turn_idx; convs without such a pair
+        # excluded; mean = float64 ratio of exact ints rounded 6.
+        "conv_response_latency": f"""
+            WITH t AS (SELECT conv_id, turn_idx, role, ts FROM {_T_SRC}),
+            p AS (SELECT conv_id, role,
+                         lag(role) OVER w AS prev_role,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS lat
+                  FROM t
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            r AS (SELECT conv_id, lat FROM p
+                  WHERE prev_role = 'user' AND role = 'assistant')
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+                   CAST(sum(lat) AS BIGINT) AS sum_latency_us,
+                   CAST(max(lat) AS BIGINT) AS max_latency_us,
+                   round(CAST(sum(lat) AS DOUBLE) / count(*), 6)
+                       AS mean_latency_us
+            FROM r GROUP BY conv_id
+        """,
+        # role-alternation validation (engine
+        # extract.conv_role_alternation): adjacent same-role pairs over
+        # user/assistant only; every conversation emitted.
+        "conv_role_alternation": f"""
+            WITH t AS (SELECT conv_id, turn_idx, role FROM {_T_SRC}),
+            p AS (SELECT conv_id, role,
+                         lag(role) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS prev_role
+                  FROM t),
+            bad AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_bad
+                    FROM p WHERE role = prev_role
+                      AND role IN ('user', 'assistant')
+                    GROUP BY conv_id),
+            turns AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+                      FROM t GROUP BY conv_id)
+            SELECT turns.conv_id, turns.n_turns,
+                   coalesce(bad.n_bad, 0) AS n_same_role_adjacent,
+                   coalesce(bad.n_bad, 0) = 0 AS alternation_ok
+            FROM turns LEFT JOIN bad USING (conv_id)
+        """,
+        # embedding-norm outlier screen (engine
+        # similarity.embedding_norm_outliers): fixed-point squared L2
+        # norms, HUGEINT moment sums, mean + 2σ cut mirrored
+        # term-for-term, z rounded to 6; empty when σ = 0.
+        "embedding_norm_outliers": """
+            WITH n AS (
+                SELECT vec_id,
+                       CAST(sum(CAST(q AS HUGEINT) * q) AS BIGINT) AS n2
+                FROM (SELECT vec_id,
+                             CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS q
+                      FROM (SELECT vec_id, unnest(embedding) AS v
+                            FROM embeddings))
+                GROUP BY vec_id),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                         CAST(sum(n2) AS BIGINT) AS sn,
+                         sum(CAST(n2 AS HUGEINT) * n2) AS sn2
+                  FROM n),
+            st AS (SELECT nn,
+                          CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE) AS mean,
+                          sqrt(CAST(nn * sn2 - CAST(sn AS HUGEINT) * sn
+                                    AS DOUBLE)) / CAST(nn AS DOUBLE)
+                              AS sigma
+                   FROM s)
+            SELECT n.vec_id, n.n2,
+                   round((CAST(n.n2 AS DOUBLE) - st.mean) / st.sigma, 6)
+                       AS z
+            FROM n, st
+            WHERE st.sigma > 0
+              AND CAST(n.n2 AS DOUBLE) > st.mean + 2.0 * st.sigma
+        """,
         # SoftDeDup down-weighting (engine dedup.doc_softdedup_weights):
         # component family sizes over the same recursive-CTE dup graph
         # as doc_dup_components; singletons weight 1, weight = 1/size

@@ -591,3 +591,92 @@ def conv_tool_stats(paths: str | list[str],
         })
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def conv_response_latency(paths: str | list[str],
+                          num_partitions: int = DEFAULT_PARTITIONS
+                          ) -> ray.data.Dataset:
+    """Per-conversation assistant response latency — the serving-quality
+    analytic over agent transcripts (reference analogue: the per-stage
+    timing metadata of ``/root/reference/src/pipeline/state.py:380-547``):
+    for every adjacent ``user → assistant`` turn pair (by ``turn_idx``),
+    the inter-turn gap in exact µs; per conversation the pair count,
+    total, max, and mean (float64 ratio of exact ints, rounded to 6).
+    Conversations with no such pair are excluded on both engines.
+
+    One conv-hash bucket exchange of the narrow ``(conv_id, turn_idx,
+    role, ts)`` projection (adjacency needs the conversation's turn
+    order in one place — the same conv-scoped shape as
+    :func:`finalize_plan`); inside the bucket one mergesort + shifted
+    compare over the whole bucket, boundary-masked — no per-conv loop."""
+    import pandas as pd
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "role", "ts"]),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        role = g["role"].to_numpy(object)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = conv[1:] == conv[:-1]
+        resp = same & (role[:-1] == "user") & (role[1:] == "assistant")
+        d = pd.DataFrame({"conv_id": conv[1:][resp],
+                          "lat": ts_us[1:][resp] - ts_us[:-1][resp]})
+        out = d.groupby("conv_id", as_index=False).agg(
+            n_responses=("lat", "size"), sum_latency_us=("lat", "sum"),
+            max_latency_us=("lat", "max"))
+        out = out.sort_values("conv_id", kind="mergesort")
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].to_numpy(object),
+            "n_responses": out["n_responses"].to_numpy(np.int64),
+            "sum_latency_us": out["sum_latency_us"].to_numpy(np.int64),
+            "max_latency_us": out["max_latency_us"].to_numpy(np.int64),
+            "mean_latency_us": np.round(
+                out["sum_latency_us"].to_numpy(np.float64)
+                / out["n_responses"].to_numpy(np.float64), 6)})
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+
+
+def conv_role_alternation(paths: str | list[str],
+                          num_partitions: int = DEFAULT_PARTITIONS
+                          ) -> ray.data.Dataset:
+    """Role-alternation validation — the SFT-corpus structural check
+    (chat fine-tuning expects user/assistant turns to alternate; two
+    same-role turns in a row usually mean a lost message or a merge
+    artifact): per conversation, the count of adjacent same-role pairs
+    restricted to the ``user``/``assistant`` roles (system/tool turns
+    don't break alternation), and the ``alternation_ok`` flag.
+
+    Same single conv-bucket plan as :func:`conv_response_latency`."""
+    import pandas as pd
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "role"]),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        role = g["role"].to_numpy(object)
+        same = conv[1:] == conv[:-1]
+        bad = same & (role[1:] == role[:-1]) \
+            & ((role[1:] == "user") | (role[1:] == "assistant"))
+        turns = pd.DataFrame({"conv_id": conv}) \
+            .groupby("conv_id", as_index=False).size() \
+            .rename(columns={"size": "n_turns"})
+        bads = pd.DataFrame({"conv_id": conv[1:][bad]}) \
+            .groupby("conv_id", as_index=False).size() \
+            .rename(columns={"size": "n_bad"})
+        out = turns.merge(bads, on="conv_id", how="left")
+        out["n_bad"] = out["n_bad"].fillna(0).astype(np.int64)
+        out = out.sort_values("conv_id", kind="mergesort")
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].to_numpy(object),
+            "n_turns": out["n_turns"].to_numpy(np.int64),
+            "n_same_role_adjacent": out["n_bad"].to_numpy(np.int64),
+            "alternation_ok": (out["n_bad"] == 0).to_numpy(bool)})
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")

@@ -899,3 +899,66 @@ def embedding_dim_variance(sf_dir: str) -> "pd.DataFrame":
                               / (float(n) * float(n)), 6)})
     return pd.DataFrame(rows,
                         columns=["dim", "n", "q_sum", "mean_q", "var_q"])
+
+
+NORM_OUTLIER_SIGMA = 2.0       # flag vectors with n2 > mean + 2σ
+
+
+def embedding_norm_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-norm outlier screen — the vector-hygiene pass a
+    retrieval/dedup pipeline runs before trusting cosine geometry
+    (a norm far above the population usually means a degenerate or
+    corrupted embedding): vectors whose fixed-point squared L2 norm
+    ``n2 = Σ q²`` (``q = floor(v·1e6 + 0.5)``) exceeds
+    ``mean + NORM_OUTLIER_SIGMA · σ`` over the corpus, with the z-score.
+
+    Two passes, no all-to-all exchange (the :func:`embedding_quantize`
+    shape): pass 1 folds per-block ``(count, Σn2, Σn2²)`` partials
+    driver-side — squared sums as exact Python big ints, the DuckDB
+    HUGEINT mirror — into one correctly-rounded (mean, σ) pair; pass 2
+    is an embarrassingly-parallel flag map with the two doubles in the
+    task closure. Returns empty when σ = 0 (all norms equal) on both
+    engines."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def n2_of(batch: pa.Table) -> "np.ndarray":
+        emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        return (q * q).sum(axis=1)          # <= dims·1e12, int64-safe
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        if batch.num_rows == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                 "sn": pd.Series([], dtype=np.int64),
+                                 "sn2": pd.Series([], dtype=object)})
+        n2 = n2_of(batch)
+        return pd.DataFrame({
+            "n": [np.int64(len(n2))],
+            "sn": [np.int64(n2.sum())],
+            "sn2": [int((n2.astype(object) ** 2).sum())]})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(part["n"].sum())
+    sn = int(part["sn"].sum())
+    sn2 = sum(int(x) for x in part["sn2"])
+    mean = float(sn) / float(n)
+    sigma = float(np.sqrt(float(n * sn2 - sn * sn))) / float(n)
+    cut = mean + NORM_OUTLIER_SIGMA * sigma
+
+    def flag(batch: pa.Table) -> "pd.DataFrame":
+        if sigma == 0.0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "n2": pd.Series([], dtype=np.int64),
+                                 "z": pd.Series([], dtype=np.float64)})
+        n2 = n2_of(batch)
+        keep = n2.astype(np.float64) > cut
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep],
+            "n2": n2[keep],
+            "z": np.round((n2[keep].astype(np.float64) - mean) / sigma, 6)})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

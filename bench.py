@@ -246,6 +246,12 @@ def run_bench() -> dict:
             lambda d: dedup.doc_softdedup_weights(d).count(), sf_dir),
         "embedding_dim_variance": timed(
             lambda d: len(similarity.embedding_dim_variance(d)), sf_dir),
+        "conv_response_latency": timed(
+            lambda s: _extract.conv_response_latency(s).count(), src),
+        "conv_role_alternation": timed(
+            lambda s: _extract.conv_role_alternation(s).count(), src),
+        "embedding_norm_outliers": timed(
+            lambda d: similarity.embedding_norm_outliers(d).count(), sf_dir),
     }
 
     ray.shutdown()

@@ -328,3 +328,71 @@ class TestReviewRegressionPins:
         out = doc_count_cosine_pairs(d).to_pandas()
         assert len(out) == 1
         assert out["cosine"].iloc[0] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTranscriptAnalyticsAndNormOutliers:
+    def test_response_latency_matches_pandas(self, tiny_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_response_latency,
+        )
+        t = pq.read_table(tiny_transcripts).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        out = conv_response_latency(tiny_transcripts).to_pandas() \
+            .set_index("conv_id")
+        n_with = 0
+        for conv, g in t.groupby("conv_id"):
+            ts = g["ts"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            role = g["role"].to_numpy(object)
+            lats = [ts[i + 1] - ts[i] for i in range(len(g) - 1)
+                    if role[i] == "user" and role[i + 1] == "assistant"]
+            if not lats:
+                assert conv not in out.index
+                continue
+            row = out.loc[conv]
+            assert row["n_responses"] == len(lats)
+            assert row["sum_latency_us"] == sum(lats)
+            assert row["max_latency_us"] == max(lats)
+            n_with += 1
+        assert n_with == len(out)
+
+    def test_role_alternation_matches_pandas(self, tiny_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_role_alternation,
+        )
+        t = pq.read_table(tiny_transcripts).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        out = conv_role_alternation(tiny_transcripts).to_pandas() \
+            .set_index("conv_id")
+        assert len(out) == t["conv_id"].nunique()
+        for conv, g in t.groupby("conv_id"):
+            role = g["role"].to_numpy(object)
+            bad = sum(1 for i in range(len(role) - 1)
+                      if role[i] == role[i + 1]
+                      and role[i + 1] in ("user", "assistant"))
+            row = out.loc[conv]
+            assert row["n_turns"] == len(g)
+            assert row["n_same_role_adjacent"] == bad
+            assert row["alternation_ok"] == (bad == 0)
+
+    def test_norm_outliers_match_numpy(self):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            NORM_OUTLIER_SIGMA, embedding_norm_outliers,
+        )
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        mat = np.stack(emb["embedding"].to_numpy())
+        q = np.floor(mat.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        n = len(n2)
+        sn, sn2 = int(n2.sum()), sum(int(x) * int(x) for x in n2)
+        mean = float(sn) / float(n)
+        sigma = float(np.sqrt(float(n * sn2 - sn * sn))) / float(n)
+        cut = mean + NORM_OUTLIER_SIGMA * sigma
+        expect = {int(v): int(x) for v, x in
+                  zip(emb["vec_id"], n2) if float(x) > cut}
+        out = embedding_norm_outliers(SF).to_pandas()
+        assert {int(r.vec_id): int(r.n2)
+                for r in out.itertuples()} == expect
+        for r in out.itertuples():
+            assert r.z == round((float(r.n2) - mean) / sigma, 6)

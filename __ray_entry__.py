@@ -143,6 +143,11 @@ def _q_conv_modalities(sf_dir: str) -> Any:
     return conv_modalities(_transcripts_for(sf_dir))
 
 
+def _q_conv_context_growth(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_context_growth
+    return conv_context_growth(_transcripts_for(sf_dir))
+
+
 def _q_conv_response_latency(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_response_latency
     return conv_response_latency(_transcripts_for(sf_dir))
@@ -382,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_context_growth": _q_conv_context_growth,            # SQL-matched (running context curve, r5)
         "conv_response_latency": _q_conv_response_latency,        # SQL-matched (assistant latency analytic, r5)
         "conv_role_alternation": _q_conv_role_alternation,        # SQL-matched (SFT alternation check, r5)
         "embedding_norm_outliers": similarity.embedding_norm_outliers,  # SQL-matched (vector hygiene screen, r5)
@@ -1008,6 +1014,28 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # per-turn running context length (engine
+        # extract.conv_context_growth): exact int64 token counts
+        # (doc_token_stats split convention incl. the ['']-artifact for
+        # empty text), window cumsum by turn_idx, budget cut 512.
+        "conv_context_growth": f"""
+            WITH t AS (
+                SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                       CAST(len(string_split_regex(
+                           trim(regexp_replace(coalesce(text, ''),
+                                               '\\s+', ' ', 'g')),
+                           '\\s+')) AS BIGINT) AS n_tokens
+                FROM {_T_SRC}),
+            c AS (SELECT conv_id, turn_idx, n_tokens,
+                         CAST(SUM(n_tokens) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_tokens
+                  FROM t)
+            SELECT conv_id, turn_idx, n_tokens, cum_tokens,
+                   cum_tokens <= 512 AS fits_budget
+            FROM c
+        """,
         # per-conversation assistant response latency (engine
         # extract.conv_response_latency): exact µs gaps over adjacent
         # user->assistant pairs by turn_idx; convs without such a pair

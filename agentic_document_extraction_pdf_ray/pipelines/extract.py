@@ -680,3 +680,55 @@ def conv_role_alternation(paths: str | list[str],
             "alternation_ok": (out["n_bad"] == 0).to_numpy(bool)})
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+
+
+CONTEXT_BUDGET_TOKENS = 512   # running-context cut mirrored in the oracle
+
+
+def conv_context_growth(paths: str | list[str],
+                        num_partitions: int = DEFAULT_PARTITIONS
+                        ) -> ray.data.Dataset:
+    """Per-turn running context length — the truncation-planning curve an
+    SFT data builder needs (a chat sample's training cost is the prompt
+    CONTEXT at each turn, i.e. the cumulative token count of everything
+    before and including it): for every turn, its own whitespace token
+    count, the running total within the conversation in ``turn_idx``
+    order, and whether the running total still fits
+    :data:`CONTEXT_BUDGET_TOKENS` (the turns a budget-capped packer
+    would keep).
+
+    One conv-hash bucket exchange of ``(conv_id, turn_idx, n_tokens)``
+    — token counts are computed map-side BEFORE the shuffle, so the
+    exchange never carries text; inside the bucket one mergesort +
+    grouped cumsum (vectorized, no per-conv loop). Counts are exact
+    int64 (tokenization convention = :func:`..pipelines.documents
+    .doc_token_stats`, mirrored in the oracle)."""
+    import pandas as pd
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.fill_null(batch["text"], ""),
+                                       r"\s+", " "))
+        toks = pc.split_pattern_regex(clean, r"\s+")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({"conv_id": batch["conv_id"],
+                         "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+                         "n_tokens": n})
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow"),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        cum = g.groupby("conv_id", sort=False)["n_tokens"].cumsum() \
+            .to_numpy(np.int64)
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy(object),
+            "turn_idx": g["turn_idx"].to_numpy(np.int64),
+            "n_tokens": g["n_tokens"].to_numpy(np.int64),
+            "cum_tokens": cum,
+            "fits_budget": cum <= CONTEXT_BUDGET_TOKENS})
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")

@@ -252,6 +252,8 @@ def run_bench() -> dict:
             lambda s: _extract.conv_role_alternation(s).count(), src),
         "embedding_norm_outliers": timed(
             lambda d: similarity.embedding_norm_outliers(d).count(), sf_dir),
+        "conv_context_growth": timed(
+            lambda s: _extract.conv_context_growth(s).count(), src),
     }
 
     ray.shutdown()

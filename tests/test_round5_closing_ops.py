@@ -396,3 +396,27 @@ class TestTranscriptAnalyticsAndNormOutliers:
                 for r in out.itertuples()} == expect
         for r in out.itertuples():
             assert r.z == round((float(r.n2) - mean) / sigma, 6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContextGrowth:
+    def test_matches_pandas_cumsum(self, tiny_transcripts):
+        import re as _re
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            CONTEXT_BUDGET_TOKENS, conv_context_growth,
+        )
+        t = pq.read_table(tiny_transcripts).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        # ASCII \s, matching the engine's RE2 semantics (Python's
+        # unicode \s also eats  -class chars in the noise turns)
+        t["n"] = [len(_re.sub(r"\s+", " ", x or "", flags=_re.ASCII)
+                      .strip(" \t\n\r\f\v").split(" "))
+                  for x in t["text"]]
+        t["cum"] = t.groupby("conv_id")["n"].cumsum()
+        out = conv_context_growth(tiny_transcripts).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        assert len(out) == len(t)
+        assert list(out["n_tokens"]) == list(t["n"])
+        assert list(out["cum_tokens"]) == list(t["cum"])
+        assert list(out["fits_budget"]) == \
+            list(t["cum"] <= CONTEXT_BUDGET_TOKENS)

@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "doc_lm_backoff_score": documents.doc_lm_backoff_score,   # SQL-matched (held-out bigram Stupid-Backoff LM, r5)
         "conv_context_growth": _q_conv_context_growth,            # SQL-matched (running context curve, r5)
         "conv_response_latency": _q_conv_response_latency,        # SQL-matched (assistant latency analytic, r5)
         "conv_role_alternation": _q_conv_role_alternation,        # SQL-matched (SFT alternation check, r5)
@@ -1014,6 +1015,51 @@ def oracle_sql() -> dict[str, str]:
         # hash), target = lang='en' slice, add-1 smoothing over the 1024
         # buckets; log-ratio expression mirrored term-for-term, per-doc
         # sum rounded to 6 (float-sum-order convention).
+        # held-out bigram Stupid-Backoff LM scoring (engine
+        # documents.doc_lm_backoff_score): LM slice doc_id%7=0, exact
+        # integer counts, per-TYPE m*s contributions (multiplication,
+        # not repeated addition — float-sum parity), OOV floor c2:=1,
+        # per-doc sum rounded to 6.
+        "doc_lm_backoff_score": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split({_CLEAN_LC}, ' '),
+                                   x -> x <> '') AS t
+                FROM documents),
+            lmu AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(t) AS tok FROM toks
+                          WHERE doc_id % 7 = 0) GROUP BY tok),
+            nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lmu),
+            lmb AS (SELECT split_part(p, ' ', 1) AS w1,
+                           split_part(p, ' ', 2) AS w2,
+                           CAST(count(*) AS BIGINT) AS c12
+                    FROM (SELECT unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])) AS p
+                          FROM toks WHERE doc_id % 7 = 0)
+                    GROUP BY 1, 2),
+            sp AS (SELECT doc_id, split_part(p, ' ', 1) AS w1,
+                          split_part(p, ' ', 2) AS w2,
+                          CAST(count(*) AS BIGINT) AS m
+                   FROM (SELECT doc_id,
+                                unnest(list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS p
+                         FROM toks WHERE doc_id % 7 <> 0)
+                   GROUP BY 1, 2, 3),
+            sc AS (SELECT sp.doc_id, sp.m,
+                          sp.m * CASE
+                              WHEN b.c12 IS NOT NULL THEN
+                                  log10(CAST(b.c12 AS DOUBLE) / u1.c)
+                              ELSE log10(0.4 * greatest(
+                                  coalesce(u2.c, 0), 1) / nn.n)
+                          END AS ms
+                   FROM sp
+                   LEFT JOIN lmb b ON sp.w1 = b.w1 AND sp.w2 = b.w2
+                   LEFT JOIN lmu u1 ON sp.w1 = u1.tok
+                   LEFT JOIN lmu u2 ON sp.w2 = u2.tok, nn)
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_pairs,
+                   round(sum(ms), 6) AS log10_score
+            FROM sc GROUP BY doc_id
+        """,
         # per-turn running context length (engine
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for

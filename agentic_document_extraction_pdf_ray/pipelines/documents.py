@@ -2772,3 +2772,173 @@ def lang_confusion_matrix(sf_dir: str) -> "pd.DataFrame":
         agg["n"].to_numpy(np.float64) / totals.to_numpy(np.float64), 6)
     return (agg[["lang", "predicted_lang", "n", "row_share"]]
             .sort_values(["lang", "predicted_lang"], ignore_index=True))
+
+
+def doc_lm_backoff_score(sf_dir: str, lm_mod: int = 7,
+                         n_buckets: int = 32) -> ray.data.Dataset:
+    """Held-out bigram LM scoring with Stupid Backoff (Brants et al.
+    2007 §3) — the "CCNet with a real LM" upgrade over
+    :func:`doc_unigram_logprob`: the ``doc_id % lm_mod == 0`` slice is
+    the reference LM corpus (same held-out convention as
+    :func:`..pipelines.dedup.doc_decontaminate`); every OTHER document
+    is scored as ``Σ m·s`` over its distinct adjacent bigram types,
+
+        ``s = log10(c12/c1)``            if the bigram was seen in LM,
+        ``s = log10(0.4·c2/N)``          else if ``w2`` was seen,
+        ``s = log10(0.4/N)``             else (the OOV floor, c2:=1),
+
+    with exact integer counts and per-type ``m·s`` (NOT per-occurrence
+    addition — mirrored in the oracle so float summation agrees).
+    Low-scoring docs are the unnatural-text tail a CCNet-style filter
+    drops.
+
+    ONE scoring read + one cheap N pre-pass (the BM25 stats-pass
+    precedent); both LM marginals attach in token-keyed buckets exactly
+    like :func:`doc_bigram_pmi`: stage-A map-side combiner emits LM
+    unigram partials (key w), LM bigram partials (key w1) and scored
+    pair-type partials (key w1, with doc multiplicity) from the same
+    batches; fold 1 attaches ``c1``/``c12`` with zero extra movement
+    (everything keyed w1 co-buckets), pairs re-key by ``w2`` while the
+    unigram table rides; fold 2 attaches ``c2`` and evaluates ``s``;
+    fold 3 is the doc-keyed per-doc sum. Every exchange carries narrow
+    count rows, never text."""
+    import pandas as pd
+
+    from ..functions.hashing import bucket_int_array, hash_str_array
+
+    def _tb(keys: np.ndarray) -> np.ndarray:
+        return (hash_str_array(keys.astype(object))
+                % np.uint64(n_buckets)).astype(np.int64)
+
+    # N pre-pass: total LM-slice tokens (narrow per-batch partials)
+    def n_partial(batch: pa.Table) -> "pd.DataFrame":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lm = pa.array(ids % lm_mod == 0)
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(
+            batch["text"].filter(lm) if batch.num_rows else batch["text"],
+            "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        nonempty = pc.sum(pc.cast(pc.not_equal(flat, ""), pa.int64()))
+        return pd.DataFrame({"n": [int(nonempty.as_py() or 0)]})
+
+    n_total = int(read_documents(sf_dir, ["doc_id", "text"])
+                  .map_batches(n_partial, batch_format="pyarrow")
+                  .to_pandas()["n"].sum())
+
+    def partials(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        flat, parents = flat[keep], parents[keep]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc = ids[parents]
+        is_lm = doc % lm_mod == 0
+        frames = []
+        lm_tok = flat[is_lm]
+        if len(lm_tok):
+            u = (pd.DataFrame({"key": lm_tok}).groupby("key", sort=False)
+                 .size().reset_index(name="c"))
+            frames.append(pd.DataFrame({
+                "key": u["key"], "tok2": "", "side": "u",
+                "c": u["c"].astype(np.int64), "doc_id": np.int64(-1)}))
+        if len(flat) > 1:
+            adj = parents[1:] == parents[:-1]
+            w1, w2 = flat[:-1][adj], flat[1:][adj]
+            pdoc = doc[:-1][adj]
+            plm = pdoc % lm_mod == 0
+            if plm.any():
+                b = (pd.DataFrame({"key": w1[plm], "tok2": w2[plm]})
+                     .groupby(["key", "tok2"], sort=False)
+                     .size().reset_index(name="c"))
+                b["side"] = "b"
+                b["doc_id"] = np.int64(-1)
+                frames.append(b)
+            sc = ~plm
+            if sc.any():
+                p = (pd.DataFrame({"key": w1[sc], "tok2": w2[sc],
+                                   "doc_id": pdoc[sc]})
+                     .groupby(["doc_id", "key", "tok2"], sort=False)
+                     .size().reset_index(name="c"))
+                p["side"] = "p"
+                frames.append(p)
+        if not frames:
+            return pd.DataFrame({
+                "key": pd.Series([], dtype=object),
+                "tok2": pd.Series([], dtype=object),
+                "side": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "_bucket": pd.Series([], dtype=np.int64)})
+        out = pd.concat(
+            [f[["key", "tok2", "side", "c", "doc_id"]] for f in frames],
+            ignore_index=True)
+        out["c"] = out["c"].astype(np.int64)
+        out["_bucket"] = _tb(out["key"].to_numpy(object))
+        return out
+
+    def fold_first(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = g[g["side"] == "u"].groupby("key", as_index=False)["c"].sum()
+        b = (g[g["side"] == "b"]
+             .groupby(["key", "tok2"], as_index=False)["c"].sum()
+             .rename(columns={"c": "c12"}))
+        p = (g[g["side"] == "p"]
+             .groupby(["doc_id", "key", "tok2"], as_index=False)["c"]
+             .sum().rename(columns={"c": "m"}))
+        p = p.merge(u.rename(columns={"c": "c1"}), on="key", how="left")
+        p = p.merge(b, on=["key", "tok2"], how="left")
+        p_out = pd.DataFrame({
+            "key": p["tok2"].to_numpy(object),        # re-key by w2
+            "side": "p", "doc_id": p["doc_id"].to_numpy(np.int64),
+            "m": p["m"].to_numpy(np.int64),
+            "c1": p["c1"].fillna(0).astype(np.int64),
+            "c12": p["c12"].fillna(0).astype(np.int64)})
+        u_out = pd.DataFrame({
+            "key": u["key"].to_numpy(object), "side": "u",
+            "doc_id": np.int64(-1),
+            "m": u["c"].to_numpy(np.int64),            # c rides in m
+            "c1": np.int64(0), "c12": np.int64(0)})
+        out = pd.concat([p_out, u_out], ignore_index=True)
+        out["_b2"] = _tb(out["key"].to_numpy(object))
+        return out
+
+    def fold_second(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = (g[g["side"] == "u"][["key", "m"]]
+             .rename(columns={"m": "c2"}))
+        p = g[g["side"] == "p"].merge(u, on="key", how="left")
+        if not len(p):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "m": pd.Series([], dtype=np.int64),
+                                 "ms": pd.Series([], dtype=np.float64),
+                                 "_db": pd.Series([], dtype=np.int64)})
+        c12 = p["c12"].to_numpy(np.int64)
+        c1 = p["c1"].to_numpy(np.int64)
+        c2 = p["c2"].fillna(0).astype(np.int64).to_numpy()
+        m = p["m"].to_numpy(np.int64)
+        s = np.log10(0.4 * np.maximum(c2, 1) / float(n_total))
+        seen = c12 > 0
+        s[seen] = np.log10(c12[seen] / np.maximum(c1[seen], 1))
+        out = pd.DataFrame({
+            "doc_id": p["doc_id"].to_numpy(np.int64),
+            "m": m, "ms": m * s})
+        out["_db"] = bucket_int_array(out["doc_id"].to_numpy(np.int64),
+                                      n_buckets)
+        return out
+
+    def per_doc(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_pairs=("m", "sum"), ls=("ms", "sum"))
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "n_pairs": out["n_pairs"].to_numpy(np.int64),
+            "log10_score": np.round(out["ls"].to_numpy(np.float64), 6)})
+
+    return (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(fold_first,
+                                           batch_format="pandas")
+            .groupby("_b2").map_groups(fold_second, batch_format="pandas")
+            .groupby("_db").map_groups(per_doc, batch_format="pandas"))

@@ -179,3 +179,81 @@ class TestUnigramLogprob:
         )
         out = doc_unigram_logprob(sf).to_pandas()
         assert (out["bits_per_token"] == 3.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLmBackoffScore:
+    @staticmethod
+    def _brute(texts_by_id, lm_mod=7):
+        import math
+        toks = {i: [t for t in " ".join(s.lower().split()).split(" ")
+                    if t] for i, s in texts_by_id.items()}
+        c1, c12 = {}, {}
+        n = 0
+        for i, ts in toks.items():
+            if i % lm_mod == 0:
+                n += len(ts)
+                for t in ts:
+                    c1[t] = c1.get(t, 0) + 1
+                for a, b in zip(ts, ts[1:]):
+                    c12[(a, b)] = c12.get((a, b), 0) + 1
+        out = {}
+        for i, ts in toks.items():
+            if i % lm_mod == 0 or len(ts) < 2:
+                continue
+            score, m_tot = 0.0, 0
+            pairs = {}
+            for a, b in zip(ts, ts[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            for (a, b), m in pairs.items():
+                if (a, b) in c12:
+                    s = math.log10(c12[(a, b)] / max(c1.get(a, 0), 1))
+                else:
+                    s = math.log10(0.4 * max(c1.get(b, 0), 1) / n)
+                score += m * s
+                m_tot += m
+            out[i] = (m_tot, round(score, 6))
+        return out
+
+    def test_all_three_branches(self, tmp_path):
+        """doc 7 is also LM; doc 1 has a seen bigram ('the cat', c12=2,
+        c1(the)=3), a backoff pair ('cat runs': 'runs' seen c2=1) and a
+        full-OOV pair ('runs zz')."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_lm_backoff_score,
+        )
+        texts = {0: "the cat sat the cat sat", 7: "a dog runs",
+                 1: "the cat runs zz", 2: "the cat sat"}
+        sf = _write_docs(
+            tmp_path, "lmb",
+            doc_id=pa.array(sorted(texts), pa.int64()),
+            text=pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        )
+        got = (doc_lm_backoff_score(sf).to_pandas()
+               .set_index("doc_id").sort_index())
+        want = self._brute(texts)
+        assert set(got.index) == set(want)
+        for i, (m, s) in want.items():
+            assert got.loc[i, "n_pairs"] == m
+            assert got.loc[i, "log10_score"] == pytest.approx(s, abs=2e-6)
+
+    def test_randomized_vs_bruteforce(self, tmp_path):
+        rng = np.random.RandomState(11)
+        vocab = [f"w{j}" for j in range(30)]
+        texts = {i: " ".join(rng.choice(vocab, size=rng.randint(2, 25)))
+                 for i in range(40)}
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_lm_backoff_score,
+        )
+        sf = _write_docs(
+            tmp_path, "lmbr",
+            doc_id=pa.array(sorted(texts), pa.int64()),
+            text=pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        )
+        got = (doc_lm_backoff_score(sf).to_pandas()
+               .set_index("doc_id").sort_index())
+        want = self._brute(texts)
+        assert set(got.index) == set(want)
+        for i, (m, s) in want.items():
+            assert got.loc[i, "n_pairs"] == m
+            assert got.loc[i, "log10_score"] == pytest.approx(s, abs=2e-6)

@@ -158,6 +158,11 @@ def _q_conv_role_alternation(sf_dir: str) -> Any:
     return conv_role_alternation(_transcripts_for(sf_dir))
 
 
+def _q_conv_first_msg_dedup(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_first_msg_dedup
+    return conv_first_msg_dedup(_transcripts_for(sf_dir))
+
+
 def _q_conv_tool_stats(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_tool_stats
     return conv_tool_stats(_transcripts_for(sf_dir))
@@ -388,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
         "doc_lm_backoff_score": documents.doc_lm_backoff_score,   # SQL-matched (held-out bigram Stupid-Backoff LM, r5)
+        "conv_first_msg_dedup": _q_conv_first_msg_dedup,          # SQL-matched (SFT first-prompt dedup, r5)
         "conv_context_growth": _q_conv_context_growth,            # SQL-matched (running context curve, r5)
         "conv_response_latency": _q_conv_response_latency,        # SQL-matched (assistant latency analytic, r5)
         "conv_role_alternation": _q_conv_role_alternation,        # SQL-matched (SFT alternation check, r5)
@@ -1105,6 +1111,31 @@ def oracle_sql() -> dict[str, str]:
         # role-alternation validation (engine
         # extract.conv_role_alternation): adjacent same-role pairs over
         # user/assistant only; every conversation emitted.
+        # cross-conversation first-user-message dedup (engine
+        # extract.conv_first_msg_dedup): md5 of
+        # lower(trim(regexp_replace(text,'\s+',' '))) of each conv's
+        # min-turn_idx user turn; family size + min-conv_id canonical
+        # per key; convs with no user turn excluded on both engines.
+        "conv_first_msg_dedup": f"""
+            WITH fm AS (
+                SELECT conv_id,
+                       md5(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))))
+                           AS first_msg_key
+                FROM (SELECT conv_id, text,
+                             row_number() OVER (PARTITION BY conv_id
+                                                ORDER BY turn_idx) AS rn
+                      FROM {_T_SRC} WHERE role = 'user')
+                WHERE rn = 1)
+            SELECT conv_id, first_msg_key,
+                   CAST(count(*) OVER (PARTITION BY first_msg_key)
+                        AS BIGINT) AS n_convs,
+                   min(conv_id) OVER (PARTITION BY first_msg_key)
+                       AS canonical_conv_id,
+                   conv_id = min(conv_id) OVER
+                       (PARTITION BY first_msg_key) AS keep
+            FROM fm
+        """,
         "conv_role_alternation": f"""
             WITH t AS (SELECT conv_id, turn_idx, role FROM {_T_SRC}),
             p AS (SELECT conv_id, role,

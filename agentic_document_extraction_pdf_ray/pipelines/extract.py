@@ -732,3 +732,87 @@ def conv_context_growth(paths: str | list[str],
             "fits_budget": cum <= CONTEXT_BUDGET_TOKENS})
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+
+
+def conv_first_msg_dedup(paths: str | list[str],
+                         num_partitions: int = DEFAULT_PARTITIONS
+                         ) -> ray.data.Dataset:
+    """Cross-conversation dedup by normalized first user message — the
+    classic SFT-dataset dedup (many scraped chat corpora contain the
+    same opening prompt re-asked verbatim; keeping one per prompt is the
+    standard curation step — the conversation-level analogue of
+    :func:`..pipelines.dedup.dedup_exact_prefix`, reference analogue:
+    the normalized-key file-identity dedup of
+    ``/root/reference/src/utils/file_handler.py`` sha256 routing).
+
+    Per conversation: the md5 of ``lower(trim(regexp_replace(text,
+    '\\s+', ' ')))`` of its FIRST ``user`` turn (min ``turn_idx``);
+    conversations sharing a key form a family; the min ``conv_id`` is
+    the canonical survivor. Conversations with no user turn are
+    excluded on both engines.
+
+    NO text ever crosses an exchange: each block reduces to ONE
+    candidate row per (conv, block) — the block-local min-turn_idx user
+    row — and hashes its normalized text map-side, so both shuffles
+    (conv-bucket reduce to the true first turn, then key-bucket family
+    fold) carry only ``(conv_id, turn_idx, md5-hex)`` rows. Family
+    size/canonical are computed per key bucket — a key lives in exactly
+    one bucket, so counts are exact."""
+    import hashlib
+
+    import pandas as pd
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        user = batch.filter(pc.equal(batch["role"], "user"))
+        if user.num_rows == 0:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype=np.int64),
+                "first_msg_key": pd.Series([], dtype=object),
+                "pkey": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({
+            "conv_id": user["conv_id"].to_numpy(zero_copy_only=False),
+            "turn_idx": user["turn_idx"].to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        first = df.groupby("conv_id", sort=False)["turn_idx"].idxmin()
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.fill_null(user["text"], ""), r"\s+", " ")))
+        texts = norm.take(pa.array(first.to_numpy())).to_pylist()
+        out = df.loc[first.to_numpy()].reset_index(drop=True)
+        out["first_msg_key"] = [
+            hashlib.md5(t.encode()).hexdigest() for t in texts]
+        out["pkey"] = bucket_str_column(
+            pa.array(out["conv_id"], pa.string()), num_partitions)
+        return out
+
+    def first_per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("conv_id", sort=False)["turn_idx"].idxmin()
+        out = g.loc[idx, ["conv_id", "first_msg_key"]] \
+            .reset_index(drop=True)
+        out["kbucket"] = bucket_str_column(
+            pa.array(out["first_msg_key"], pa.string()), num_partitions)
+        return out
+
+    def per_key_family(g: pd.DataFrame) -> pd.DataFrame:
+        fam = g.groupby("first_msg_key", as_index=False).agg(
+            n_convs=("conv_id", "size"),
+            canonical_conv_id=("conv_id", "min"))
+        out = g.merge(fam, on="first_msg_key")
+        out = out.sort_values("conv_id", kind="mergesort")
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].to_numpy(object),
+            "first_msg_key": out["first_msg_key"].to_numpy(object),
+            "n_convs": out["n_convs"].to_numpy(np.int64),
+            "canonical_conv_id":
+                out["canonical_conv_id"].to_numpy(object),
+            "keep": (out["conv_id"]
+                     == out["canonical_conv_id"]).to_numpy(bool)})
+
+    return (read_transcripts(paths, columns=["conv_id", "turn_idx",
+                                             "role", "text"])
+            .map_batches(candidates, batch_format="pyarrow")
+            .groupby("pkey").map_groups(first_per_conv,
+                                        batch_format="pandas")
+            .groupby("kbucket").map_groups(per_key_family,
+                                           batch_format="pandas"))

@@ -420,3 +420,83 @@ class TestContextGrowth:
         assert list(out["cum_tokens"]) == list(t["cum"])
         assert list(out["fits_budget"]) == \
             list(t["cum"] <= CONTEXT_BUDGET_TOKENS)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFirstMsgDedup:
+    def test_matches_pandas_brute(self, tiny_transcripts):
+        import hashlib
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_first_msg_dedup,
+        )
+        t = pq.read_table(tiny_transcripts).to_pandas()
+        users = t[t["role"] == "user"] \
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort") \
+            .groupby("conv_id", as_index=False).first()
+
+        # RE2 \s (engine + DuckDB oracle) is ASCII-only, unlike Python
+        # re — normalize with the same Arrow kernels the engine uses.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def norm(s: str) -> str:
+            return pc.utf8_lower(pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(
+                    pa.scalar(s or ""), r"\s+", " "))).as_py()
+
+        key = {r.conv_id: hashlib.md5(norm(r.text).encode()).hexdigest()
+               for r in users.itertuples()}
+        fams = collections.Counter(key.values())
+        canon = {}
+        for c, k in key.items():
+            canon[k] = min(canon.get(k, c), c)
+        out = conv_first_msg_dedup(tiny_transcripts).to_pandas() \
+            .set_index("conv_id")
+        assert set(out.index) == set(key)
+        for c, k in key.items():
+            row = out.loc[c]
+            assert row["first_msg_key"] == k
+            assert row["n_convs"] == fams[k]
+            assert row["canonical_conv_id"] == canon[k]
+            assert row["keep"] == (c == canon[k])
+
+    def test_designed_families(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_first_msg_dedup,
+        )
+        # c1/c2 share a first prompt modulo case+whitespace; c3 unique;
+        # c4 has no user turn (excluded); c2's first user turn is NOT
+        # turn 0 (selection by min turn_idx among user rows).
+        rows = [
+            ("c1", 0, "user", "  Hello   World "),
+            ("c1", 1, "assistant", "hi"),
+            ("c2", 0, "system", "sys"),
+            ("c2", 1, "user", "hello world"),
+            ("c2", 2, "user", "different later turn"),
+            ("c3", 0, "user", "another prompt"),
+            ("c4", 0, "assistant", "no user here"),
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+        })
+        d = tmp_path / "fmd"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = conv_first_msg_dedup(str(d)).to_pandas() \
+            .set_index("conv_id").sort_index()
+        assert list(out.index) == ["c1", "c2", "c3"]
+        assert out.loc["c1", "first_msg_key"] == \
+            out.loc["c2", "first_msg_key"]
+        assert out.loc["c1", "n_convs"] == 2
+        assert bool(out.loc["c1", "keep"]) is True
+        assert bool(out.loc["c2", "keep"]) is False
+        assert out.loc["c2", "canonical_conv_id"] == "c1"
+        assert out.loc["c3", "n_convs"] == 1
+        assert bool(out.loc["c3", "keep"]) is True

@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oldest-graded anchors.
         "doc_lm_backoff_score": documents.doc_lm_backoff_score,   # SQL-matched (held-out bigram Stupid-Backoff LM, r5)
         "conv_first_msg_dedup": _q_conv_first_msg_dedup,          # SQL-matched (SFT first-prompt dedup, r5)
+        "embedding_knn_graph": similarity.embedding_knn_graph,    # SQL-matched (all-vectors cosine kNN graph, r5)
         "conv_context_growth": _q_conv_context_growth,            # SQL-matched (running context curve, r5)
         "conv_response_latency": _q_conv_response_latency,        # SQL-matched (assistant latency analytic, r5)
         "conv_role_alternation": _q_conv_role_alternation,        # SQL-matched (SFT alternation check, r5)
@@ -2365,6 +2366,39 @@ def oracle_sql() -> dict[str, str]:
         # integer dots (the label_centroid_sim HUGEINT convention), one
         # cast to DOUBLE, round 6 — the tau-compare uses the SAME rounded
         # value on both engines.
+        # all-vectors kNN graph (engine similarity.embedding_knn_graph):
+        # semdedup's fixed-point cosine convention, rank 1..k ordered
+        # (cos DESC, neighbor_id ASC), self excluded, zero-quantized
+        # vectors excluded from both roles.
+        "embedding_knn_graph": """
+            WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              unnest(list_transform(range(1, len(embedding) + 1),
+                                  i -> struct_pack(dim := i - 1,
+                                      q := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                                      * 1000000 + 0.5) AS BIGINT)))) AS s
+                       FROM embeddings),
+            c AS (SELECT vec_id, s.dim AS dim, s.q AS q FROM e),
+            nr AS (SELECT vec_id, sum(q * q) AS nrm FROM c
+                   GROUP BY vec_id HAVING sum(q * q) > 0),
+            cl AS (SELECT c.* FROM c JOIN nr USING (vec_id)),
+            p AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                         sum(a.q * b.q) AS dot
+                  FROM cl a JOIN cl b ON a.dim = b.dim
+                                     AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2),
+            cs AS (SELECT u, v, round(CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(nu.nrm AS DOUBLE))
+                             * sqrt(CAST(nv.nrm AS DOUBLE))), 6) AS c6
+                   FROM p JOIN nr nu ON nu.vec_id = p.u
+                          JOIN nr nv ON nv.vec_id = p.v),
+            r AS (SELECT u AS vec_id, v AS neighbor_id, c6,
+                         row_number() OVER (PARTITION BY u
+                                            ORDER BY c6 DESC, v) AS rk
+                  FROM cs)
+            SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rank,
+                   c6 AS cos_sim
+            FROM r WHERE rk <= 5
+        """,
         "embedding_semdedup": """
             WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                               CAST(label AS BIGINT) AS label,

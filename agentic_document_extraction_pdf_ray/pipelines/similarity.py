@@ -962,3 +962,151 @@ def embedding_norm_outliers(sf_dir: str) -> ray.data.Dataset:
             "z": np.round((n2[keep].astype(np.float64) - mean) / sigma, 6)})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def _rowwise_topk(cos: np.ndarray, kk: int) -> np.ndarray:
+    """Vectorized per-row top-``kk`` column indices of a round-6 cosine
+    matrix, ordered ``(cos DESC, column index ASC)`` — exact: the
+    rounded cosine re-encodes as an integer and packs with the column
+    index into ONE int64 sort key, so no per-row Python loop and no
+    float-noise tie reordering. Requires ``n_cols < 2**40`` and
+    ``cos ∈ [-2, 1]`` (−2 is the self-mask sentinel)."""
+    n = cos.shape[1]
+    c_int = np.rint(cos * 1e6).astype(np.int64)      # exact on round-6 input
+    comp = ((np.int64(1_000_000) - c_int) << np.int64(40)) \
+        + np.arange(n, dtype=np.int64)
+    if kk < n:
+        part = np.argpartition(comp, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(np.arange(n), cos.shape).copy()
+    order = np.argsort(np.take_along_axis(comp, part, axis=1),
+                       axis=1, kind="stable")
+    return np.take_along_axis(part, order, axis=1)
+
+
+def embedding_knn_graph(sf_dir: str, k: int = 5,
+                        max_broadcast_rows: int = 100_000,
+                        n_buckets: int = 16) -> ray.data.Dataset:
+    """All-vectors kNN graph by cosine — the neighborhood structure every
+    embedding-space curation step consumes (SemDeDup's cluster scan,
+    graph-based density pruning, label propagation; reference analogue:
+    the FAISS field-history top-k of
+    ``/root/reference/src/storage/vector_store.py`` applied corpus-wide):
+    per vector, its ``k`` nearest OTHER vectors, ``rank`` 1..k ordered by
+    ``(cos DESC, neighbor_id ASC)``.
+
+    Exactness: the :func:`embedding_semdedup` fixed-point convention —
+    ``q = floor(x·1e6 + .5)`` ints, exact int64 dot, ONE float64
+    division, round 6 — so rank boundaries can never diverge from the
+    SQL oracle on float summation order. Zero-quantized vectors have no
+    cosine to anything and are excluded from both roles on both engines.
+
+    Scale routing (the :func:`embedding_near_dup` policy): up to
+    ``max_broadcast_rows`` the corpus int matrix is broadcast ONCE
+    (``ray.put``) and each batch computes its rows' top-k against it —
+    NO exchange, embarrassingly parallel, O(n²) work spread over every
+    core. Beyond that, the label-confined variant (one bucketed shuffle
+    on the kmeans/cluster ``label``, per-cluster exact top-k) — the
+    IVF-probe approximation whose recall knob is the cluster count, with
+    per-cluster work bounded by Σ|c|² exactly like SemDeDup."""
+    ds = read_embeddings(sf_dir)
+    if ds.count() > max_broadcast_rows:          # parquet metadata, no scan
+        return _knn_graph_within_labels(ds, k, n_buckets)
+
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], np.int64)
+    q = np.floor(np.array([r["embedding"] for r in rows], np.float64)
+                 * 1e6 + 0.5).astype(np.int64)
+    nrm2 = (q * q).sum(axis=1)
+    live = nrm2 > 0
+    ids, q, nrm2 = ids[live], q[live], nrm2[live]
+    corpus_ref = ray.put((ids, q, np.sqrt(nrm2.astype(np.float64))))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        c_ids, c_q, c_nrm = ray.get(corpus_ref)
+        b_ids, b_emb = _batch_matrix(batch)
+        b_q = np.floor(b_emb * 1e6 + 0.5).astype(np.int64)
+        b_n2 = (b_q * b_q).sum(axis=1)
+        blive = b_n2 > 0
+        b_ids, b_q = b_ids[blive], b_q[blive]
+        b_nrm = np.sqrt(b_n2[blive].astype(np.float64))
+        if not len(b_ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        dots = b_q @ c_q.T                          # exact int64
+        cos = np.round(dots.astype(np.float64)
+                       / np.outer(b_nrm, c_nrm), 6)
+        cos[b_ids[:, None] == c_ids[None, :]] = -2.0   # no self edge
+        kk = min(k, cos.shape[1] - 1)
+        sel = _rowwise_topk(cos, kk)                # (B, kk), tie by index
+        B = len(b_ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(b_ids, kk), pa.int64()),
+            "neighbor_id": pa.array(c_ids[sel].ravel(), pa.int64()),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                     B), pa.int64()),
+            "cos_sim": pa.array(
+                np.take_along_axis(cos, sel, axis=1).ravel(),
+                pa.float64())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _knn_graph_within_labels(ds: ray.data.Dataset, k: int,
+                             n_buckets: int) -> ray.data.Dataset:
+    """Label-confined kNN (the scale route of :func:`embedding_knn_graph`):
+    neighbors are searched within the vector's cluster only — exact
+    inside each cluster, the standard IVF-1-probe approximation across
+    them. One bucketed shuffle on ``label`` ships each vector once."""
+    from ..functions.hashing import bucket_int_array
+
+    def add_bucket(batch: pa.Table) -> pd.DataFrame:
+        labels = batch["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "label": labels,
+            "embedding": batch["embedding"].to_pylist(),
+            "_b": bucket_int_array(labels, n_buckets)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["label", "vec_id"], kind="mergesort")
+        lab = g["label"].to_numpy(np.int64)
+        ids = g["vec_id"].to_numpy(np.int64)
+        q = np.floor(np.array(g["embedding"].tolist(), np.float64)
+                     * 1e6 + 0.5).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        frames = []
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(lab)) + 1, [len(g)]))
+        for s, e in zip(starts[:-1], starts[1:]):
+            live = np.flatnonzero(n2[s:e] > 0) + s
+            if len(live) < 2:
+                continue
+            li, lq = ids[live], q[live]
+            ln = np.sqrt(n2[live].astype(np.float64))
+            cos = np.round((lq @ lq.T).astype(np.float64)
+                           / np.outer(ln, ln), 6)
+            np.fill_diagonal(cos, -2.0)
+            kk = min(k, len(live) - 1)
+            sel = _rowwise_topk(cos, kk)            # index order == id order
+            frames.append(pd.DataFrame({
+                "vec_id": np.repeat(li, kk),
+                "neighbor_id": li[sel].ravel(),
+                "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                len(li)),
+                "cos_sim": np.take_along_axis(cos, sel, axis=1).ravel()}))
+        if not frames:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype=np.int64),
+                "neighbor_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "cos_sim": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(per_bucket, batch_format="pandas"))

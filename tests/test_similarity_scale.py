@@ -4,6 +4,7 @@ high recall vs the exact brute-force pairs, and no duplicate emissions."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from agentic_document_extraction_pdf_ray.pipelines.similarity import (
@@ -168,3 +169,94 @@ class TestIvfRecall:
         assert recall >= 0.6, f"IVF top-k recall {recall:.2f} too low"
         # every approx neighbor set is per-query complete (5 each)
         assert approx.groupby("query_id").size().eq(5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnGraph:
+    @staticmethod
+    def _brute(ids, emb, k, labels=None):
+        """(vec_id, rank) -> neighbor_id with the engine's fixed-point
+        round-6 cosine and (cos DESC, id ASC) ordering."""
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        out = {}
+        for i in range(len(ids)):
+            if n2[i] == 0:
+                continue
+            cands = []
+            for j in range(len(ids)):
+                if j == i or n2[j] == 0:
+                    continue
+                if labels is not None and labels[j] != labels[i]:
+                    continue
+                c = round(float(q[i] @ q[j])
+                          / (np.sqrt(n2[i]) * np.sqrt(n2[j])), 6)
+                cands.append((-c, ids[j]))
+            cands.sort()
+            for r, (_, nid) in enumerate(cands[:k], 1):
+                out[(ids[i], r)] = nid
+        return out
+
+    def test_broadcast_path_matches_brute(self):
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_knn_graph,
+        )
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        emb = np.array(t["embedding"].to_pylist(), np.float64)
+        want = self._brute(ids, emb, 5)
+        got = embedding_knn_graph(sf, k=5).to_pandas()
+        got_map = {(r.vec_id, r.rank): r.neighbor_id
+                   for r in got.itertuples()}
+        assert got_map == want
+
+    def test_label_confined_path_matches_brute(self):
+        import pyarrow.parquet as pq
+        import ray
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            _knn_graph_within_labels,
+        )
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        emb = np.array(t["embedding"].to_pylist(), np.float64)
+        labels = t["label"].to_numpy()
+        want = self._brute(ids, emb, 5, labels=labels)
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        got = _knn_graph_within_labels(ds, 5, 16).to_pandas()
+        got_map = {(r.vec_id, r.rank): r.neighbor_id
+                   for r in got.itertuples()}
+        assert got_map == want
+
+    def test_tie_break_and_exclusions(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_knn_graph,
+        )
+        # 10/20/30 are identical (pairwise cos 1.0 -> ties broken by id);
+        # 40 is orthogonal-ish; 50 is the zero vector (excluded).
+        vecs = {10: [1.0, 0.0], 20: [1.0, 0.0], 30: [2.0, 0.0],
+                40: [0.0, 1.0], 50: [0.0, 0.0]}
+        d = tmp_path / "knn"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 5, pa.int32()),
+        }), str(d / "embeddings.parquet"))
+        out = embedding_knn_graph(str(d), k=2).to_pandas()
+        m = {(r.vec_id, r.rank): (r.neighbor_id, r.cos_sim)
+             for r in out.itertuples()}
+        assert m[(10, 1)] == (20, 1.0) and m[(10, 2)] == (30, 1.0)
+        assert m[(20, 1)] == (10, 1.0) and m[(20, 2)] == (30, 1.0)
+        assert m[(30, 1)] == (10, 1.0) and m[(30, 2)] == (20, 1.0)
+        assert m[(40, 1)][1] == 0.0      # orthogonal to all live vectors
+        assert 50 not in {v for v, _ in m}          # zero vec: no rows
+        assert all(n != 50 for (n, _) in m.values())  # ...and no edges

@@ -158,6 +158,11 @@ def _q_conv_role_alternation(sf_dir: str) -> Any:
     return conv_role_alternation(_transcripts_for(sf_dir))
 
 
+def _q_conv_render_sft(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_render_sft
+    return conv_render_sft(_transcripts_for(sf_dir))
+
+
 def _q_conv_first_msg_dedup(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_first_msg_dedup
     return conv_first_msg_dedup(_transcripts_for(sf_dir))
@@ -395,6 +400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_backoff_score": documents.doc_lm_backoff_score,   # SQL-matched (held-out bigram Stupid-Backoff LM, r5)
         "conv_first_msg_dedup": _q_conv_first_msg_dedup,          # SQL-matched (SFT first-prompt dedup, r5)
         "embedding_knn_graph": similarity.embedding_knn_graph,    # SQL-matched (all-vectors cosine kNN graph, r5)
+        "conv_render_sft": _q_conv_render_sft,                    # SQL-matched (chat-template SFT rendering, r5)
+        "doc_compression_ratio": documents.doc_compression_ratio,  # rows-only (zlib quality signal; pytest pins exact values, r5)
         "conv_context_growth": _q_conv_context_growth,            # SQL-matched (running context curve, r5)
         "conv_response_latency": _q_conv_response_latency,        # SQL-matched (assistant latency analytic, r5)
         "conv_role_alternation": _q_conv_role_alternation,        # SQL-matched (SFT alternation check, r5)
@@ -1112,6 +1119,21 @@ def oracle_sql() -> dict[str, str]:
         # role-alternation validation (engine
         # extract.conv_role_alternation): adjacent same-role pairs over
         # user/assistant only; every conversation emitted.
+        # chat-template SFT rendering (engine extract.conv_render_sft):
+        # turn-ordered 'role: text' lines joined with \n per conv;
+        # n_chars = character length of the rendered text.
+        "conv_render_sft": f"""
+            WITH t AS (SELECT conv_id, turn_idx,
+                              role || ': ' || coalesce(text, '') AS line
+                       FROM {_T_SRC}),
+            r AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                         string_agg(line, chr(10) ORDER BY turn_idx)
+                             AS sft_text
+                  FROM t GROUP BY conv_id)
+            SELECT conv_id, n_turns,
+                   CAST(length(sft_text) AS BIGINT) AS n_chars, sft_text
+            FROM r
+        """,
         # cross-conversation first-user-message dedup (engine
         # extract.conv_first_msg_dedup): md5 of
         # lower(trim(regexp_replace(text,'\s+',' '))) of each conv's

@@ -2942,3 +2942,46 @@ def doc_lm_backoff_score(sf_dir: str, lm_mod: int = 7,
                                            batch_format="pandas")
             .groupby("_b2").map_groups(fold_second, batch_format="pandas")
             .groupby("_db").map_groups(per_doc, batch_format="pandas"))
+
+
+def doc_compression_ratio(sf_dir: str, lo: float = 0.30,
+                          hi: float = 0.95,
+                          min_bytes: int = 256) -> ray.data.Dataset:
+    """Per-document zlib compression ratio — the classic cheap quality
+    signal alongside the Gopher rules (:func:`doc_gopher_flags`):
+    highly repetitive/boilerplate text compresses far below normal prose
+    (ratio « 0.3 → template spam), while near-random byte soup doesn't
+    compress at all (ratio ≈ 1 → encoding junk); both tails are dropped
+    by a ``lo ≤ ratio ≤ hi`` band filter. DEFLATE level 6 over the
+    UTF-8 bytes of the whitespace-normalized text. Docs under
+    ``min_bytes`` always keep: the DEFLATE header dominates short
+    inputs (a 40-byte sentence "compresses" to >1.0), so the signal is
+    undefined there — length itself is a separate filter
+    (:func:`doc_gopher_flags`).
+
+    NO exchange at any size — a pure map over the corpus; zlib is
+    C-speed so the per-doc loop is not a Python hot path. Not
+    SQL-expressible (no DEFLATE in DuckDB) → rows-only driver check,
+    pytest pins the exact per-doc values against direct zlib."""
+    import zlib
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        txt = _norm_ws(pc.fill_null(batch["text"], ""))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        raw = [t.encode() for t in txt.to_pylist()]
+        n_bytes = np.array([len(b) for b in raw], np.int64)
+        n_comp = np.array([len(zlib.compress(b, 6)) for b in raw],
+                          np.int64)
+        live = n_bytes > 0
+        ratio = np.round(n_comp[live] / n_bytes[live].astype(np.float64),
+                         6)
+        return pa.table({
+            "doc_id": pa.array(ids[live], pa.int64()),
+            "n_bytes": pa.array(n_bytes[live], pa.int64()),
+            "n_compressed": pa.array(n_comp[live], pa.int64()),
+            "compression_ratio": pa.array(ratio, pa.float64()),
+            "keep": pa.array(((ratio >= lo) & (ratio <= hi))
+                             | (n_bytes[live] < min_bytes), pa.bool_())})
+
+    return (read_documents(sf_dir, ["doc_id", "text"])
+            .map_batches(per_batch, batch_format="pyarrow"))

@@ -816,3 +816,51 @@ def conv_first_msg_dedup(paths: str | list[str],
                                         batch_format="pandas")
             .groupby("kbucket").map_groups(per_key_family,
                                            batch_format="pandas"))
+
+
+def conv_render_sft(paths: str | list[str],
+                    num_partitions: int = DEFAULT_PARTITIONS
+                    ) -> ray.data.Dataset:
+    """Chat-template rendering: conversations → one SFT training example
+    each — the transcripts→training-text formatting step every chat
+    fine-tune runs (the batch analogue of the reference's per-document
+    result consolidation, ``/root/reference/src/export/
+    consolidated_export.py``): per conversation, the turn-ordered
+    ``role: text`` lines joined with ``\\n``, plus ``n_turns`` and the
+    rendered character count.
+
+    ONE conv-hash bucket exchange (rendering needs the conversation's
+    turns in one place — the flagship ``finalize_plan`` shape); inside
+    the bucket one mergesort + a C-level ``groupby().agg(join)`` over
+    all conversations at once. Raw turn text crosses the exchange
+    exactly once, which is the information-theoretic minimum for this
+    output."""
+    import pandas as pd
+
+    def project(batch: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            batch["role"], pc.fill_null(batch["text"], ""), ": ")
+        return pa.table({"conv_id": batch["conv_id"],
+                         "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+                         "line": line})
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "role", "text"])
+        .map_batches(project, batch_format="pyarrow"),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        out = g.groupby("conv_id", sort=False).agg(
+            n_turns=("line", "size"), sft_text=("line", "\n".join)) \
+            .reset_index()
+        out = out.sort_values("conv_id", kind="mergesort")
+        txt = pa.array(out["sft_text"], pa.string())
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].to_numpy(object),
+            "n_turns": out["n_turns"].to_numpy(np.int64),
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64())
+                .to_numpy(zero_copy_only=False),
+            "sft_text": out["sft_text"].to_numpy(object)})
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")

@@ -257,3 +257,55 @@ class TestLmBackoffScore:
         for i, (m, s) in want.items():
             assert got.loc[i, "n_pairs"] == m
             assert got.loc[i, "log10_score"] == pytest.approx(s, abs=2e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompressionRatio:
+    def test_matches_direct_zlib(self):
+        import re
+        import zlib
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_compression_ratio,
+        )
+        sf = "/root/testdata/sf0.001"
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        out = doc_compression_ratio(sf).to_pandas().set_index("doc_id")
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pa.array(docs["text"].fillna(""), pa.string()), r"\s+", " "))
+        n_checked = 0
+        for did, t in zip(docs["doc_id"], norm.to_pylist()):
+            b = t.encode()
+            if not b:
+                assert did not in out.index
+                continue
+            row = out.loc[did]
+            assert row["n_bytes"] == len(b)
+            assert row["n_compressed"] == len(zlib.compress(b, 6))
+            r = round(len(zlib.compress(b, 6)) / len(b), 6)
+            assert row["compression_ratio"] == r
+            assert row["keep"] == ((0.30 <= r <= 0.95)
+                                   or len(b) < 256)
+            n_checked += 1
+        assert n_checked == len(out)
+
+    def test_tails_are_dropped(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_compression_ratio,
+        )
+        sf = _write_docs(
+            tmp_path, "cz",
+            doc_id=pa.array([0, 1], pa.int64()),
+            text=pa.array(["spam " * 2000,               # hyper-compressible
+                           " ".join(hashlib.md5(str(i).encode())
+                                    .hexdigest()[:7]
+                                    for i in range(80))],   # ratio ~0.58
+                          pa.string()),
+        )
+        out = doc_compression_ratio(sf).to_pandas().set_index("doc_id")
+        assert bool(out.loc[0, "keep"]) is False
+        assert out.loc[0, "compression_ratio"] < 0.05
+        assert bool(out.loc[1, "keep"]) is True

@@ -500,3 +500,43 @@ class TestFirstMsgDedup:
         assert out.loc["c2", "canonical_conv_id"] == "c1"
         assert out.loc["c3", "n_convs"] == 1
         assert bool(out.loc["c3", "keep"]) is True
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRenderSft:
+    def test_matches_pandas(self, tiny_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_render_sft,
+        )
+        t = pq.read_table(tiny_transcripts).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        t["line"] = t["role"] + ": " + t["text"].fillna("")
+        want = t.groupby("conv_id")["line"].agg("\n".join)
+        out = conv_render_sft(tiny_transcripts).to_pandas() \
+            .set_index("conv_id")
+        assert set(out.index) == set(want.index)
+        for conv, text in want.items():
+            row = out.loc[conv]
+            assert row["sft_text"] == text
+            assert row["n_turns"] == (t["conv_id"] == conv).sum()
+            assert row["n_chars"] == len(text)
+
+    def test_designed(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_render_sft,
+        )
+        tbl = pa.table({
+            "conv_id": pa.array(["c1", "c1", "c1"], pa.string()),
+            "turn_idx": pa.array([2, 0, 1], pa.int32()),
+            "role": pa.array(["assistant", "user", "tool"], pa.string()),
+            "text": pa.array(["done", "go", None], pa.string()),
+            "tool": pa.array([""] * 3, pa.string()),
+        })
+        d = tmp_path / "sft"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "p.parquet"))
+        out = conv_render_sft(str(d)).to_pandas()
+        assert out.loc[0, "sft_text"] == "user: go\ntool: \nassistant: done"
+        assert out.loc[0, "n_turns"] == 3

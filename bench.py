@@ -254,6 +254,16 @@ def run_bench() -> dict:
             lambda d: similarity.embedding_norm_outliers(d).count(), sf_dir),
         "conv_context_growth": timed(
             lambda s: _extract.conv_context_growth(s).count(), src),
+        "doc_lm_backoff_score": timed(
+            lambda d: documents.doc_lm_backoff_score(d).count(), sf_dir),
+        "conv_first_msg_dedup": timed(
+            lambda s: _extract.conv_first_msg_dedup(s).count(), src),
+        "embedding_knn_graph": timed(
+            lambda d: similarity.embedding_knn_graph(d).count(), sf_dir),
+        "conv_render_sft": timed(
+            lambda s: _extract.conv_render_sft(s).count(), src),
+        "doc_compression_ratio": timed(
+            lambda d: documents.doc_compression_ratio(d).count(), sf_dir),
     }
 
     ray.shutdown()

@@ -278,6 +278,17 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
               sf_dir, pairs=dedup.minhash_lsh_pairs(sf_dir)))
     timed("embedding_dim_variance",
           lambda: similarity.embedding_dim_variance(sf_dir))
+    # final-session additions: the Stupid-Backoff LM (its scored
+    # bigram-TYPE partial volume grows with the corpus — three
+    # token/doc-keyed bucket folds), and the label-confined kNN graph
+    # over the x100 embeddings (50k vectors, every cluster 100x denser
+    # and full of exact twins — the Σ|c|² worst case shared with
+    # semdedup; forced onto the scale route, never the broadcast one).
+    timed("doc_lm_backoff_score",
+          lambda: documents.doc_lm_backoff_score(sf_dir))
+    timed("embedding_knn_graph[labels]",
+          lambda: similarity.embedding_knn_graph(
+              sf_dir, max_broadcast_rows=0))
     return res
 
 

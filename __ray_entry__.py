@@ -158,6 +158,11 @@ def _q_conv_role_alternation(sf_dir: str) -> Any:
     return conv_role_alternation(_transcripts_for(sf_dir))
 
 
+def _q_conv_sft_filter(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_sft_filter
+    return conv_sft_filter(_transcripts_for(sf_dir))
+
+
 def _q_conv_render_sft(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_render_sft
     return conv_render_sft(_transcripts_for(sf_dir))
@@ -402,6 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_graph": similarity.embedding_knn_graph,    # SQL-matched (all-vectors cosine kNN graph, r5)
         "conv_render_sft": _q_conv_render_sft,                    # SQL-matched (chat-template SFT rendering, r5)
         "doc_compression_ratio": documents.doc_compression_ratio,  # rows-only (zlib quality signal; pytest pins exact values, r5)
+        "conv_sft_filter": _q_conv_sft_filter,                    # SQL-matched (rule-based SFT conversation gating, r5)
+        "doc_split_assign": documents.doc_split_assign,           # SQL-matched (deterministic train/val/test split, r5)
         "conv_context_growth": _q_conv_context_growth,            # SQL-matched (running context curve, r5)
         "conv_response_latency": _q_conv_response_latency,        # SQL-matched (assistant latency analytic, r5)
         "conv_role_alternation": _q_conv_role_alternation,        # SQL-matched (SFT alternation check, r5)
@@ -1119,6 +1126,45 @@ def oracle_sql() -> dict[str, str]:
         # role-alternation validation (engine
         # extract.conv_role_alternation): adjacent same-role pairs over
         # user/assistant only; every conversation emitted.
+        # deterministic train/val/test split (engine
+        # documents.doc_split_assign): md5(doc_id|'split')[:8] against
+        # the fixed hex fences 0ccccccc / 19999999 (5% / 5% / 90%).
+        "doc_split_assign": """
+            SELECT doc_id, source,
+                   substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 8)
+                       AS split_key,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                        || '|split'), 1, 8)
+                             < '0ccccccc' THEN 'test'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                        || '|split'), 1, 8)
+                             < '19999999' THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        # rule-based SFT conversation gating (engine
+        # extract.conv_sft_filter): normalized per-turn char counts
+        # (RE2 \s+ collapse + trim), four structural flags, size band
+        # [20, 100000] mirrored from the engine constants.
+        "conv_sft_filter": f"""
+            WITH t AS (SELECT conv_id, role,
+                              length(trim(regexp_replace(
+                                  coalesce(text, ''), '\\s+', ' ', 'g')))
+                                  AS nc
+                       FROM {_T_SRC}),
+            a AS (SELECT conv_id,
+                         CAST(count(*) AS BIGINT) AS n_turns,
+                         CAST(sum(nc) AS BIGINT) AS n_chars,
+                         bool_or(role = 'user') AS has_user,
+                         bool_or(role = 'assistant') AS has_assistant,
+                         NOT bool_or(role = 'assistant' AND nc = 0)
+                             AS no_empty_assistant
+                  FROM t GROUP BY conv_id)
+            SELECT *, (n_chars BETWEEN 20 AND 100000) AS size_ok,
+                   (has_user AND has_assistant AND no_empty_assistant
+                    AND n_chars BETWEEN 20 AND 100000) AS keep
+            FROM a
+        """,
         # chat-template SFT rendering (engine extract.conv_render_sft):
         # turn-ordered 'role: text' lines joined with \n per conv;
         # n_chars = character length of the rendered text.

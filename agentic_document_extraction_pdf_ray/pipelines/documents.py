@@ -2985,3 +2985,43 @@ def doc_compression_ratio(sf_dir: str, lo: float = 0.30,
 
     return (read_documents(sf_dir, ["doc_id", "text"])
             .map_batches(per_batch, batch_format="pyarrow"))
+
+
+SPLIT_TEST_MAX = "0ccccccc"    # floor(0.05 * 16^8) as 8 hex chars;
+SPLIT_VAL_MAX = "19999999"     # floor(0.10 * 16^8) — both mirrored
+                               # verbatim in the oracle SQL
+
+
+def doc_split_assign(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test split assignment — the step every
+    training pipeline runs before anything touches the corpus:
+    ``split_key = substr(md5(doc_id|'split'), 1, 8)`` (the repo's
+    hash-gated sampling convention, :func:`doc_sample`) compared
+    lexicographically against fixed hex fences — ``< 0ccccccc`` →
+    ``test`` (5 %), ``< 19999999`` → ``val`` (next 5 %), else
+    ``train``. Hash splitting is source-stratified in expectation
+    (uniform within every source) and — unlike row-number splits —
+    STABLE under corpus growth: a doc's split never changes when other
+    docs are added or removed, so yesterday's test set never leaks into
+    tomorrow's train set.
+
+    NO exchange at any size — a pure map; md5-per-row is the documented
+    DuckDB-parity price (:func:`doc_epoch_shuffle`)."""
+    import hashlib
+
+    import pandas as pd
+
+    def per_batch(batch: pa.Table) -> "pd.DataFrame":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.array([hashlib.md5(f"{i}|split".encode())
+                         .hexdigest()[:8] for i in ids], object)
+        split = np.where(keys < SPLIT_TEST_MAX, "test",
+                         np.where(keys < SPLIT_VAL_MAX, "val", "train"))
+        return pd.DataFrame({
+            "doc_id": ids.astype(np.int64),
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "split_key": keys,
+            "split": split.astype(object)})
+
+    return (read_documents(sf_dir, ["doc_id", "source"])
+            .map_batches(per_batch, batch_format="pyarrow"))

@@ -864,3 +864,82 @@ def conv_render_sft(paths: str | list[str],
             "sft_text": out["sft_text"].to_numpy(object)})
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+
+
+SFT_MIN_CHARS = 20            # rendered-conversation size band, mirrored
+SFT_MAX_CHARS = 100_000       # in the oracle SQL
+
+
+def conv_sft_filter(paths: str | list[str],
+                    num_partitions: int = DEFAULT_PARTITIONS
+                    ) -> ray.data.Dataset:
+    """Rule-based SFT conversation gating — the accept/reject pass a
+    chat-fine-tuning pipeline runs before rendering (the conversation
+    analogue of :func:`..pipelines.documents.doc_gopher_flags`; the
+    reference's confidence-routing accept/review split,
+    ``src/pipeline/confidence.py`` action ladder, is the per-document
+    version): per conversation, four independent structural flags
+
+    - ``has_user`` / ``has_assistant`` — both roles present;
+    - ``no_empty_assistant`` — no assistant turn whose normalized text
+      is empty (a truncated generation);
+    - ``size_ok`` — total normalized chars across turns within
+      ``[SFT_MIN_CHARS, SFT_MAX_CHARS]``;
+
+    and ``keep`` = all four. Everything reduces map-side to one narrow
+    partial row per (conv, block) — four bools + two ints — so the
+    single conv-keyed exchange never carries text."""
+    import pandas as pd
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        # ASCII-space trim (pc.utf8_trim, not utf8_trim_whitespace):
+        # DuckDB's trim() strips ' ' only, and the transcripts plant
+        # non-ASCII whitespace that would otherwise skew n_chars by a
+        # code point per flagged turn.
+        norm = pc.utf8_trim(pc.replace_substring_regex(
+            pc.fill_null(batch["text"], ""), r"\s+", " "), " ")
+        nchars = pc.cast(pc.utf8_length(norm), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        is_a = role == "assistant"
+        df = pd.DataFrame({
+            "conv_id": conv,
+            "n_turns": np.int64(1),
+            "n_chars": nchars,
+            "has_user": role == "user",
+            "has_assistant": is_a,
+            "empty_assistant": is_a & (nchars == 0)})
+        out = df.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"), n_chars=("n_chars", "sum"),
+            has_user=("has_user", "any"),
+            has_assistant=("has_assistant", "any"),
+            empty_assistant=("empty_assistant", "any"))
+        out["pkey"] = bucket_str_column(
+            pa.array(out["conv_id"], pa.string()), num_partitions)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("conv_id", as_index=False).agg(
+            n_turns=("n_turns", "sum"), n_chars=("n_chars", "sum"),
+            has_user=("has_user", "any"),
+            has_assistant=("has_assistant", "any"),
+            empty_assistant=("empty_assistant", "any"))
+        out = out.sort_values("conv_id", kind="mergesort")
+        no_empty = ~out["empty_assistant"].to_numpy(bool)
+        size_ok = ((out["n_chars"].to_numpy(np.int64) >= SFT_MIN_CHARS)
+                   & (out["n_chars"].to_numpy(np.int64) <= SFT_MAX_CHARS))
+        hu = out["has_user"].to_numpy(bool)
+        ha = out["has_assistant"].to_numpy(bool)
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].to_numpy(object),
+            "n_turns": out["n_turns"].to_numpy(np.int64),
+            "n_chars": out["n_chars"].to_numpy(np.int64),
+            "has_user": hu, "has_assistant": ha,
+            "no_empty_assistant": no_empty, "size_ok": size_ok,
+            "keep": hu & ha & no_empty & size_ok})
+
+    return (read_transcripts(paths, columns=["conv_id", "role", "text"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("pkey").map_groups(per_bucket,
+                                        batch_format="pandas"))

@@ -540,3 +540,86 @@ class TestRenderSft:
         out = conv_render_sft(str(d)).to_pandas()
         assert out.loc[0, "sft_text"] == "user: go\ntool: \nassistant: done"
         assert out.loc[0, "n_turns"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSftFilterAndSplit:
+    def test_sft_filter_matches_pandas(self, tiny_transcripts):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            SFT_MAX_CHARS, SFT_MIN_CHARS, conv_sft_filter,
+        )
+        t = pq.read_table(tiny_transcripts).to_pandas()
+        norm = pc.utf8_trim(pc.replace_substring_regex(
+            pa.array(t["text"].fillna(""), pa.string()), r"\s+", " "),
+            " ")
+        t["nc"] = pc.utf8_length(norm).to_numpy(zero_copy_only=False)
+        out = conv_sft_filter(tiny_transcripts).to_pandas() \
+            .set_index("conv_id")
+        assert set(out.index) == set(t["conv_id"])
+        for conv, g in t.groupby("conv_id"):
+            row = out.loc[conv]
+            assert row["n_turns"] == len(g)
+            assert row["n_chars"] == g["nc"].sum()
+            assert row["has_user"] == (g["role"] == "user").any()
+            assert row["has_assistant"] == (g["role"] == "assistant").any()
+            ne = not ((g["role"] == "assistant") & (g["nc"] == 0)).any()
+            assert row["no_empty_assistant"] == ne
+            so = SFT_MIN_CHARS <= g["nc"].sum() <= SFT_MAX_CHARS
+            assert row["size_ok"] == so
+            assert row["keep"] == (row["has_user"] and row["has_assistant"]
+                                   and ne and so)
+
+    def test_sft_filter_designed_rejections(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_sft_filter,
+        )
+        rows = [
+            ("ok", 0, "user", "hello there how are the hash joins"),
+            ("ok", 1, "assistant", "quite well, thank you very much"),
+            ("no_asst", 0, "user", "anyone home in this empty room?"),
+            ("empty_a", 0, "user", "say absolutely nothing right now"),
+            ("empty_a", 1, "assistant", "   "),      # normalizes empty
+            ("tiny", 0, "user", "hi"),
+            ("tiny", 1, "assistant", "yo"),
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+        })
+        d = tmp_path / "sftf"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "p.parquet"))
+        out = conv_sft_filter(str(d)).to_pandas().set_index("conv_id")
+        assert bool(out.loc["ok", "keep"]) is True
+        assert bool(out.loc["no_asst", "keep"]) is False
+        assert bool(out.loc["no_asst", "has_assistant"]) is False
+        assert bool(out.loc["empty_a", "keep"]) is False
+        assert bool(out.loc["empty_a", "no_empty_assistant"]) is False
+        assert bool(out.loc["tiny", "keep"]) is False
+        assert bool(out.loc["tiny", "size_ok"]) is False
+
+    def test_split_assign_matches_md5_and_is_stable(self):
+        import hashlib
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_split_assign,
+        )
+        out = doc_split_assign(SF).to_pandas()
+        for r in out.itertuples():
+            k = hashlib.md5(f"{r.doc_id}|split".encode()).hexdigest()[:8]
+            assert r.split_key == k
+            want = ("test" if k < "0ccccccc"
+                    else "val" if k < "19999999" else "train")
+            assert r.split == want
+        # all three splits materialize even at 500 docs, train dominates
+        counts = out["split"].value_counts()
+        assert counts["train"] > counts.get("val", 0) > 0
+        assert counts.get("test", 0) > 0

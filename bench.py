@@ -264,6 +264,10 @@ def run_bench() -> dict:
             lambda s: _extract.conv_render_sft(s).count(), src),
         "doc_compression_ratio": timed(
             lambda d: documents.doc_compression_ratio(d).count(), sf_dir),
+        "conv_sft_filter": timed(
+            lambda s: _extract.conv_sft_filter(s).count(), src),
+        "doc_split_assign": timed(
+            lambda d: documents.doc_split_assign(d).count(), sf_dir),
     }
 
     ray.shutdown()

@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "doc_lm_backoff_score": documents.doc_lm_backoff_score,   # SQL-matched (held-out bigram Stupid-Backoff LM, r5)
         "conv_first_msg_dedup": _q_conv_first_msg_dedup,          # SQL-matched (SFT first-prompt dedup, r5)
         "embedding_knn_graph": similarity.embedding_knn_graph,    # SQL-matched (all-vectors cosine kNN graph, r5)
@@ -2057,6 +2058,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cc.cluster_id, d.doc_id) AS canonical_id,
                    (coalesce(cc.cluster_id, d.doc_id) = d.doc_id) AS is_kept
             FROM documents d LEFT JOIN cc USING (doc_id)
+        """,
+        # Same components fixpoint as dedup_survivors; per-family winner
+        # = highest doc_quality quality_x100, ties to the lower doc_id
+        # (row_number over (q DESC, doc_id) mirrors the engine's
+        # sort + drop_duplicates keep-first).
+        "dedup_survivors_best": f"""
+            {_DUP_CC_WITH},
+            cc AS (SELECT u AS doc_id, min(v) AS cluster_id
+                   FROM reach GROUP BY u),
+            qm AS (SELECT doc_id,
+                          CAST(length(regexp_replace({_CLEAN}, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+                          CAST(length(regexp_replace({_CLEAN}, '[^0-9]', '', 'g')) AS BIGINT) AS digit,
+                          CAST(length({_CLEAN}) AS BIGINT) AS n_chars,
+                          CAST(len(string_split_regex({_CLEAN}, '\\s+')) AS BIGINT) AS n_tokens
+                   FROM documents),
+            q AS (SELECT doc_id,
+                         CAST(floor((0.4 * (alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                                   + 0.3 * least(1.0, n_tokens / 100.0)
+                                   + 0.3 * (1.0 - digit / CAST(greatest(n_chars, 1) AS DOUBLE)))
+                                  * 10000 + 0.5) AS BIGINT) AS qx
+                  FROM qm),
+            fam AS (SELECT d.doc_id,
+                           coalesce(cc.cluster_id, d.doc_id) AS family_id,
+                           q.qx
+                    FROM documents d
+                    LEFT JOIN cc USING (doc_id) JOIN q USING (doc_id)),
+            best AS (SELECT family_id, doc_id AS canonical_id FROM (
+                       SELECT family_id, doc_id,
+                              row_number() OVER (PARTITION BY family_id
+                                                 ORDER BY qx DESC, doc_id) AS rn
+                       FROM fam) WHERE rn = 1)
+            SELECT f.doc_id, b.canonical_id,
+                   (f.doc_id = b.canonical_id) AS is_kept
+            FROM fam f JOIN best b USING (family_id)
         """,
         # Same pair graph as ngram_jaccard_pairs; a<b<c ordering makes
         # each triangle surface exactly once from the three-way join.

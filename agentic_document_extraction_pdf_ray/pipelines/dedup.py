@@ -1576,6 +1576,91 @@ def dedup_survivors(sf_dir: str, n_buckets: int = 32,
             .groupby("_db").map_groups(attach, batch_format="pandas"))
 
 
+def dedup_survivors_best(sf_dir: str, n_buckets: int = 32,
+                         pairs: ray.data.Dataset | None = None
+                         ) -> ray.data.Dataset:
+    """Quality-argmax survivor policy: like :func:`dedup_survivors`, but
+    each duplicate family keeps its HIGHEST-quality member (the
+    quality_x100 score of :func:`..pipelines.documents.doc_quality`; ties
+    break to the lower doc_id) instead of the lowest id. This is the
+    policy real curation runs want — when a page was crawled twice,
+    keep the cleaner copy, not the earlier-crawled one (reference
+    analogue: the confidence tie-breaker in consensus selection,
+    ``/root/reference/src/pipeline/reconciler.py`` consensus_fields —
+    highest-confidence value wins within an agreement group).
+
+    Two narrow exchanges, both O(#docs) rows:
+
+    1. bucket by doc-id hash: co-group the per-doc ``(doc_id,
+       quality_x100)`` map-side partials (computed in the read pass,
+       never shuffled with text) with the component membership rows
+       from :func:`doc_dup_components` (``pairs=`` respected →
+       LSH-feedable); singletons leave the stage as their own
+       one-member family (``family_id = doc_id``);
+    2. bucket by family-id hash: per-family argmax inside the bucket
+       task (pandas sort + keep-first — a bucket holds many whole
+       families, each family is processed as one in-memory group).
+
+    Partitioning assumption: a single duplicate FAMILY must fit one
+    task's heap as narrow ``(doc_id, family_id, q)`` rows. Family size
+    is bounded upstream by ``HOT_SHINGLE_DOC_CAP`` / LSH band-bucket
+    caps, the same bound :func:`doc_dup_components` already relies on.
+
+    Output per doc: ``doc_id, canonical_id, is_kept``.
+    """
+    from .documents import quality_arrays
+    from .documents import read_documents as _read_docs
+
+    comp = doc_dup_components(sf_dir, n_buckets=n_buckets, pairs=pairs)
+
+    def tag_doc(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        *_, qx = quality_arrays(_norm_ws(b["text"]))
+        return pd.DataFrame({
+            "doc_id": ids, "cluster_id": np.int64(-1),
+            "q": qx.astype(np.int64), "is_doc": True,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def tag_comp(b: pa.Table) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "cluster_id": b["cluster_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "q": np.int64(-1), "is_doc": False,
+            "_db": bucket_int_array(ids, n_buckets)})
+
+    def attach_family(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g.loc[g["is_doc"], ["doc_id", "q"]]
+        comp_rows = g.loc[~g["is_doc"], ["doc_id", "cluster_id"]]
+        m = docs.merge(comp_rows, on="doc_id", how="left")
+        fam = m["cluster_id"].fillna(m["doc_id"]).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "family_id": fam.to_numpy(np.int64),
+            "q": m["q"].to_numpy(np.int64),
+            "_fb": bucket_int_array(fam.to_numpy(np.int64), n_buckets)})
+
+    def family_argmax(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["family_id", "q", "doc_id"],
+                          ascending=[True, False, True])
+        best = s.drop_duplicates("family_id")[["family_id", "doc_id"]] \
+            .rename(columns={"doc_id": "canonical_id"})
+        out = g.merge(best, on="family_id")
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "canonical_id": out["canonical_id"].to_numpy(np.int64),
+            "is_kept": (out["doc_id"] == out["canonical_id"])
+            .to_numpy(bool),
+        })
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    return (docs.map_batches(tag_doc, batch_format="pyarrow")
+            .union(comp.map_batches(tag_comp, batch_format="pyarrow"))
+            .groupby("_db").map_groups(attach_family, batch_format="pandas")
+            .groupby("_fb").map_groups(family_argmax, batch_format="pandas"))
+
+
 # ------------------------------------------------------- incremental dedup
 
 def _md5_key64(uniq: np.ndarray) -> np.ndarray:

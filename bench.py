@@ -196,6 +196,9 @@ def run_bench() -> dict:
         "dedup_survivors_lsh": timed(
             lambda d: dedup.dedup_survivors(
                 d, pairs=dedup.minhash_lsh_pairs(d)).count(), sf_dir),
+        "dedup_survivors_best": timed(
+            lambda d: dedup.dedup_survivors_best(
+                d, pairs=dedup.minhash_lsh_pairs(d)).count(), sf_dir),
         "doc_lang_ppl_buckets": timed(
             lambda d: documents.doc_lang_ppl_buckets(d).count(), sf_dir),
         "doc_bm25_topk": timed(documents.doc_bm25_topk, sf_dir),

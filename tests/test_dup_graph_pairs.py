@@ -58,9 +58,10 @@ def graph_fixture(tmp_path_factory, ray_session):
 class TestPairSourceParam:
     def test_lsh_fed_equals_exact_fed(self, ray_session, graph_fixture):
         from agentic_document_extraction_pdf_ray.pipelines.dedup import (
-            dedup_survivors, doc_dup_components, dup_clustering_coeff,
-            dup_degree_hist, dup_pagerank, dup_source_matrix,
-            dup_triangles, minhash_lsh_pairs, ngram_jaccard_pairs,
+            dedup_survivors, dedup_survivors_best, doc_dup_components,
+            dup_clustering_coeff, dup_degree_hist, dup_pagerank,
+            dup_source_matrix, dup_triangles, minhash_lsh_pairs,
+            ngram_jaccard_pairs,
         )
 
         d = graph_fixture
@@ -76,7 +77,7 @@ class TestPairSourceParam:
 
         for fn in (dup_degree_hist, dup_source_matrix, dup_triangles,
                    dup_clustering_coeff, dup_pagerank, doc_dup_components,
-                   dedup_survivors):
+                   dedup_survivors, dedup_survivors_best):
             a = _norm(fn(d, pairs=exact))
             b = _norm(fn(d, pairs=lsh))
             assert list(a.columns) == list(b.columns), fn.__name__

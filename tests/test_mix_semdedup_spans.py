@@ -145,6 +145,29 @@ class TestDedupSurvivorsAndPplBuckets:
         assert not got.loc[2, "is_kept"] and got.loc[2, "canonical_id"] == 0
         assert got.loc[3, "is_kept"] and got.loc[3, "canonical_id"] == 3
 
+    def test_survivors_best_keeps_highest_quality(self, tmp_path):
+        """Quality-argmax policy: the digit-laden family member loses to
+        its cleaner sibling even though it has the lower doc_id; exact
+        ties fall back to min id; singletons keep themselves."""
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            dedup_survivors_best,
+        )
+        base = " ".join(f"w{i}" for i in range(40))
+        _write_docs(tmp_path, [
+            base + " 111 222 333",                  # digits → lower quality
+            base + " aaa bbb ccc",                  # clean → family winner
+            "totally different standalone words " * 5,   # singleton
+            base + " ddd eee fff",                  # same q as doc 1? no —
+        ])                                           # distinct tail, same stats
+        got = (dedup_survivors_best(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+        # docs 1 and 3 have identical char/token/alpha/digit stats →
+        # equal quality; the tie breaks to the lower id (1).
+        assert got.loc[1, "is_kept"] and got.loc[1, "canonical_id"] == 1
+        assert not got.loc[0, "is_kept"] and got.loc[0, "canonical_id"] == 1
+        assert not got.loc[3, "is_kept"] and got.loc[3, "canonical_id"] == 1
+        assert got.loc[2, "is_kept"] and got.loc[2, "canonical_id"] == 2
+
     def test_ppl_tertiles_balanced_and_ordered(self, tmp_path):
         from agentic_document_extraction_pdf_ray.pipelines.documents import doc_lang_ppl_buckets
         # 7 distinct-fluency docs in one lang: ntile sizes 3/2/2

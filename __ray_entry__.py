@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
+        "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_lm_backoff_score": documents.doc_lm_backoff_score,   # SQL-matched (held-out bigram Stupid-Backoff LM, r5)
         "conv_first_msg_dedup": _q_conv_first_msg_dedup,          # SQL-matched (SFT first-prompt dedup, r5)
         "embedding_knn_graph": similarity.embedding_knn_graph,    # SQL-matched (all-vectors cosine kNN graph, r5)

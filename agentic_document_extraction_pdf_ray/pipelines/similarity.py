@@ -1110,3 +1110,98 @@ def _knn_graph_within_labels(ds: ray.data.Dataset, k: int,
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_b").map_groups(per_bucket, batch_format="pandas"))
+
+
+def pca_fit(sf_dir: str, k: int = 2) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed PCA fit over the embedding column — the linear-algebra
+    aggregation class (whitening / dimensionality reduction before
+    quantization or clustering; the embedding-side analogue of the
+    reference's per-page statistical summarization,
+    ``/root/reference/src/preprocessing/image_enhancer.py`` quality
+    statistics, generalized to a corpus-level second-moment fit).
+
+    Exactness shape: the repo's fixed-point convention. Each vector is
+    quantized ONCE to ``q = floor(v·1e6 + 0.5)`` int64; a block emits
+    one partial row ``(n, sum_q[d], gram_q[d·d])`` where ``gram_q =
+    Qᵀ·Q`` is an exact int64 matmul (block-bounded: |q| ≤ ~2^21 for
+    unit-scale embeddings, so a 10^5-row block stays ≪ 2^63). The
+    driver folds the ≤ #blocks partial rows with PYTHON INTS (arbitrary
+    precision — the 100 TB fold cannot overflow), so the covariance
+    matrix is bit-identical under any partitioning; ``np.linalg.eigh``
+    on the tiny d×d matrix and the sign fix (largest-|·| loading
+    positive) make the components deterministic.
+
+    Returns ``(components[k,d], explained_variance[k], mean[d],
+    n_vecs)``.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+        if emb.size == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                 "sum_q": pd.Series([], dtype=object),
+                                 "gram_q": pd.Series([], dtype=object)})
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(q))],
+            "sum_q": [q.sum(axis=0).tobytes()],
+            "gram_q": [(q.T @ q).ravel().tobytes()],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("pca_fit: empty embeddings table")
+    d = len(np.frombuffer(parts[0]["sum_q"], np.int64))
+    n = 0
+    sum_q = [0] * d                       # python ints: exact at any scale
+    gram_q = [0] * (d * d)
+    for row in parts:
+        n += int(row["n"])
+        for i, v in enumerate(np.frombuffer(row["sum_q"], np.int64)):
+            sum_q[i] += int(v)
+        for i, v in enumerate(np.frombuffer(row["gram_q"], np.int64)):
+            gram_q[i] += int(v)
+    mu = np.array(sum_q, np.float64) / (1e6 * n)
+    gram = np.array(gram_q, np.float64).reshape(d, d) / 1e12
+    cov = (gram - n * np.outer(mu, mu)) / max(n - 1, 1)
+    w, v = np.linalg.eigh(cov)            # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps, evar = v[:, order].T, w[order]
+    # deterministic sign: the largest-|loading| element of each
+    # component is positive (ties cannot occur at float64 eigh output
+    # granularity on distinct loadings; argmax picks the first max)
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, evar, mu, n
+
+
+def embedding_pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """PCA projection of every embedding onto the top-``k`` principal
+    components from :func:`pca_fit` — fit once (driver folds exact
+    fixed-point partials), broadcast the (k, d) component matrix via
+    ``ray.put``, center and project map-side (one matmul per batch,
+    streaming, no shuffle). Output per vector: ``vec_id, pc1..pck``
+    rounded to 6 (float ulps absorbed; the projection of a given row is
+    block-invariant because the components and mean are).
+    """
+    comps, _, mu, _ = pca_fit(sf_dir, k)
+    fit_ref = ray.put((comps, mu))
+
+    def project(batch: pa.Table) -> pa.Table:
+        c, m = ray.get(fit_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+        proj = np.round((emb - m) @ c.T, 6) if emb.size else \
+            np.zeros((0, len(c)), np.float64)
+        cols: dict = {"vec_id": pa.array(ids, pa.int64())}
+        for i in range(len(c)):
+            cols[f"pc{i + 1}"] = pa.array(proj[:, i], pa.float64())
+        return pa.table(cols)
+
+    return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
+            .map_batches(project, batch_format="pyarrow"))

@@ -199,6 +199,8 @@ def run_bench() -> dict:
         "dedup_survivors_best": timed(
             lambda d: dedup.dedup_survivors_best(
                 d, pairs=dedup.minhash_lsh_pairs(d)).count(), sf_dir),
+        "embedding_pca": timed(
+            lambda d: similarity.embedding_pca_project(d).count(), sf_dir),
         "doc_lang_ppl_buckets": timed(
             lambda d: documents.doc_lang_ppl_buckets(d).count(), sf_dir),
         "doc_bm25_topk": timed(documents.doc_bm25_topk, sf_dir),

@@ -260,3 +260,60 @@ class TestKnnGraph:
         assert m[(40, 1)][1] == 0.0      # orthogonal to all live vectors
         assert 50 not in {v for v, _ in m}          # zero vec: no rows
         assert all(n != 50 for (n, _) in m.values())  # ...and no edges
+
+
+class TestEmbeddingPCA:
+    def _local_fit(self, sf):
+        """The same algorithm, single-process: quantize-once → exact
+        integer second moments → eigh → sign fix."""
+        import pyarrow.parquet as pq
+        emb = np.stack(pq.read_table(f"{sf}/embeddings.parquet",
+                                     columns=["embedding"])
+                       .to_pandas()["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        n, d = q.shape
+        mu = q.sum(axis=0, dtype=object).astype(np.float64) / (1e6 * n)
+        gram = (q.T @ q).astype(np.float64) / 1e12
+        cov = (gram - n * np.outer(mu, mu)) / (n - 1)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:2]
+        comps, evar = v[:, order].T.copy(), w[order]
+        for i in range(len(comps)):
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        return comps, evar, mu, emb
+
+    def test_fit_matches_local_exactly(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import pca_fit
+        comps, evar, mu, n = pca_fit(SF, k=2)
+        lc, le, lmu, lemb = self._local_fit(SF)
+        assert n == len(lemb)
+        np.testing.assert_array_equal(mu, lmu)      # exact int fold
+        np.testing.assert_array_equal(comps, lc)    # same cov → same eigh
+        np.testing.assert_array_equal(evar, le)
+
+    def test_components_orthonormal_and_ordered(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import pca_fit
+        comps, evar, _, _ = pca_fit(SF, k=2)
+        g = comps @ comps.T
+        np.testing.assert_allclose(g, np.eye(2), atol=1e-10)
+        assert evar[0] >= evar[1] > 0
+
+    def test_projection_matches_local(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_pca_project,
+        )
+        got = (embedding_pca_project(SF, k=2).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        lc, _, lmu, lemb = self._local_fit(SF)
+        import pyarrow.parquet as pq
+        ids = (pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id"])
+               .to_pandas()["vec_id"].to_numpy())
+        order = np.argsort(ids)
+        want = np.round((lemb - lmu) @ lc.T, 6)[order]
+        np.testing.assert_array_equal(got["vec_id"].to_numpy(), ids[order])
+        np.testing.assert_array_equal(got["pc1"].to_numpy(), want[:, 0])
+        np.testing.assert_array_equal(got["pc2"].to_numpy(), want[:, 1])
+        # PCA property: pc1 sample variance >= pc2 sample variance
+        assert got["pc1"].var() >= got["pc2"].var()

@@ -168,6 +168,13 @@ def _q_conv_render_sft(sf_dir: str) -> Any:
     return conv_render_sft(_transcripts_for(sf_dir))
 
 
+def _q_doc_quality_classifier(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.classifier import (
+        doc_quality_classifier,
+    )
+    return doc_quality_classifier(sf_dir)
+
+
 def _q_conv_first_msg_dedup(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_first_msg_dedup
     return conv_first_msg_dedup(_transcripts_for(sf_dir))
@@ -404,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oldest-graded anchors.
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
+        "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
         "doc_lm_backoff_score": documents.doc_lm_backoff_score,   # SQL-matched (held-out bigram Stupid-Backoff LM, r5)
         "conv_first_msg_dedup": _q_conv_first_msg_dedup,          # SQL-matched (SFT first-prompt dedup, r5)
         "embedding_knn_graph": similarity.embedding_knn_graph,    # SQL-matched (all-vectors cosine kNN graph, r5)

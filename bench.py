@@ -70,6 +70,9 @@ def run_bench() -> dict:
     from agentic_document_extraction_pdf_ray.pipelines import (
         corrections as _corrections,
     )
+    from agentic_document_extraction_pdf_ray.pipelines import (
+        classifier as _classifier,
+    )
     from agentic_document_extraction_pdf_ray.pipelines import extract as _extract
     from agentic_document_extraction_pdf_ray.pipelines.extract import extract_pipeline
     from agentic_document_extraction_pdf_ray.sources.transcripts import transcripts_path
@@ -201,6 +204,8 @@ def run_bench() -> dict:
                 d, pairs=dedup.minhash_lsh_pairs(d)).count(), sf_dir),
         "embedding_pca": timed(
             lambda d: similarity.embedding_pca_project(d).count(), sf_dir),
+        "doc_quality_classifier": timed(
+            lambda d: _classifier.doc_quality_classifier(d).count(), sf_dir),
         "doc_lang_ppl_buckets": timed(
             lambda d: documents.doc_lang_ppl_buckets(d).count(), sf_dir),
         "doc_bm25_topk": timed(documents.doc_bm25_topk, sf_dir),

@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
+        "embedding_mmr_topk": similarity.embedding_mmr_topk,      # rows-only (greedy MMR diverse selection; pytest pins exact greedy trace vs local, r5)
         "doc_lm_backoff_score": documents.doc_lm_backoff_score,   # SQL-matched (held-out bigram Stupid-Backoff LM, r5)
         "conv_first_msg_dedup": _q_conv_first_msg_dedup,          # SQL-matched (SFT first-prompt dedup, r5)
         "embedding_knn_graph": similarity.embedding_knn_graph,    # SQL-matched (all-vectors cosine kNN graph, r5)

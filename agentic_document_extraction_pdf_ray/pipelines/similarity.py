@@ -1205,3 +1205,92 @@ def embedding_pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     return (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                   columns=["vec_id", "embedding"])
             .map_batches(project, batch_format="pyarrow"))
+
+
+def embedding_mmr_topk(sf_dir: str, k: int = 10,
+                       lam: float = 0.7) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance exemplar selection: greedily pick
+    ``k`` vectors maximizing ``λ·rel − (1−λ)·max-sim-to-selected`` —
+    the "diverse representative sample" selection a few-shot / eval-set
+    builder runs over an embedded corpus (diversity-aware sibling of
+    :func:`ann_topk`; relevance = cosine to the corpus centroid
+    direction, itself computed from the exact fixed-point sums of
+    :func:`pca_fit`'s convention).
+
+    Greedy selection is inherently sequential in ``k``, so the shape is
+    k broadcast-refine ROUNDS (the :func:`kmeans_fit` recipe): the
+    selected (≤k, d) matrix is ``ray.put`` once per round; each block
+    emits its single best ``(score, vec_id)`` candidate — one narrow
+    row per block per round, never the vectors — and the driver takes
+    the global argmax (ties to the lower vec_id). Cost: k full passes;
+    at corpus scale one caches the normalized vectors once
+    (``materialize()``) and k·#blocks tiny tasks remain.
+
+    Deterministic: per-row scores are row-local float dots (block
+    placement cannot change them), the argmax tie-break is total.
+    Output: ``rank, vec_id, score`` (rounded 6) for the k selections.
+    """
+    ds = read_embeddings(sf_dir)
+
+    def part_sum(batch: pa.Table) -> pd.DataFrame:
+        emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"sum_q": [q.sum(axis=0).tobytes()],
+                             "n": [np.int64(len(q))]})
+
+    parts = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["embedding"])
+             .map_batches(part_sum, batch_format="pyarrow").take_all())
+    d = len(np.frombuffer(parts[0]["sum_q"], np.int64))
+    cent = [0] * d
+    for row in parts:
+        for i, v in enumerate(np.frombuffer(row["sum_q"], np.int64)):
+            cent[i] += int(v)
+    cent = np.array(cent, np.float64)          # un-normalized direction:
+    cent /= np.linalg.norm(cent)               # scale cancels in cosine
+
+    selected: list[tuple[int, float]] = []     # (vec_id, score)
+    sel_mat = np.zeros((0, d), np.float64)
+    for _ in range(k):
+        state = ray.put((cent, sel_mat, {v for v, _ in selected}))
+
+        def block_best(batch: pa.Table) -> pd.DataFrame:
+            c, sel, taken = ray.get(state)
+            ids = batch["vec_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
+            nrm = np.linalg.norm(emb, axis=1)
+            nrm[nrm == 0] = 1.0
+            unit = emb / nrm[:, None]
+            rel = unit @ c
+            pen = (unit @ sel.T).max(axis=1) if len(sel) else \
+                np.zeros(len(unit))
+            score = lam * rel - (1.0 - lam) * pen
+            live = ~np.isin(ids, np.fromiter(taken, np.int64,
+                                             len(taken)))
+            if not live.any():
+                return pd.DataFrame({
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                    "unit": pd.Series([], dtype=object)})
+            # block argmax, ties to the lower id: stable argsort on
+            # (-score, id) via lexsort; the winner's unit vector rides
+            # along so the round needs no second fetch pass
+            li, ls = ids[live], score[live]
+            j = np.lexsort((li, -ls))[0]
+            return pd.DataFrame({"vec_id": [li[j]], "score": [ls[j]],
+                                 "unit": [unit[live][j].tobytes()]})
+
+        cand = ds.map_batches(block_best, batch_format="pyarrow").take_all()
+        if not cand:
+            break
+        best = min(cand, key=lambda r: (-r["score"], r["vec_id"]))
+        selected.append((int(best["vec_id"]), float(best["score"])))
+        sel_mat = np.vstack([sel_mat,
+                             np.frombuffer(best["unit"], np.float64)])
+
+    return pd.DataFrame({
+        "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+        "vec_id": np.array([v for v, _ in selected], np.int64),
+        "score": np.round([s for _, s in selected], 6),
+    })

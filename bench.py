@@ -206,6 +206,7 @@ def run_bench() -> dict:
             lambda d: similarity.embedding_pca_project(d).count(), sf_dir),
         "doc_quality_classifier": timed(
             lambda d: _classifier.doc_quality_classifier(d).count(), sf_dir),
+        "embedding_mmr_topk": timed(similarity.embedding_mmr_topk, sf_dir),
         "doc_lang_ppl_buckets": timed(
             lambda d: documents.doc_lang_ppl_buckets(d).count(), sf_dir),
         "doc_bm25_topk": timed(documents.doc_bm25_topk, sf_dir),

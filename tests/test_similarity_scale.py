@@ -317,3 +317,56 @@ class TestEmbeddingPCA:
         np.testing.assert_array_equal(got["pc2"].to_numpy(), want[:, 1])
         # PCA property: pc1 sample variance >= pc2 sample variance
         assert got["pc1"].var() >= got["pc2"].var()
+
+
+class TestEmbeddingMMR:
+    def _local_mmr(self, sf, k=10, lam=0.7):
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        ids = t["vec_id"].to_numpy(np.int64)
+        emb = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        q = np.floor(emb * 1e6 + 0.5).astype(np.int64)
+        cent = q.sum(axis=0, dtype=object).astype(np.float64)
+        cent /= np.linalg.norm(cent)
+        nrm = np.linalg.norm(emb, axis=1)
+        nrm[nrm == 0] = 1.0
+        unit = emb / nrm[:, None]
+        rel = unit @ cent
+        sel, sel_rows = [], []
+        for _ in range(k):
+            pen = (unit @ unit[sel_rows].T).max(axis=1) if sel_rows \
+                else np.zeros(len(unit))
+            score = lam * rel - (1 - lam) * pen
+            live = ~np.isin(ids, np.array(sel, np.int64)) if sel \
+                else np.ones(len(ids), bool)
+            li, ls = ids[live], score[live]
+            j = np.lexsort((li, -ls))[0]
+            sel.append(int(li[j]))
+            sel_rows.append(int(np.flatnonzero(ids == li[j])[0]))
+        return sel
+
+    def test_matches_local_greedy(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_mmr_topk,
+        )
+        got = embedding_mmr_topk(SF, k=10)
+        assert got["vec_id"].tolist() == self._local_mmr(SF, k=10)
+        assert got["rank"].tolist() == list(range(1, 11))
+
+    def test_diversity_beats_pure_relevance(self, ray_session, tmp_path):
+        """Three near-identical high-relevance vectors + one orthogonal:
+        pure top-k-by-relevance would take the three twins; MMR must
+        interleave the orthogonal one."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        vecs = [[1.0, 0.01], [1.0, 0.011], [1.0, 0.012], [0.02, 1.0]]
+        t = pa.table({"vec_id": pa.array(range(4), pa.int64()),
+                      "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                      "label": pa.array([0] * 4, pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_mmr_topk,
+        )
+        got = embedding_mmr_topk(str(tmp_path), k=2, lam=0.5)
+        assert got["vec_id"].tolist()[1] == 3    # diversity pick

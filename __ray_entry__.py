@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "embedding_hard_negatives": similarity.embedding_hard_negatives,  # SQL-matched (cross-label hard-negative mining, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2483,6 +2484,40 @@ def oracle_sql() -> dict[str, str]:
         # semdedup's fixed-point cosine convention, rank 1..k ordered
         # (cos DESC, neighbor_id ASC), self excluded, zero-quantized
         # vectors excluded from both roles.
+        # cross-label hard negatives (engine
+        # similarity.embedding_hard_negatives): the kNN-graph fixed-point
+        # cosine convention with the self-exclusion widened to the whole
+        # same-label set; rank 1..k ordered (cos DESC, neighbor_id ASC).
+        "embedding_hard_negatives": """
+            WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              CAST(label AS BIGINT) AS label,
+                              unnest(list_transform(range(1, len(embedding) + 1),
+                                  i -> struct_pack(dim := i - 1,
+                                      q := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                                      * 1000000 + 0.5) AS BIGINT)))) AS s
+                       FROM embeddings),
+            c AS (SELECT vec_id, label, s.dim AS dim, s.q AS q FROM e),
+            nr AS (SELECT vec_id, sum(q * q) AS nrm FROM c
+                   GROUP BY vec_id HAVING sum(q * q) > 0),
+            cl AS (SELECT c.* FROM c JOIN nr USING (vec_id)),
+            p AS (SELECT a.vec_id AS u, b.vec_id AS v,
+                         sum(a.q * b.q) AS dot
+                  FROM cl a JOIN cl b ON a.dim = b.dim
+                                     AND a.label <> b.label
+                  GROUP BY 1, 2),
+            cs AS (SELECT u, v, round(CAST(dot AS DOUBLE)
+                          / (sqrt(CAST(nu.nrm AS DOUBLE))
+                             * sqrt(CAST(nv.nrm AS DOUBLE))), 6) AS c6
+                   FROM p JOIN nr nu ON nu.vec_id = p.u
+                          JOIN nr nv ON nv.vec_id = p.v),
+            r AS (SELECT u AS vec_id, v AS neighbor_id, c6,
+                         row_number() OVER (PARTITION BY u
+                                            ORDER BY c6 DESC, v) AS rk
+                  FROM cs)
+            SELECT vec_id, neighbor_id, CAST(rk AS BIGINT) AS rank,
+                   c6 AS cos_sim
+            FROM r WHERE rk <= 5
+        """,
         "embedding_knn_graph": """
             WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                               unnest(list_transform(range(1, len(embedding) + 1),

@@ -1294,3 +1294,111 @@ def embedding_mmr_topk(sf_dir: str, k: int = 10,
         "vec_id": np.array([v for v, _ in selected], np.int64),
         "score": np.round([s for _, s in selected], 6),
     })
+
+
+def embedding_hard_negatives(sf_dir: str, k: int = 5,
+                             chunk_rows: int = 100_000) -> ray.data.Dataset:
+    """Cross-label hard-negative mining: per vector, its ``k`` most
+    cosine-similar vectors with a DIFFERENT ``label`` — the candidate
+    negatives a contrastive/embedding trainer pairs with each anchor
+    (the label-excluding complement of :func:`embedding_knn_graph`;
+    reference analogue: the FAISS top-k lookup of
+    ``/root/reference/src/storage/vector_store.py`` with a metadata
+    exclusion filter).
+
+    Exactness: the :func:`embedding_semdedup` fixed-point convention —
+    ``q = floor(x·1e6 + .5)`` ints, exact int64 dots, one float64
+    division, round 6; rank 1..k ordered ``(cos DESC, neighbor_id
+    ASC)``; zero-quantized vectors excluded from both roles; anchors
+    whose cross-label candidate pool is smaller than ``k`` emit fewer
+    rows (mirrors the SQL ``row_number() <= k``).
+
+    Scale shape: the corpus rides the object store as ``ceil(n /
+    chunk_rows)`` SEPARATE broadcast chunks (each ``ray.put`` once,
+    fetched zero-copy per node); every batch streams the chunks one at
+    a time keeping only its per-row running candidate set (≤ chunks·k
+    narrow entries), so peak task memory is batch × ONE chunk — the
+    corpus never has to fit in a single broadcast object or a worker
+    heap. The final cross-chunk merge is a per-row stable two-pass
+    argsort (neighbor ASC, then cos DESC) — no packing-width bound on
+    ``vec_id``. Driver memory holds the quantized corpus once while
+    chunking (int64 — fine to ~10⁸ rows; past that, mine negatives
+    per IVF probe-set with :func:`ann_topk_ivf`'s bucketing instead).
+    """
+    ds = read_embeddings(sf_dir)
+
+    def pack_block(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(_list_col_matrix(batch["embedding"]).astype(np.float64)
+                     * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"ids": [ids.tobytes()], "lab": [lab.tobytes()],
+                             "q": [q.tobytes()], "d": [np.int64(q.shape[1])]})
+
+    packed = ds.map_batches(pack_block, batch_format="pyarrow").take_all()
+    d = int(packed[0]["d"])
+    ids = np.concatenate([np.frombuffer(r["ids"], np.int64) for r in packed])
+    lab = np.concatenate([np.frombuffer(r["lab"], np.int64) for r in packed])
+    q = np.concatenate([np.frombuffer(r["q"], np.int64).reshape(-1, d)
+                        for r in packed])
+    order = np.argsort(ids, kind="stable")
+    ids, lab, q = ids[order], lab[order], q[order]
+    nrm2 = (q * q).sum(axis=1)
+    live = nrm2 > 0
+    ids, lab, q = ids[live], lab[live], q[live]
+    nrm = np.sqrt(nrm2[live].astype(np.float64))
+    chunks = [ray.put((ids[s:s + chunk_rows], lab[s:s + chunk_rows],
+                       q[s:s + chunk_rows], nrm[s:s + chunk_rows]))
+              for s in range(0, len(ids), chunk_rows)]
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        b_ids = batch["vec_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b_lab = batch["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b_q = np.floor(_list_col_matrix(batch["embedding"])
+                       .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        b_n2 = (b_q * b_q).sum(axis=1)
+        blive = b_n2 > 0
+        b_ids, b_lab, b_q = b_ids[blive], b_lab[blive], b_q[blive]
+        b_nrm = np.sqrt(b_n2[blive].astype(np.float64))
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64())})
+        if not len(b_ids):
+            return empty
+        # stream the corpus chunks; keep per-row running (cos6, nid)
+        # candidates — ≤ k per chunk, merged exactly at the end
+        cand_cos: list[np.ndarray] = []
+        cand_nid: list[np.ndarray] = []
+        for ref in chunks:
+            c_ids, c_lab, c_q, c_nrm = ray.get(ref)
+            cos = np.round((b_q @ c_q.T).astype(np.float64)
+                           / np.outer(b_nrm, c_nrm), 6)
+            cos[b_lab[:, None] == c_lab[None, :]] = -2.0  # same label out
+            kk = min(k, cos.shape[1])
+            sel = _rowwise_topk(cos, kk)
+            cand_cos.append(np.take_along_axis(cos, sel, axis=1))
+            cand_nid.append(c_ids[sel])
+        cc = np.concatenate(cand_cos, axis=1)
+        cn = np.concatenate(cand_nid, axis=1)
+        # exact global order without packing: stable argsort by neighbor
+        # ASC, then stable argsort by quantized cos DESC
+        o1 = np.argsort(cn, axis=1, kind="stable")
+        cc = np.take_along_axis(cc, o1, axis=1)
+        cn = np.take_along_axis(cn, o1, axis=1)
+        c_int = np.rint(cc * 1e6).astype(np.int64)
+        o2 = np.argsort(-c_int, axis=1, kind="stable")
+        cc = np.take_along_axis(cc, o2, axis=1)[:, :k]
+        cn = np.take_along_axis(cn, o2, axis=1)[:, :k]
+        keep = cc > -1.5                       # drop same-label sentinels
+        n_out = keep.sum(axis=1)
+        rank = (np.cumsum(keep, axis=1) * keep)[keep]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(b_ids, n_out), pa.int64()),
+            "neighbor_id": pa.array(cn[keep], pa.int64()),
+            "rank": pa.array(rank.astype(np.int64), pa.int64()),
+            "cos_sim": pa.array(cc[keep], pa.float64())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

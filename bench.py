@@ -271,6 +271,8 @@ def run_bench() -> dict:
             lambda s: _extract.conv_first_msg_dedup(s).count(), src),
         "embedding_knn_graph": timed(
             lambda d: similarity.embedding_knn_graph(d).count(), sf_dir),
+        "embedding_hard_negatives": timed(
+            lambda d: similarity.embedding_hard_negatives(d).count(), sf_dir),
         "conv_render_sft": timed(
             lambda s: _extract.conv_render_sft(s).count(), src),
         "doc_compression_ratio": timed(

@@ -5,6 +5,7 @@ high recall vs the exact brute-force pairs, and no duplicate emissions."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from agentic_document_extraction_pdf_ray.pipelines.similarity import (
@@ -370,3 +371,60 @@ class TestEmbeddingMMR:
         )
         got = embedding_mmr_topk(str(tmp_path), k=2, lam=0.5)
         assert got["vec_id"].tolist()[1] == 3    # diversity pick
+
+
+class TestEmbeddingHardNegatives:
+    def test_excludes_same_label_and_self(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_hard_negatives,
+        )
+        # two tight same-label twins + two cross-label vectors: the
+        # nearest vector overall is the same-label twin and MUST be
+        # skipped in favor of cross-label candidates
+        vecs = [[1.0, 0.0], [1.0, 0.001], [0.9, 0.1], [0.0, 1.0]]
+        labels = [0, 0, 1, 1]
+        t = pa.table({"vec_id": pa.array(range(4), pa.int64()),
+                      "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                      "label": pa.array(labels, pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        got = embedding_hard_negatives(str(tmp_path), k=2).to_pandas()
+        by_anchor = {v: g.sort_values("rank")["neighbor_id"].tolist()
+                     for v, g in got.groupby("vec_id")}
+        assert by_anchor[0] == [2, 3]          # twin 1 skipped
+        assert by_anchor[1] == [2, 3]
+        assert by_anchor[2] == [1, 0]          # own-label 3 skipped
+        assert all(len(v) == 2 for v in by_anchor.values())
+
+    def test_chunked_equals_single_broadcast(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_hard_negatives,
+        )
+        one = (embedding_hard_negatives(SF, k=5, chunk_rows=10**9)
+               .to_pandas().sort_values(["vec_id", "rank"])
+               .reset_index(drop=True))
+        many = (embedding_hard_negatives(SF, k=5, chunk_rows=37)
+                .to_pandas().sort_values(["vec_id", "rank"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(one, many)
+
+    def test_short_pool_emits_fewer_rows(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_hard_negatives,
+        )
+        # only ONE cross-label vector exists -> exactly one negative per
+        # anchor even with k=5
+        t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                      "embedding": pa.array([[1.0, 0.0], [0.0, 1.0],
+                                             [0.5, 0.5]],
+                                            pa.list_(pa.float32())),
+                      "label": pa.array([0, 0, 1], pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        got = embedding_hard_negatives(str(tmp_path), k=5).to_pandas()
+        assert got[got["vec_id"] == 0]["neighbor_id"].tolist() == [2]
+        assert got[got["vec_id"] == 2]["rank"].tolist() == [1, 2]

@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
         "embedding_hard_negatives": similarity.embedding_hard_negatives,  # SQL-matched (cross-label hard-negative mining, r5)
+        "doc_ngram_containment": dedup.doc_ngram_containment,     # SQL-matched (asymmetric sub-document dup screen, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2049,6 +2050,26 @@ def oracle_sql() -> dict[str, str]:
                    inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
             FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12
+        """,
+        # Asymmetric containment twin of ngram_jaccard_pairs: identical
+        # shingle/cap plumbing, score = inter / least(|A|, |B|).
+        "doc_ngram_containment": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                   inter / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+            FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.6
         """,
         # Same pair graph as ngram_jaccard_pairs (cap 200, threshold
         # 0.12); recursive reachability closure, cluster = min reachable

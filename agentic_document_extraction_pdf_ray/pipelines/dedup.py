@@ -106,6 +106,27 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
     lands in exactly one bucket, so per-bucket frequency IS global
     document frequency); Jaccard denominators use full shingle sets.
     """
+    return _ngram_pair_scores(sf_dir, n, n_buckets, "jaccard", threshold)
+
+
+def doc_ngram_containment(sf_dir: str, n: int = 3,
+                          threshold: float = 0.6,
+                          n_buckets: int = 64) -> ray.data.Dataset:
+    """Asymmetric n-gram CONTAINMENT near-dup pairs: ``inter /
+    min(|A|, |B|) >= threshold`` — the sub-document duplication screen
+    (a short doc quoted whole inside a long one scores ~1.0 here while
+    its Jaccard stays tiny because the union is dominated by the long
+    doc). Same exact three-shuffle plan, hot-shingle cap, and output
+    pair convention (doc_a < doc_b) as :func:`ngram_jaccard_pairs`;
+    only the finish-stage score differs. Broder's containment measure
+    over word shingles; reference corpus-dedup analogue as in
+    :func:`ngram_jaccard_pairs`'s docstring."""
+    return _ngram_pair_scores(sf_dir, n, n_buckets, "containment",
+                              threshold)
+
+
+def _ngram_pair_scores(sf_dir: str, n: int, n_buckets: int,
+                       metric: str, threshold: float) -> ray.data.Dataset:
     shingles = read_documents(sf_dir).map_batches(
         lambda b: _distinct_shingles(b, n), batch_format="pyarrow")
 
@@ -179,10 +200,17 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3,
                  .groupby("doc_b", as_index=False).agg(n_b=("inter", "sum")))
         p = g[g["_side"] == "p"].merge(sizes, on="doc_b", how="inner")
         it = p["inter"].to_numpy(np.int64)
-        union = p["n_a"].to_numpy(np.int64) + p["n_b"].to_numpy(np.int64) - it
-        p = p.assign(jaccard=it / union.astype(np.float64))
-        p = p[p["jaccard"] >= threshold]
-        return p[["doc_a", "doc_b", "inter", "jaccard"]]
+        if metric == "jaccard":
+            union = (p["n_a"].to_numpy(np.int64)
+                     + p["n_b"].to_numpy(np.int64) - it)
+            p = p.assign(jaccard=it / union.astype(np.float64))
+            p = p[p["jaccard"] >= threshold]
+            return p[["doc_a", "doc_b", "inter", "jaccard"]]
+        smaller = np.minimum(p["n_a"].to_numpy(np.int64),
+                             p["n_b"].to_numpy(np.int64))
+        p = p.assign(containment=it / smaller.astype(np.float64))
+        p = p[p["containment"] >= threshold]
+        return p[["doc_a", "doc_b", "inter", "containment"]]
 
     return stage2.groupby("_jb2").map_groups(finish, batch_format="pandas")
 

@@ -148,6 +148,8 @@ def run_bench() -> dict:
         "doc_lang_id": timed(documents.doc_lang_id, sf_dir),
         "dedup_exact_prefix": timed(dedup.dedup_exact_prefix, sf_dir),
         "ngram_jaccard_pairs": timed(dedup.ngram_jaccard_pairs, sf_dir),
+        "doc_ngram_containment": timed(
+            lambda d: dedup.doc_ngram_containment(d).count(), sf_dir),
         "minhash_lsh_pairs": timed(dedup.minhash_lsh_pairs, sf_dir),
         "ann_topk": timed(similarity.ann_topk, sf_dir),
         "events_daily": timed(events.events_daily, sf_dir),

@@ -554,3 +554,42 @@ class TestDupPagerank:
         assert set(local.index) == set(dist.index)
         for u in local.index:
             assert abs(local[u] - dist[u]) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNgramContainment:
+    def test_subdocument_caught_jaccard_misses(self, tmp_path):
+        """A short doc quoted whole inside a long doc: containment = 1.0
+        (inter == |small|) while Jaccard stays under its threshold."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_ngram_containment,
+        )
+        small = "alpha beta gamma delta epsilon"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+        texts = [small, small + " " + filler,
+                 "totally unrelated content about nothing shared here"]
+        t = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["web"] * 3, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = doc_ngram_containment(str(tmp_path)).to_pandas()
+        assert got[["doc_a", "doc_b"]].values.tolist() == [[0, 1]]
+        assert got["containment"].iloc[0] == 1.0
+        # Jaccard misses the same pair entirely: 3 / (3 + 121 - 3) ≈ 0.025
+        # is far under the 0.12 threshold, so the pair stream is empty
+        jac = ngram_jaccard_pairs(str(tmp_path)).to_pandas()
+        assert jac.empty
+
+    def test_jaccard_unchanged_by_refactor(self):
+        """The shared _ngram_pair_scores plan must reproduce the graded
+        jaccard output shape on real data."""
+        got = ngram_jaccard_pairs(SF).to_pandas()
+        assert list(got.columns) == ["doc_a", "doc_b", "inter", "jaccard"]
+        assert (got["jaccard"] >= 0.12).all()
+        assert (got["doc_a"] < got["doc_b"]).all()

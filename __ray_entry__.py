@@ -411,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oldest-graded anchors.
         "embedding_hard_negatives": similarity.embedding_hard_negatives,  # SQL-matched (cross-label hard-negative mining, r5)
         "doc_ngram_containment": dedup.doc_ngram_containment,     # SQL-matched (asymmetric sub-document dup screen, r5)
+        "source_quality_winsor": documents.source_quality_winsor,  # SQL-matched (robust winsorized per-source quality, r5)
+        "source_quality_ks": documents.source_quality_ks,         # SQL-matched (pairwise KS distribution drift, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2050,6 +2052,74 @@ def oracle_sql() -> dict[str, str]:
                    inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
             FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12
+        """,
+        # Winsorized per-source quality (engine
+        # documents.source_quality_winsor): percentile p = smallest v
+        # with running count >= ceil(p·N/100) (all-integer, the
+        # doc_quality_deciles convention); winsorized sum stays integer,
+        # ONE double division, round 6.
+        "source_quality_winsor": f"""
+            WITH c AS (SELECT source, {_CLEAN} AS ct FROM documents),
+            m AS (SELECT source,
+                         CAST(floor((0.4 * (length(regexp_replace(ct, '[^A-Za-z]', '', 'g'))
+                                            / CAST(greatest(length(ct), 1) AS DOUBLE))
+                                   + 0.3 * least(1.0, len(string_split_regex(ct, '\\s+')) / 100.0)
+                                   + 0.3 * (1.0 - length(regexp_replace(ct, '[^0-9]', '', 'g'))
+                                            / CAST(greatest(length(ct), 1) AS DOUBLE)))
+                                  * 10000 + 0.5) AS BIGINT) AS v
+                  FROM c),
+            h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+                  FROM m GROUP BY 1, 2),
+            cum AS (SELECT source, v, cnt,
+                           sum(cnt) OVER (PARTITION BY source
+                                          ORDER BY v) AS cc,
+                           sum(cnt) OVER (PARTITION BY source) AS n
+                    FROM h),
+            plo AS (SELECT source, min(v) AS p_lo FROM cum
+                    WHERE cc >= (5 * n + 99) // 100 GROUP BY source),
+            phi AS (SELECT source, min(v) AS p_hi FROM cum
+                    WHERE cc >= (95 * n + 99) // 100 GROUP BY source)
+            SELECT h.source,
+                   CAST(sum(h.cnt) AS BIGINT) AS n_docs,
+                   CAST(p_lo AS BIGINT) AS p_lo,
+                   CAST(p_hi AS BIGINT) AS p_hi,
+                   round(sum(h.cnt * least(greatest(h.v, p_lo), p_hi))
+                         / CAST(sum(h.cnt) AS DOUBLE), 6) AS winsor_mean
+            FROM h JOIN plo USING (source) JOIN phi USING (source)
+            GROUP BY h.source, p_lo, p_hi
+        """,
+        # Pairwise two-sample KS over per-source quality CDFs (engine
+        # documents.source_quality_ks): both CDFs evaluated on the
+        # GLOBAL observed-value grid (step functions only change there,
+        # so the grid max IS the sup-norm), cc/N one division each,
+        # round 6 on the max.
+        "source_quality_ks": f"""
+            WITH c AS (SELECT source, {_CLEAN} AS ct FROM documents),
+            m AS (SELECT source,
+                         CAST(floor((0.4 * (length(regexp_replace(ct, '[^A-Za-z]', '', 'g'))
+                                            / CAST(greatest(length(ct), 1) AS DOUBLE))
+                                   + 0.3 * least(1.0, len(string_split_regex(ct, '\\s+')) / 100.0)
+                                   + 0.3 * (1.0 - length(regexp_replace(ct, '[^0-9]', '', 'g'))
+                                            / CAST(greatest(length(ct), 1) AS DOUBLE)))
+                                  * 10000 + 0.5) AS BIGINT) AS v
+                  FROM c),
+            h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+                  FROM m GROUP BY 1, 2),
+            n AS (SELECT source, sum(cnt) AS n FROM h GROUP BY 1),
+            grid AS (SELECT DISTINCT v FROM h),
+            sg AS (SELECT n.source, grid.v FROM n CROSS JOIN grid),
+            cum AS (SELECT sg.source, sg.v,
+                           sum(coalesce(h.cnt, 0)) OVER (
+                               PARTITION BY sg.source ORDER BY sg.v) AS cc
+                    FROM sg LEFT JOIN h ON h.source = sg.source
+                                       AND h.v = sg.v),
+            cdf AS (SELECT cum.source, cum.v,
+                           cc / CAST(n.n AS DOUBLE) AS f
+                    FROM cum JOIN n USING (source))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   round(max(abs(a.f - b.f)), 6) AS ks_stat
+            FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+            GROUP BY 1, 2
         """,
         # Asymmetric containment twin of ngram_jaccard_pairs: identical
         # shingle/cap plumbing, score = inter / least(|A|, |B|).

@@ -3025,3 +3025,104 @@ def doc_split_assign(sf_dir: str) -> ray.data.Dataset:
 
     return (read_documents(sf_dir, ["doc_id", "source"])
             .map_batches(per_batch, batch_format="pyarrow"))
+
+
+def _source_quality_hist(sf_dir: str) -> ray.data.Dataset:
+    """Per-(source, quality_x100) exact count histogram — the bounded-
+    domain exchange shared by :func:`source_quality_winsor` and
+    :func:`source_quality_ks`. quality_x100 lives in [0, 10000] (the
+    :func:`doc_quality_deciles` convention), so however large the
+    corpus, at most #sources × 10001 narrow rows ever move."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        clean = _norm_ws(batch["text"])
+        *_, qx = quality_arrays(clean)
+        d = pd.DataFrame({
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "q": np.asarray(qx, dtype=np.int64)})
+        return (d.groupby(["source", "q"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    return (read_documents(sf_dir, columns=["doc_id", "text", "source"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "q"]).aggregate(Sum("n", alias_name="n")))
+
+
+def source_quality_winsor(sf_dir: str, lo_pct: int = 5,
+                          hi_pct: int = 95) -> ray.data.Dataset:
+    """Robust per-source quality profile: the winsorized mean of
+    ``quality_x100`` — values are clamped to the source's own
+    [p05, p95] before averaging, so a burst of spam (or a handful of
+    pathological perfect-score docs) cannot drag the per-source quality
+    signal the way a plain mean does. The monitoring twin of
+    :func:`source_mix_weights` (reference quality class:
+    ``/root/reference/src/preprocessing/image_enhancer.py:918-922``
+    score, aggregated per source).
+
+    Exactness/scale: percentile p = smallest v with cum_count(v) >=
+    ceil(p·N/100) — all-integer on the bounded histogram from
+    :func:`_source_quality_hist`; the winsorized sum stays int64
+    (≤ 10⁴·N) and takes ONE float division at the end (round 6). No
+    task ever holds more than 10001 rows per source.
+
+    Output: ``source, n_docs, p_lo, p_hi, winsor_mean``.
+    """
+    import pandas as pd
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("q")
+        q = g["q"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        cum = c.cumsum()
+        n = int(cum[-1])
+        p_lo = int(q[np.searchsorted(
+            cum, (lo_pct * n + 99) // 100, side="left")])
+        p_hi = int(q[np.searchsorted(
+            cum, (hi_pct * n + 99) // 100, side="left")])
+        wsum = int((np.clip(q, p_lo, p_hi) * c).sum())
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_docs": np.array([n], np.int64),
+            "p_lo": np.array([p_lo], np.int64),
+            "p_hi": np.array([p_hi], np.int64),
+            "winsor_mean": [round(wsum / n, 6)]})
+
+    return (_source_quality_hist(sf_dir)
+            .groupby("source").map_groups(finish, batch_format="pandas"))
+
+
+def source_quality_ks(sf_dir: str) -> "pd.DataFrame":
+    """Pairwise two-sample Kolmogorov–Smirnov distance between the
+    per-source quality distributions — the drift/shift screen a corpus
+    curator runs when deciding whether two crawls can share one filter
+    threshold (large KS ⇒ the sources need separate calibration; the
+    distributional sibling of :func:`source_token_kl`).
+
+    Exact, not sampled: both empirical CDFs are step functions that only
+    change at observed ``quality_x100`` values, so the max over the
+    GLOBAL observed-value grid is the true sup-norm distance. The
+    histogram exchange is bounded (#sources × 10001); the driver fold
+    touches only that metadata-sized table. One division per (source,
+    grid point), subtraction/abs/max, round 6 — float-op order matches
+    the SQL oracle exactly.
+
+    Output: ``source_a, source_b, ks_stat`` for every source_a < source_b.
+    """
+    import pandas as pd
+
+    hist = _source_quality_hist(sf_dir).to_pandas()  # bounded rows
+    grid = np.sort(hist["q"].unique()).astype(np.int64)
+    sources = sorted(hist["source"].unique())
+    cdfs = {}
+    for s in sources:
+        gs = hist[hist["source"] == s].sort_values("q")
+        cum = gs["n"].to_numpy(np.int64).cumsum()
+        idx = np.searchsorted(gs["q"].to_numpy(np.int64), grid,
+                              side="right") - 1
+        cdfs[s] = np.where(idx >= 0, cum[np.maximum(idx, 0)],
+                           0) / int(cum[-1])
+    rows = [(a, b, round(float(np.abs(cdfs[a] - cdfs[b]).max()), 6))
+            for i, a in enumerate(sources) for b in sources[i + 1:]]
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "ks_stat"])

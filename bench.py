@@ -150,6 +150,9 @@ def run_bench() -> dict:
         "ngram_jaccard_pairs": timed(dedup.ngram_jaccard_pairs, sf_dir),
         "doc_ngram_containment": timed(
             lambda d: dedup.doc_ngram_containment(d).count(), sf_dir),
+        "source_quality_winsor": timed(
+            lambda d: documents.source_quality_winsor(d).count(), sf_dir),
+        "source_quality_ks": timed(documents.source_quality_ks, sf_dir),
         "minhash_lsh_pairs": timed(dedup.minhash_lsh_pairs, sf_dir),
         "ann_topk": timed(similarity.ann_topk, sf_dir),
         "events_daily": timed(events.events_daily, sf_dir),

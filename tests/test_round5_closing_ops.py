@@ -623,3 +623,87 @@ class TestSftFilterAndSplit:
         counts = out["split"].value_counts()
         assert counts["train"] > counts.get("val", 0) > 0
         assert counts.get("test", 0) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceQualityWinsorKS:
+    def test_winsor_matches_brute(self):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import quality_arrays
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            source_quality_winsor,
+        )
+        docs = _docs()
+        import pyarrow as pa
+        *_, qx = quality_arrays(pa.array(
+            [_clean(t) for t in docs["text"]], pa.string()))
+        d = pd.DataFrame({"source": docs["source"],
+                          "q": np.asarray(qx, np.int64)})
+        got = (source_quality_winsor(SF).to_pandas()
+               .set_index("source").sort_index())
+        for src, g in d.groupby("source"):
+            v = np.sort(g["q"].to_numpy(np.int64))
+            n = len(v)
+            p_lo = v[np.searchsorted(np.arange(1, n + 1),
+                                     (5 * n + 99) // 100, side="left")]
+            p_hi = v[np.searchsorted(np.arange(1, n + 1),
+                                     (95 * n + 99) // 100, side="left")]
+            want = round(int(np.clip(v, p_lo, p_hi).sum()) / n, 6)
+            row = got.loc[src]
+            assert int(row["n_docs"]) == n
+            assert (int(row["p_lo"]), int(row["p_hi"])) == (p_lo, p_hi)
+            assert row["winsor_mean"] == want
+
+    def test_winsor_robust_to_outlier_burst(self, tmp_path):
+        """Injecting 4% zero-quality spam into one source barely moves
+        its winsorized mean, while the plain mean drops visibly."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            source_quality_winsor,
+        )
+        base = ["clean readable prose " * 10] * 96
+        spam = ["00000 11111 22222 33333"] * 4
+        texts = base + spam
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["web"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        pq2.write_table(t, str(tmp_path / "documents.parquet"))
+        got = source_quality_winsor(str(tmp_path)).to_pandas().iloc[0]
+        from agentic_document_extraction_pdf_ray.pipelines.documents import quality_arrays
+        *_, qx = quality_arrays(pa.array([_clean(x) for x in texts],
+                                         pa.string()))
+        qx = np.asarray(qx, np.float64)
+        clean_q = qx[0]
+        assert abs(got["winsor_mean"] - clean_q) < 1.0   # winsor ~ clean
+        assert clean_q - qx.mean() > 100                 # plain mean hit
+
+    def test_ks_bounds_and_self_consistency(self, tmp_path):
+        """Identical distributions -> ks 0; disjoint supports -> ks 1."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            source_quality_ks,
+        )
+        hiq = "clean readable prose " * 10
+        loq = "00000 11111 22222 33333"
+        texts = [hiq] * 10 + [hiq] * 10 + [loq] * 10
+        srcs = ["a"] * 10 + ["b"] * 10 + ["c"] * 10
+        t = pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 30, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        pq2.write_table(t, str(tmp_path / "documents.parquet"))
+        got = source_quality_ks(str(tmp_path)).set_index(
+            ["source_a", "source_b"])["ks_stat"]
+        assert got.loc[("a", "b")] == 0.0
+        assert got.loc[("a", "c")] == 1.0
+        assert got.loc[("b", "c")] == 1.0

@@ -413,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_containment": dedup.doc_ngram_containment,     # SQL-matched (asymmetric sub-document dup screen, r5)
         "source_quality_winsor": documents.source_quality_winsor,  # SQL-matched (robust winsorized per-source quality, r5)
         "source_quality_ks": documents.source_quality_ks,         # SQL-matched (pairwise KS distribution drift, r5)
+        "doc_cdc_chunks": dedup.doc_cdc_chunks,                   # SQL-matched (content-defined chunking + dup-chunk flags, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2052,6 +2053,33 @@ def oracle_sql() -> dict[str, str]:
                    inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
             FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12
+        """,
+        # Content-defined chunking (engine dedup.doc_cdc_chunks):
+        # boundary AFTER tokens whose md5 hex starts with '0' (1/16
+        # gear), chunk fingerprint = md5 of the space-joined tokens,
+        # is_dup = the same content appears in >1 chunk corpus-wide.
+        "doc_cdc_chunks": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            x AS (SELECT doc_id, unnest(tk) AS token,
+                         unnest(range(1, len(tk) + 1)) AS pos FROM t),
+            a AS (SELECT doc_id, token, pos,
+                         CASE WHEN substr(md5(token), 1, 1) = '0'
+                              THEN 1 ELSE 0 END AS anchor
+                  FROM x),
+            ch AS (SELECT doc_id, token, pos,
+                          coalesce(sum(anchor) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS chunk_idx
+                   FROM a),
+            g AS (SELECT doc_id, chunk_idx,
+                         CAST(count(*) AS BIGINT) AS n_tokens,
+                         md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+                  FROM ch GROUP BY 1, 2)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   n_tokens, chunk_hash,
+                   count(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
+            FROM g
         """,
         # Winsorized per-source quality (engine
         # documents.source_quality_winsor): percentile p = smallest v

@@ -2152,3 +2152,67 @@ def doc_softdedup_weights(sf_dir: str, n_buckets: int = 32,
     return (docs.map_batches(tag_doc, batch_format="pyarrow")
             .union(sized.map_batches(tag_member, batch_format="pyarrow"))
             .groupby("_db").map_groups(attach, batch_format="pandas"))
+
+
+def doc_cdc_chunks(sf_dir: str, modulus: int = 16,
+                   n_buckets: int = 64) -> ray.data.Dataset:
+    """Content-defined chunking + cross-corpus duplicate-chunk flags:
+    documents split at ANCHOR tokens (md5 hex of the token starts with
+    '0' — expected 1-in-16 of tokens, the repo's md5-hex sampling
+    convention), each chunk fingerprinted by the md5 of its joined
+    tokens, then flagged ``is_dup`` when the same chunk content appears
+    anywhere else in the corpus. Because boundaries depend only on
+    content, an insertion early in a document shifts boundaries only
+    until the next anchor — downstream chunks re-align and still dedup
+    (the property fixed-width :func:`doc_chunk_windows` lacks; CDC as in
+    LBFS/rsync applied to token streams).
+
+    Scale shape: chunk building is entirely ROW-LOCAL (one batch pass,
+    no exchange); the only shuffle is the dup-flag groupby on
+    ``chunk_hash`` — narrow (hash, ids) rows, hash-partitioned. The
+    anchor test runs once per UNIQUE token per batch (factorize +
+    md5 over the batch vocabulary); the per-chunk md5 loop touches
+    ~1/16 of token count.
+
+    Output: ``doc_id, chunk_idx, n_tokens, chunk_hash, is_dup``.
+    """
+    import hashlib
+
+    def build(batch: pa.Table) -> pd.DataFrame:
+        clean = _norm_ws(batch["text"])
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(pc.fill_null(clean, ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(flat)
+        anchor_u = np.fromiter(
+            (hashlib.md5(u.encode()).hexdigest()[0] == "0" for u in uniq),
+            bool, len(uniq))
+        anchor = anchor_u[codes].astype(np.int64)
+        pre = np.concatenate(([0], np.cumsum(anchor)[:-1]))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        chunk_idx = pre - pre[starts][parents]
+        d = pd.DataFrame({"doc_id": doc_ids[parents].astype(np.int64),
+                          "chunk_idx": chunk_idx,
+                          "token": flat})
+        g = (d.groupby(["doc_id", "chunk_idx"], as_index=False)
+             .agg(n_tokens=("token", "size"),
+                  joined=("token", " ".join)))
+        g["chunk_hash"] = [hashlib.md5(s.encode()).hexdigest()
+                           for s in g["joined"]]
+        g["_b"] = bucket_int_array(
+            np.frombuffer(bytes.fromhex("".join(
+                h[:16] for h in g["chunk_hash"])), ">u8").astype(np.int64)
+            if len(g) else np.array([], np.int64), n_buckets)
+        return g[["doc_id", "chunk_idx", "n_tokens", "chunk_hash", "_b"]]
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("chunk_hash")["doc_id"].transform("size") > 1
+        out = g.drop(columns="_b").assign(is_dup=dup.to_numpy())
+        return out
+
+    return (read_documents(sf_dir)
+            .map_batches(build, batch_format="pyarrow")
+            .groupby("_b").map_groups(flag, batch_format="pandas"))

@@ -593,3 +593,65 @@ class TestNgramContainment:
         assert list(got.columns) == ["doc_a", "doc_b", "inter", "jaccard"]
         assert (got["jaccard"] >= 0.12).all()
         assert (got["doc_a"] < got["doc_b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCdcChunks:
+    def test_insertion_realigns_and_dedups(self, tmp_path):
+        """The CDC property fixed-width windows lack: prepending text to
+        a copy shifts only the chunks up to the next anchor — every
+        later chunk re-aligns byte-for-byte and is flagged is_dup."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import doc_cdc_chunks
+
+        rng = np.random.RandomState(7)
+        words = [f"tok{i}" for i in range(200)]
+        body = " ".join(rng.choice(words, 400))
+        texts = [body, "brand new unseen preamble " + body]
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 2, pa.string()),
+            "source": pa.array(["web"] * 2, pa.string()),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = doc_cdc_chunks(str(tmp_path)).to_pandas()
+        h0 = set(got[got["doc_id"] == 0]["chunk_hash"])
+        h1 = set(got[got["doc_id"] == 1]["chunk_hash"])
+        shared = h0 & h1
+        # all but the first chunk (or two) of each doc re-align
+        assert len(shared) >= len(h0) - 2
+        assert (got[got["chunk_hash"].isin(shared)]["is_dup"]).all()
+        # non-shared chunks of doc 1 (the perturbed head) are unique
+        only1 = got[(got["doc_id"] == 1) & ~got["chunk_hash"].isin(shared)]
+        assert not only1["is_dup"].any()
+        # fingerprints are the md5 of the joined chunk tokens
+        toks = body.split()
+        anchors = [hashlib.md5(w.encode()).hexdigest()[0] == "0"
+                   for w in toks]
+        first_len = 1 + anchors.index(True) if True in anchors else len(toks)
+        first = " ".join(toks[:first_len])
+        want = hashlib.md5(first.encode()).hexdigest()
+        d0 = got[(got["doc_id"] == 0) & (got["chunk_idx"] == 0)]
+        assert d0["chunk_hash"].iloc[0] == want
+        assert int(d0["n_tokens"].iloc[0]) == first_len
+
+    def test_chunks_partition_tokens(self, ray_session):
+        """Chunk token counts sum to each doc's whitespace token count."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import doc_cdc_chunks
+        got = (doc_cdc_chunks(SF).to_pandas()
+               .groupby("doc_id")["n_tokens"].sum())
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        import re as _re
+        want = {r.doc_id: len(_re.sub(r"\s+", " ", r.text or "").strip()
+                              .split(" "))
+                for r in docs.itertuples()}
+        for doc_id, n in got.items():
+            assert n == want[doc_id]

@@ -414,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_winsor": documents.source_quality_winsor,  # SQL-matched (robust winsorized per-source quality, r5)
         "source_quality_ks": documents.source_quality_ks,         # SQL-matched (pairwise KS distribution drift, r5)
         "doc_cdc_chunks": dedup.doc_cdc_chunks,                   # SQL-matched (content-defined chunking + dup-chunk flags, r5)
+        "events_user_rfm": events.events_user_rfm,                # SQL-matched (RFM quartile cohorting, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -819,6 +820,51 @@ _BM25_TERMS = ("hash", "join", "filter")
 # doc_vocab_topk convention). The bare _CLEAN fragment lacks lower() and
 # coalesce(), which diverges on uppercase or NULL text (ADVICE r4).
 _CLEAN_LC = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
+
+
+def _rfm_sql() -> str:
+    """events_user_rfm oracle: quartile thresholds per metric via the
+    cum-count convention (t_p = smallest v with running count >=
+    ceil(p·N/100)), score = 1 + #thresholds strictly exceeded, recency
+    inverted. The three per-metric threshold blocks are generated from
+    one template — one source of truth for the convention."""
+    def thr(name: str, col: str) -> str:
+        return f"""
+            {name}h AS (SELECT {col} AS v, CAST(count(*) AS BIGINT) AS c
+                        FROM g GROUP BY 1),
+            {name}c AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM {name}h),
+            {name}t AS (SELECT
+                (SELECT min(v) FROM {name}c, n WHERE cc >= (25 * n.n + 99) // 100) AS t25,
+                (SELECT min(v) FROM {name}c, n WHERE cc >= (50 * n.n + 99) // 100) AS t50,
+                (SELECT min(v) FROM {name}c, n WHERE cc >= (75 * n.n + 99) // 100) AS t75)"""
+
+    def score(col: str, t: str) -> str:
+        return (f"(1 + CAST({col} > {t}.t25 AS BIGINT)"
+                f" + CAST({col} > {t}.t50 AS BIGINT)"
+                f" + CAST({col} > {t}.t75 AS BIGINT))")
+
+    return f"""
+        WITH g AS (SELECT user_id,
+                  CAST(date_diff('day', CAST(max(ts) AS DATE),
+                       (SELECT CAST(max(ts) AS DATE) FROM events)) AS BIGINT)
+                      AS recency_days,
+                  CAST(count(*) AS BIGINT) AS frequency,
+                  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS monetary_cents
+           FROM events GROUP BY user_id),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        {thr('r', 'recency_days')},
+        {thr('f', 'frequency')},
+        {thr('m', 'monetary_cents')}
+        SELECT g.user_id, g.recency_days, g.frequency, g.monetary_cents,
+               5 - {score('g.recency_days', 'rt')} AS r_score,
+               {score('g.frequency', 'ft')} AS f_score,
+               {score('g.monetary_cents', 'mt')} AS m_score,
+               (5 - {score('g.recency_days', 'rt')}) * 100
+                 + {score('g.frequency', 'ft')} * 10
+                 + {score('g.monetary_cents', 'mt')} AS rfm
+        FROM g, rt, ft, mt
+    """
 
 
 def _bm25_sql() -> str:
@@ -3279,6 +3325,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "doc_bm25_topk": _bm25_sql(),
+        "events_user_rfm": _rfm_sql(),
         # identical SQL: the postings-fed path must be bit-identical to
         # the stats-scan path (same int constants, same float shapes)
         "doc_bm25_from_postings": _bm25_sql(),

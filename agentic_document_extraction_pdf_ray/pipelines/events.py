@@ -1354,3 +1354,92 @@ def events_bot_users(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             .map_batches(bucketize, batch_format="pandas")
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
+    """RFM cohorting — the recency / frequency / monetary quartile
+    segmentation a curation or engagement pipeline uses to weight user
+    populations (e.g. which users' interaction data to over/under-sample
+    in a preference corpus).
+
+    Per user: ``recency_days`` (whole days from the user's last event
+    DATE to the corpus max DATE), ``frequency`` (event count),
+    ``monetary_cents`` (Σ floor(value·100 + .5) — per-event integer
+    cents so the sum is order-independent). Each metric scores 1–4
+    against its own quartile thresholds t25/t50/t75, where
+    t_p = smallest v with cum_count(v) >= ceil(p·N/100) (the
+    :func:`~.documents.doc_quality_deciles` convention); score =
+    1 + #thresholds strictly exceeded, and recency is INVERTED
+    (``r_score = 5 − that``) so 4 always means "best" (most recent).
+    ``rfm`` packs the three digits (r·100 + f·10 + m).
+
+    Scale shape: ONE user-keyed exchange of map-side partials (max-ts /
+    count / cents combine associatively); the threshold fold reads only
+    per-metric VALUE histograms — recency and frequency are bounded
+    domains, monetary's cardinality is #distinct cent-sums (the
+    :func:`~.relational.customer_balance_percentile` driver-histogram
+    bound) — and ships 9 ints back. Ties share a score on both engines,
+    so no tie-break ordering is ever needed.
+
+    Output: ``user_id, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, rfm``.
+    """
+    from ray.data.aggregate import Max
+
+    ev = read_events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            ts_us=batch["ts"].astype("int64"),
+            cents=np.floor(batch["value"] * 100.0 + 0.5).astype(np.int64))
+        return (batch.groupby("user_id", as_index=False)
+                .agg(ts_us=("ts_us", "max"), n=("user_id", "size"),
+                     cents=("cents", "sum")))
+
+    per_user = (ev.map_batches(partial, batch_format="pandas")
+                .groupby("user_id").aggregate(
+                    Max("ts_us", alias_name="ts_us"),
+                    Sum("n", alias_name="n"),
+                    Sum("cents", alias_name="cents")))
+
+    gmax_us = np.datetime64(ev.max("ts"), "us").astype(np.int64)
+    gday = np.int64(gmax_us // 86_400_000_000)
+
+    def metrics(batch: pd.DataFrame) -> pd.DataFrame:
+        uday = (batch["ts_us"].to_numpy(np.int64)
+                // np.int64(86_400_000_000))
+        return pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "recency_days": gday - uday,
+            "frequency": batch["n"].to_numpy(np.int64),
+            "monetary_cents": batch["cents"].to_numpy(np.int64)})
+
+    m = per_user.map_batches(metrics, batch_format="pandas").materialize()
+
+    def thresholds(col: str) -> np.ndarray:
+        hist = (m.map_batches(
+            lambda b: b[col].value_counts().rename_axis("v")
+            .reset_index(name="c"), batch_format="pandas")
+            .groupby("v").aggregate(Sum("c", alias_name="c"))
+            .to_pandas().sort_values("v"))
+        vals = hist["v"].to_numpy(np.int64)
+        cum = hist["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        idx = np.searchsorted(
+            cum, [(p * n + 99) // 100 for p in (25, 50, 75)], side="left")
+        return vals[idx]
+
+    rt, ft, mt = (thresholds(c) for c in
+                  ("recency_days", "frequency", "monetary_cents"))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        def s(v: np.ndarray, t: np.ndarray) -> np.ndarray:
+            return (1 + (v > t[0]).astype(np.int64)
+                    + (v > t[1]) + (v > t[2]))
+        r = 5 - s(batch["recency_days"].to_numpy(np.int64), rt)
+        f = s(batch["frequency"].to_numpy(np.int64), ft)
+        mo = s(batch["monetary_cents"].to_numpy(np.int64), mt)
+        return batch.assign(r_score=r, f_score=f, m_score=mo,
+                            rfm=r * 100 + f * 10 + mo)
+
+    return m.map_batches(score, batch_format="pandas")

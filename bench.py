@@ -155,6 +155,8 @@ def run_bench() -> dict:
         "source_quality_ks": timed(documents.source_quality_ks, sf_dir),
         "doc_cdc_chunks": timed(
             lambda d: dedup.doc_cdc_chunks(d).count(), sf_dir),
+        "events_user_rfm": timed(
+            lambda d: events.events_user_rfm(d).count(), sf_dir),
         "minhash_lsh_pairs": timed(dedup.minhash_lsh_pairs, sf_dir),
         "ann_topk": timed(similarity.ann_topk, sf_dir),
         "events_daily": timed(events.events_daily, sf_dir),

@@ -393,3 +393,51 @@ class TestAnomalyDays:
         want = (pd.DataFrame(rows).sort_values(["event_type", "d"])
                 .reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsUserRfm:
+    def test_rfm_semantics(self):
+        from agentic_document_extraction_pdf_ray.pipelines.events import events_user_rfm
+        got = events_user_rfm(SF_DIR).to_pandas()
+        assert got["user_id"].is_unique
+        for c in ("r_score", "f_score", "m_score"):
+            assert got[c].between(1, 4).all()
+        assert (got["rfm"] == got["r_score"] * 100 + got["f_score"] * 10
+                + got["m_score"]).all()
+        # the most recently active user(s) score r=4; recency_days==0
+        # exists by construction (someone owns the corpus max ts)
+        newest = got[got["recency_days"] == got["recency_days"].min()]
+        assert (newest["r_score"] == 4).all()
+        assert got["recency_days"].min() == 0
+        # monotonicity: higher frequency can never LOWER f_score
+        srt = got.sort_values("frequency")
+        assert (srt["f_score"].diff().dropna() >= 0).all()
+
+    def test_quartiles_balanced_on_distinct_values(self, tmp_path):
+        """With all-distinct metric values the four buckets differ by
+        at most 1 user (ceil boundaries)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import events_user_rfm
+        n = 103
+        rows = []
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        for u in range(n):
+            for k in range(u + 1):            # frequency u+1, all distinct
+                rows.append((len(rows), base + np.timedelta64(u, "D"),
+                             u, "click", float(u + 1)))
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = events_user_rfm(str(tmp_path)).to_pandas()
+        counts = got["f_score"].value_counts()
+        assert counts.max() - counts.min() <= 1

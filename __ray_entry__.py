@@ -415,6 +415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_ks": documents.source_quality_ks,         # SQL-matched (pairwise KS distribution drift, r5)
         "doc_cdc_chunks": dedup.doc_cdc_chunks,                   # SQL-matched (content-defined chunking + dup-chunk flags, r5)
         "events_user_rfm": events.events_user_rfm,                # SQL-matched (RFM quartile cohorting, r5)
+        "doc_cdc_dedup_ratio": dedup.doc_cdc_dedup_ratio,         # SQL-matched (per-doc CDC duplicated-content fraction, r5)
+        "part_price_iqr_outliers": relational.part_price_iqr_outliers,  # SQL-matched (Tukey-fence robust outlier screen, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2126,6 +2128,64 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens, chunk_hash,
                    count(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
             FROM g
+        """,
+        # Tukey-fence price outliers per p_type (engine
+        # relational.part_price_iqr_outliers): quartiles by the integer
+        # cum-count convention; fences compared as 2·cents vs 2·q ∓
+        # 3·IQR so the comparison is all-integer on both engines.
+        "part_price_iqr_outliers": """
+            WITH c AS (SELECT p_partkey, p_type,
+                              CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM part),
+            h AS (SELECT p_type, cents, CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1, 2),
+            cum AS (SELECT p_type, cents, n,
+                           sum(n) OVER (PARTITION BY p_type
+                                        ORDER BY cents) AS cc,
+                           sum(n) OVER (PARTITION BY p_type) AS tot
+                    FROM h),
+            q1 AS (SELECT p_type, min(cents) AS q1 FROM cum
+                   WHERE cc >= (25 * tot + 99) // 100 GROUP BY p_type),
+            q3 AS (SELECT p_type, min(cents) AS q3 FROM cum
+                   WHERE cc >= (75 * tot + 99) // 100 GROUP BY p_type)
+            SELECT c.p_partkey, c.p_type, c.cents AS price_cents,
+                   CAST(q1 AS BIGINT) AS q1, CAST(q3 AS BIGINT) AS q3,
+                   (2 * c.cents < 2 * q1 - 3 * (q3 - q1)
+                    OR 2 * c.cents > 2 * q3 + 3 * (q3 - q1)) AS is_outlier
+            FROM c JOIN q1 USING (p_type) JOIN q3 USING (p_type)
+        """,
+        # Doc-level CDC dup fraction (engine dedup.doc_cdc_dedup_ratio):
+        # the doc_cdc_chunks CTE body verbatim, then dup-token /
+        # total-token per doc, one division, round 6.
+        "doc_cdc_dedup_ratio": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            x AS (SELECT doc_id, unnest(tk) AS token,
+                         unnest(range(1, len(tk) + 1)) AS pos FROM t),
+            a AS (SELECT doc_id, token, pos,
+                         CASE WHEN substr(md5(token), 1, 1) = '0'
+                              THEN 1 ELSE 0 END AS anchor
+                  FROM x),
+            ch AS (SELECT doc_id, token, pos,
+                          coalesce(sum(anchor) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS chunk_idx
+                   FROM a),
+            g AS (SELECT doc_id, chunk_idx,
+                         CAST(count(*) AS BIGINT) AS n_tokens,
+                         md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash
+                  FROM ch GROUP BY 1, 2),
+            f AS (SELECT doc_id, n_tokens,
+                         count(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
+                  FROM g)
+            SELECT doc_id,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS BIGINT)
+                       AS dup_tokens,
+                   round(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END)
+                         / CAST(sum(n_tokens) AS DOUBLE), 6) AS dup_ratio
+            FROM f GROUP BY doc_id
         """,
         # Winsorized per-source quality (engine
         # documents.source_quality_winsor): percentile p = smallest v

@@ -2216,3 +2216,44 @@ def doc_cdc_chunks(sf_dir: str, modulus: int = 16,
     return (read_documents(sf_dir)
             .map_batches(build, batch_format="pyarrow")
             .groupby("_b").map_groups(flag, batch_format="pandas"))
+
+
+def doc_cdc_dedup_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Per-document duplicated-content fraction from the CDC chunk
+    stream: ``dup_tokens / total_tokens`` where a token counts as
+    duplicated when its :func:`doc_cdc_chunks` chunk content appears
+    anywhere else in the corpus — the doc-level "how much of this is
+    copied" score a curation policy thresholds on (the chunk-level
+    complement of :func:`doc_dup_span_coverage`'s exact-substring
+    spans).
+
+    Pure composition: rides the chunk stream's existing hash exchange,
+    then ONE doc-keyed narrow fold of (doc_id, n, dup) pairs. One
+    float division per doc, round 6.
+
+    Output: ``doc_id, total_tokens, dup_tokens, dup_ratio``.
+    """
+    from ray.data.aggregate import Sum
+
+    chunks = doc_cdc_chunks(sf_dir)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dup = batch["n_tokens"].to_numpy(np.int64) * \
+            batch["is_dup"].to_numpy(bool)
+        return (pd.DataFrame({"doc_id": batch["doc_id"],
+                              "n": batch["n_tokens"], "dup": dup})
+                .groupby("doc_id", as_index=False).sum())
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(np.int64)
+        dup = batch["dup"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "total_tokens": n,
+            "dup_tokens": dup,
+            "dup_ratio": np.round(dup / n.astype(np.float64), 6)})
+
+    return (chunks.map_batches(partial, batch_format="pandas")
+            .groupby("doc_id").aggregate(Sum("n", alias_name="n"),
+                                         Sum("dup", alias_name="dup"))
+            .map_batches(finish, batch_format="pandas"))

@@ -889,3 +889,72 @@ def customer_order_dist(sf_dir: str, n_buckets: int = 32) -> pd.DataFrame:
     out = out.astype({"c_count": np.int64, "n_custs": np.int64})
     return (out.sort_values("c_count").reset_index(drop=True)
             [["c_count", "n_custs"]])
+
+
+def part_price_iqr_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Robust per-type price-outlier screen: a part is flagged when its
+    retail price (integer cents) falls outside Tukey's fences
+    ``[q1 − 1.5·IQR, q3 + 1.5·IQR]`` of its OWN ``p_type`` — the
+    data-hygiene scan a catalog/ingest pipeline runs before trusting a
+    numeric column (robust where a z-score screen is itself dragged by
+    the outliers it hunts).
+
+    Exact and all-integer: quartiles use the cum-count convention
+    (q_p = smallest cents with running count >= ceil(p·N/100), the
+    :func:`customer_balance_percentile` family); the 1.5·IQR fence is
+    evaluated as ``2·cents < 2·q1 − 3·IQR`` (and mirrored above) so no
+    float ever enters the comparison on either engine.
+
+    Scale shape: ONE (type, cents)-keyed histogram exchange — narrow
+    partial-count rows, never the parts — then per-type threshold rows
+    (≤ #types) broadcast via ``ray.put`` into a pruned second scan.
+
+    Output: every part with ``p_partkey, p_type, price_cents, q1, q3,
+    is_outlier`` (flag rather than filter — uniform synthetic prices
+    produce zero true outliers, and downstream policies often want the
+    fences alongside the verdict anyway).
+    """
+    from ray.data.aggregate import Sum
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type",
+                                          "p_retailprice"])
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"p_type": batch["p_type"],
+                          "cents": _cents(batch["p_retailprice"])})
+        return (d.groupby(["p_type", "cents"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    def fences(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        v = g["cents"].to_numpy(np.int64)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        q1 = int(v[np.searchsorted(cum, (25 * n + 99) // 100, "left")])
+        q3 = int(v[np.searchsorted(cum, (75 * n + 99) // 100, "left")])
+        return pd.DataFrame({"p_type": [g["p_type"].iloc[0]],
+                             "q1": np.array([q1], np.int64),
+                             "q3": np.array([q3], np.int64)})
+
+    th = (part.map_batches(hist, batch_format="pandas")
+          .groupby(["p_type", "cents"]).aggregate(Sum("n", alias_name="n"))
+          .groupby("p_type").map_groups(fences, batch_format="pandas")
+          .to_pandas())                           # ≤ #types rows
+    fence_ref = ray.put({r.p_type: (int(r.q1), int(r.q3))
+                         for r in th.itertuples()})
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        fm = ray.get(fence_ref)
+        cents = _cents(batch["p_retailprice"]).to_numpy()
+        q1 = np.array([fm[t][0] for t in batch["p_type"]], np.int64)
+        q3 = np.array([fm[t][1] for t in batch["p_type"]], np.int64)
+        iqr = q3 - q1
+        out = (2 * cents < 2 * q1 - 3 * iqr) | (2 * cents > 2 * q3 + 3 * iqr)
+        return pd.DataFrame({
+            "p_partkey": batch["p_partkey"].to_numpy(np.int64),
+            "p_type": batch["p_type"].to_numpy(),
+            "price_cents": cents,
+            "q1": q1, "q3": q3, "is_outlier": out})
+
+    return part.map_batches(flag, batch_format="pandas")

@@ -157,6 +157,10 @@ def run_bench() -> dict:
             lambda d: dedup.doc_cdc_chunks(d).count(), sf_dir),
         "events_user_rfm": timed(
             lambda d: events.events_user_rfm(d).count(), sf_dir),
+        "doc_cdc_dedup_ratio": timed(
+            lambda d: dedup.doc_cdc_dedup_ratio(d).count(), sf_dir),
+        "part_price_iqr_outliers": timed(
+            lambda d: relational.part_price_iqr_outliers(d).count(), sf_dir),
         "minhash_lsh_pairs": timed(dedup.minhash_lsh_pairs, sf_dir),
         "ann_topk": timed(similarity.ann_topk, sf_dir),
         "events_daily": timed(events.events_daily, sf_dir),

@@ -655,3 +655,32 @@ class TestCdcChunks:
                 for r in docs.itertuples()}
         for doc_id, n in got.items():
             assert n == want[doc_id]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCdcDedupRatio:
+    def test_ratio_semantics(self, tmp_path):
+        """A doc that is a full copy scores ratio 1.0; a doc with no
+        shared chunks scores 0.0; tokens are conserved."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            doc_cdc_dedup_ratio,
+        )
+        rng = np.random.RandomState(11)
+        words = [f"tok{i}" for i in range(200)]
+        body = " ".join(rng.choice(words, 300))
+        other = " ".join(f"uniq{i}" for i in range(100))
+        texts = [body, body, other]
+        t = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        got = (doc_cdc_dedup_ratio(str(tmp_path)).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert got.loc[0, "dup_ratio"] == 1.0
+        assert got.loc[1, "dup_ratio"] == 1.0
+        assert got.loc[2, "dup_ratio"] == 0.0
+        assert int(got.loc[0, "total_tokens"]) == 300
+        assert int(got.loc[2, "total_tokens"]) == 100

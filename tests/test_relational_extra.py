@@ -136,3 +136,38 @@ class TestCorrelatedAggFilter:
             "bal_cents": cents[keep],
         }).sort_values("c_custkey").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartPriceIqrOutliers:
+    def test_planted_outlier_flagged(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            part_price_iqr_outliers,
+        )
+        # 40 tightly-priced parts + one 100x price for the same type
+        prices = [10.0 + i * 0.01 for i in range(40)] + [1000.0]
+        t = pa.table({
+            "p_partkey": pa.array(range(41), pa.int64()),
+            "p_type": pa.array(["widget"] * 41, pa.string()),
+            "p_retailprice": pa.array(prices, pa.float64()),
+        })
+        pq.write_table(t, str(tmp_path / "part.parquet"))
+        got = part_price_iqr_outliers(str(tmp_path)).to_pandas()
+        assert len(got) == 41
+        flagged = got[got["is_outlier"]]
+        assert flagged["p_partkey"].tolist() == [40]
+        # fences are robust: the outlier did not drag q1/q3
+        assert int(got["q3"].iloc[0]) < 2000   # still in the 10.xx band
+
+    def test_uniform_type_has_no_outliers(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            part_price_iqr_outliers,
+        )
+        got = part_price_iqr_outliers(SF_DIR).to_pandas()
+        # TPC-H retail prices are near-uniform per type: Tukey fences
+        # flag nothing, but quartiles are real
+        assert not got["is_outlier"].any()
+        assert (got["q1"] <= got["q3"]).all()

@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rfm": events.events_user_rfm,                # SQL-matched (RFM quartile cohorting, r5)
         "doc_cdc_dedup_ratio": dedup.doc_cdc_dedup_ratio,         # SQL-matched (per-doc CDC duplicated-content fraction, r5)
         "part_price_iqr_outliers": relational.part_price_iqr_outliers,  # SQL-matched (Tukey-fence robust outlier screen, r5)
+        "orders_total_reconcile": relational.orders_total_reconcile,  # SQL-matched (cross-table sum_reconcile audit, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2128,6 +2129,27 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens, chunk_hash,
                    count(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
             FROM g
+        """,
+        # Cross-table sum reconciliation (engine
+        # relational.orders_total_reconcile): per-line integer cents
+        # (fixed per-row float expression, integer SUM), LEFT JOIN so
+        # line-less orders reconcile against 0.
+        "orders_total_reconcile": """
+            WITH l AS (SELECT l_orderkey AS k,
+                              CAST(sum(CAST(floor(l_extendedprice
+                                    * (1 - l_discount) * (1 + l_tax)
+                                    * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                  AS line_cents
+                       FROM lineitem GROUP BY 1)
+            SELECT o.o_orderkey,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS total_cents,
+                   coalesce(l.line_cents, 0) AS line_cents,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       - coalesce(l.line_cents, 0) AS diff_cents,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       = coalesce(l.line_cents, 0) AS is_consistent
+            FROM orders o LEFT JOIN l ON l.k = o.o_orderkey
         """,
         # Tukey-fence price outliers per p_type (engine
         # relational.part_price_iqr_outliers): quartiles by the integer

@@ -958,3 +958,77 @@ def part_price_iqr_outliers(sf_dir: str) -> ray.data.Dataset:
             "q1": q1, "q3": q3, "is_outlier": out})
 
     return part.map_batches(flag, batch_format="pandas")
+
+
+def orders_total_reconcile(sf_dir: str,
+                           n_buckets: int = 64) -> ray.data.Dataset:
+    """Cross-table sum reconciliation: every order's header total
+    checked against the integer-cents sum of its own line items —
+    the table-scale analogue of the reference's ``sum_reconcile``
+    tool-validation rule (``/root/reference/src/agents/
+    validators.py`` routing, SURVEY §2.8), run as a distributed audit
+    instead of a per-document tool call.
+
+    Determinism: each line contributes ``floor(extendedprice · (1 −
+    discount) · (1 + tax) · 100 + 0.5)`` — the float product is a
+    fixed per-row expression (identical IEEE ops on both engines) and
+    the SUM is integer, so no float-summation-order hazard exists.
+
+    Scale shape: map-side per-batch partial sums keyed by orderkey
+    (lineitems collapse ~4:1 before the wire), then ONE orderkey-hash
+    bucketed exchange where the order headers (tagged rows in the same
+    stream) merge against the folded line sums — a co-grouped join,
+    no broadcast of either big side.
+
+    Output: ``o_orderkey, total_cents, line_cents, diff_cents,
+    is_consistent``.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def line_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - batch["l_discount"].to_numpy(np.float64))
+            * (1.0 + batch["l_tax"].to_numpy(np.float64))
+            * 100.0 + 0.5).astype(np.int64)
+        d = (pd.DataFrame({"k": batch["l_orderkey"].to_numpy(np.int64),
+                           "cents": cents})
+             .groupby("k", as_index=False).sum())
+        d["_side"] = "l"
+        d["_bucket"] = bucket_int_array(d["k"].to_numpy(np.int64),
+                                        n_buckets)
+        return d
+
+    def order_tag(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "k": batch["o_orderkey"].to_numpy(np.int64),
+            "cents": _cents(batch["o_totalprice"]).to_numpy()})
+        d["_side"] = "o"
+        d["_bucket"] = bucket_int_array(d["k"].to_numpy(np.int64),
+                                        n_buckets)
+        return d
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lines = (g[g["_side"] == "l"].groupby("k", as_index=False)
+                 .agg(line_cents=("cents", "sum")))
+        orders = (g[g["_side"] == "o"]
+                  .rename(columns={"cents": "total_cents"}))
+        m = orders.merge(lines, on="k", how="left")
+        lc = m["line_cents"].fillna(0).astype(np.int64)
+        tc = m["total_cents"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": m["k"].to_numpy(np.int64),
+            "total_cents": tc,
+            "line_cents": lc.to_numpy(),
+            "diff_cents": tc - lc.to_numpy(),
+            "is_consistent": tc == lc.to_numpy()})
+
+    li = (ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+        .map_batches(line_partial, batch_format="pandas"))
+    od = (ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+        .map_batches(order_tag, batch_format="pandas"))
+    return (li.union(od).groupby("_bucket")
+            .map_groups(merge, batch_format="pandas"))

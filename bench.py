@@ -161,6 +161,8 @@ def run_bench() -> dict:
             lambda d: dedup.doc_cdc_dedup_ratio(d).count(), sf_dir),
         "part_price_iqr_outliers": timed(
             lambda d: relational.part_price_iqr_outliers(d).count(), sf_dir),
+        "orders_total_reconcile": timed(
+            lambda d: relational.orders_total_reconcile(d).count(), sf_dir),
         "minhash_lsh_pairs": timed(dedup.minhash_lsh_pairs, sf_dir),
         "ann_topk": timed(similarity.ann_topk, sf_dir),
         "events_daily": timed(events.events_daily, sf_dir),

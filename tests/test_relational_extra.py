@@ -171,3 +171,46 @@ class TestPartPriceIqrOutliers:
         # flag nothing, but quartiles are real
         assert not got["is_outlier"].any()
         assert (got["q1"] <= got["q3"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOrdersTotalReconcile:
+    def test_planted_mismatch_flagged(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            orders_total_reconcile,
+        )
+        # order 1 consistent, order 2 header is 1 cent off, order 3 has
+        # no lines (reconciles against 0 and fails)
+        li = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_extendedprice": pa.array([100.0, 50.0, 80.0], pa.float64()),
+            "l_discount": pa.array([0.1, 0.0, 0.0], pa.float64()),
+            "l_tax": pa.array([0.0, 0.1, 0.05], pa.float64()),
+        })
+        od = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_totalprice": pa.array([145.0, 84.01, 10.0], pa.float64()),
+        })
+        pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+        pq.write_table(od, str(tmp_path / "orders.parquet"))
+        got = (orders_total_reconcile(str(tmp_path)).to_pandas()
+               .set_index("o_orderkey").sort_index())
+        assert bool(got.loc[1, "is_consistent"])
+        assert int(got.loc[1, "diff_cents"]) == 0
+        assert not bool(got.loc[2, "is_consistent"])
+        assert int(got.loc[2, "diff_cents"]) == 1
+        assert int(got.loc[3, "line_cents"]) == 0
+        assert int(got.loc[3, "diff_cents"]) == 1000
+
+    def test_every_order_appears_once(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            orders_total_reconcile,
+        )
+        got = orders_total_reconcile(SF_DIR).to_pandas()
+        import pyarrow.parquet as pq
+        n_orders = pq.read_metadata(f"{SF_DIR}/orders.parquet").num_rows
+        assert len(got) == n_orders
+        assert got["o_orderkey"].is_unique

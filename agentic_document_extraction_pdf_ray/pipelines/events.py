@@ -1396,14 +1396,16 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
                 .agg(ts_us=("ts_us", "max"), n=("user_id", "size"),
                      cents=("cents", "sum")))
 
-    per_user = (ev.map_batches(partial, batch_format="pandas")
+    # ONE events scan: the per-user combine also carries the corpus max
+    # ts (max-of-maxes over the per-user aggregate, no second pass)
+    per_user = (ev.map_batches(partial, batch_format="pandas",
+                               batch_size=131_072)
                 .groupby("user_id").aggregate(
                     Max("ts_us", alias_name="ts_us"),
                     Sum("n", alias_name="n"),
-                    Sum("cents", alias_name="cents")))
-
-    gmax_us = np.datetime64(ev.max("ts"), "us").astype(np.int64)
-    gday = np.int64(gmax_us // 86_400_000_000)
+                    Sum("cents", alias_name="cents"))
+                .materialize())
+    gday = np.int64(int(per_user.max("ts_us")) // 86_400_000_000)
 
     def metrics(batch: pd.DataFrame) -> pd.DataFrame:
         uday = (batch["ts_us"].to_numpy(np.int64)
@@ -1414,25 +1416,37 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
             "frequency": batch["n"].to_numpy(np.int64),
             "monetary_cents": batch["cents"].to_numpy(np.int64)})
 
-    m = per_user.map_batches(metrics, batch_format="pandas").materialize()
+    # all three metric histograms in ONE pass over the per-user rows
+    # (metrics derived inline — no intermediate dataset): (metric-tag,
+    # value, count) triples into a single bounded exchange
+    def hist3(b: pd.DataFrame) -> pd.DataFrame:
+        b = metrics(b)
+        frames = []
+        for i, col in enumerate(("recency_days", "frequency",
+                                 "monetary_cents")):
+            h = b[col].value_counts().rename_axis("v").reset_index(name="c")
+            h["m"] = np.int64(i)
+            frames.append(h)
+        return pd.concat(frames, ignore_index=True)
 
-    def thresholds(col: str) -> np.ndarray:
-        hist = (m.map_batches(
-            lambda b: b[col].value_counts().rename_axis("v")
-            .reset_index(name="c"), batch_format="pandas")
-            .groupby("v").aggregate(Sum("c", alias_name="c"))
-            .to_pandas().sort_values("v"))
-        vals = hist["v"].to_numpy(np.int64)
-        cum = hist["c"].to_numpy(np.int64).cumsum()
+    hist = (per_user.map_batches(hist3, batch_format="pandas")
+            .groupby(["m", "v"]).aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+
+    def thresholds(metric_idx: int) -> np.ndarray:
+        h = hist[hist["m"] == metric_idx].sort_values("v")
+        vals = h["v"].to_numpy(np.int64)
+        cum = h["c"].to_numpy(np.int64).cumsum()
         n = int(cum[-1])
         idx = np.searchsorted(
             cum, [(p * n + 99) // 100 for p in (25, 50, 75)], side="left")
         return vals[idx]
 
-    rt, ft, mt = (thresholds(c) for c in
-                  ("recency_days", "frequency", "monetary_cents"))
+    rt, ft, mt = thresholds(0), thresholds(1), thresholds(2)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = metrics(batch)
+
         def s(v: np.ndarray, t: np.ndarray) -> np.ndarray:
             return (1 + (v > t[0]).astype(np.int64)
                     + (v > t[1]) + (v > t[2]))
@@ -1442,4 +1456,4 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
         return batch.assign(r_score=r, f_score=f, m_score=mo,
                             rfm=r * 100 + f * 10 + mo)
 
-    return m.map_batches(score, batch_format="pandas")
+    return per_user.map_batches(score, batch_format="pandas")

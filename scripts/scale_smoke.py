@@ -289,6 +289,28 @@ def run_x100_family(sf_dir: str) -> dict[str, dict]:
     timed("embedding_knn_graph[labels]",
           lambda: similarity.embedding_knn_graph(
               sf_dir, max_broadcast_rows=0))
+    # closing-session additions: CDC chunking (its chunk_hash exchange
+    # grows with the corpus AND the tiled corpus makes every chunk a
+    # 100-copy dup family — the transform("size") worst case), its
+    # doc-level ratio fold, the containment twin of the jaccard pair
+    # plan, and the bounded-histogram winsor/KS pair (the claim under
+    # test: the exchange stays <= #sources x 10001 however large the
+    # input).
+    timed("doc_cdc_chunks", lambda: dedup.doc_cdc_chunks(sf_dir))
+    timed("doc_cdc_dedup_ratio",
+          lambda: dedup.doc_cdc_dedup_ratio(sf_dir))
+    timed("doc_ngram_containment",
+          lambda: dedup.doc_ngram_containment(sf_dir))
+    timed("source_quality_winsor",
+          lambda: documents.source_quality_winsor(sf_dir))
+    timed("source_quality_ks",
+          lambda: documents.source_quality_ks(sf_dir))
+    # chunked-broadcast hard negatives over the x100 embeddings: forced
+    # into multi-chunk streaming (chunk_rows far below the corpus) so
+    # the per-task memory bound — batch x ONE chunk — is what runs.
+    timed("embedding_hard_negatives[chunked]",
+          lambda: similarity.embedding_hard_negatives(
+              sf_dir, chunk_rows=8192))
     return res
 
 

@@ -2228,12 +2228,17 @@ def doc_cdc_dedup_ratio(sf_dir: str) -> ray.data.Dataset:
     spans).
 
     Pure composition: rides the chunk stream's existing hash exchange,
-    then ONE doc-keyed narrow fold of (doc_id, n, dup) pairs. One
-    float division per doc, round 6.
+    then ONE doc-keyed narrow fold of (doc_id, n, dup) pairs — the
+    bucketed partitioned-reduce (``grouped_sum_bucketed``), NOT a raw
+    ``groupby(doc_id).aggregate``: doc_id is corpus-cardinality and the
+    per-group reduce overhead of the latter dominates past ~10⁵ groups
+    (measured: 500k groups hung the aggregate for minutes; the bucketed
+    fold does the same sum in seconds). One float division per doc,
+    round 6.
 
     Output: ``doc_id, total_tokens, dup_tokens, dup_ratio``.
     """
-    from ray.data.aggregate import Sum
+    from .relational import grouped_sum_bucketed
 
     chunks = doc_cdc_chunks(sf_dir)
 
@@ -2253,7 +2258,8 @@ def doc_cdc_dedup_ratio(sf_dir: str) -> ray.data.Dataset:
             "dup_tokens": dup,
             "dup_ratio": np.round(dup / n.astype(np.float64), 6)})
 
-    return (chunks.map_batches(partial, batch_format="pandas")
-            .groupby("doc_id").aggregate(Sum("n", alias_name="n"),
-                                         Sum("dup", alias_name="dup"))
-            .map_batches(finish, batch_format="pandas"))
+    return grouped_sum_bucketed(
+        chunks.map_batches(partial, batch_format="pandas",
+                           batch_size=131_072),
+        "doc_id", ["n", "dup"], n_buckets=64,
+    ).map_batches(finish, batch_format="pandas")

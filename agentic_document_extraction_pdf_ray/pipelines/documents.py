@@ -3032,9 +3032,12 @@ def _source_quality_hist(sf_dir: str) -> ray.data.Dataset:
     domain exchange shared by :func:`source_quality_winsor` and
     :func:`source_quality_ks`. quality_x100 lives in [0, 10000] (the
     :func:`doc_quality_deciles` convention), so however large the
-    corpus, at most #sources × 10001 narrow rows ever move."""
+    corpus, at most #sources × 10001 narrow rows ever move. The fold is
+    the bucketed partitioned-reduce on ``q`` (the grouped_sum_bucketed
+    rationale): (source, q) cardinality can reach ~200k groups, past
+    the point where a raw ``groupby().aggregate`` pays per-group reduce
+    overhead."""
     import pandas as pd
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
         clean = _norm_ws(batch["text"])
@@ -3042,12 +3045,17 @@ def _source_quality_hist(sf_dir: str) -> ray.data.Dataset:
         d = pd.DataFrame({
             "source": batch["source"].to_numpy(zero_copy_only=False),
             "q": np.asarray(qx, dtype=np.int64)})
-        return (d.groupby(["source", "q"], as_index=False)
-                .size().rename(columns={"size": "n"}))
+        g = (d.groupby(["source", "q"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return g.assign(_bucket=g["q"].to_numpy(np.int64) % 64)
 
     return (read_documents(sf_dir, columns=["doc_id", "text", "source"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["source", "q"]).aggregate(Sum("n", alias_name="n")))
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65_536)
+            .groupby("_bucket")
+            .map_groups(lambda g: g.groupby(["source", "q"],
+                                            as_index=False)
+                        .agg(n=("n", "sum")), batch_format="pandas"))
 
 
 def source_quality_winsor(sf_dir: str, lo_pct: int = 5,

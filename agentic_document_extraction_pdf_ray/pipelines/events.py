@@ -1384,7 +1384,6 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
     Output: ``user_id, recency_days, frequency, monetary_cents,
     r_score, f_score, m_score, rfm``.
     """
-    from ray.data.aggregate import Max
 
     ev = read_events(sf_dir, ["user_id", "ts", "value"])
 
@@ -1397,13 +1396,23 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
                      cents=("cents", "sum")))
 
     # ONE events scan: the per-user combine also carries the corpus max
-    # ts (max-of-maxes over the per-user aggregate, no second pass)
+    # ts (max-of-maxes over the per-user aggregate, no second pass).
+    # The fold is the bucketed partitioned-reduce, not a raw
+    # groupby(user_id).aggregate — user_id is corpus-cardinality and the
+    # per-group reduce overhead dominates past ~10^5 groups (the
+    # grouped_sum_bucketed rationale, relational.py).
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("user_id", as_index=False)
+                .agg(ts_us=("ts_us", "max"), n=("n", "sum"),
+                     cents=("cents", "sum")))
+
     per_user = (ev.map_batches(partial, batch_format="pandas",
                                batch_size=131_072)
-                .groupby("user_id").aggregate(
-                    Max("ts_us", alias_name="ts_us"),
-                    Sum("n", alias_name="n"),
-                    Sum("cents", alias_name="cents"))
+                .map_batches(lambda b: b.assign(
+                    _bucket=b["user_id"].to_numpy(np.int64) % 64),
+                    batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(per_bucket, batch_format="pandas")
                 .materialize())
     gday = np.int64(int(per_user.max("ts_us")) // 86_400_000_000)
 
@@ -1429,8 +1438,16 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
             frames.append(h)
         return pd.concat(frames, ignore_index=True)
 
-    hist = (per_user.map_batches(hist3, batch_format="pandas")
-            .groupby(["m", "v"]).aggregate(Sum("c", alias_name="c"))
+    # same partitioned-reduce shape: monetary's distinct-value count is
+    # ~#users, too many groups for a raw aggregate
+    hist = (per_user.map_batches(hist3, batch_format="pandas",
+                                 batch_size=131_072)
+            .map_batches(lambda b: b.assign(
+                _bucket=b["v"].to_numpy(np.int64) % 64),
+                batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(lambda g: g.groupby(["m", "v"], as_index=False)
+                        .agg(c=("c", "sum")), batch_format="pandas")
             .to_pandas())
 
     def thresholds(metric_idx: int) -> np.ndarray:

@@ -26,7 +26,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import bucket_int_array, hash_str_array
 from .documents import _norm_ws, read_documents
@@ -50,18 +49,34 @@ def dedup_exact_prefix(sf_dir: str, k: int = 8) -> ray.data.Dataset:
     """Exact dedup on the first-k-token normalized prefix.
 
     Emits one row per duplicate GROUP: (norm_key, n_docs, keeper=min doc_id).
-    Hash-partition + per-group aggregate; no row data moves beyond the
-    (key, doc_id) projection.
+    Key-hash bucketed partitioned-reduce (all copies of a key share a
+    bucket, so per-bucket count/min IS global); no row data moves beyond
+    the (key, doc_id) projection. norm_key is corpus-cardinality, so a
+    raw ``groupby(norm_key).aggregate`` would pay per-group reduce
+    overhead on ~#docs groups (the grouped_sum_bucketed rationale) —
+    the bucketed fold also pushes the ``n_docs > 1`` filter inside the
+    bucket task, so singleton groups never leave it.
     """
-    def keyed(batch: pa.Table) -> pa.Table:
-        keys = [" ".join(toks[:k]) for toks in _token_lists(batch)]
-        return pa.table({"norm_key": pa.array(keys, pa.string()),
-                         "doc_id": batch["doc_id"]})
+    from ..functions.hashing import hash_str_array
 
-    ds = read_documents(sf_dir).map_batches(keyed, batch_format="pyarrow")
-    agg = ds.groupby("norm_key").aggregate(
-        Count(alias_name="n_docs"), Min("doc_id", alias_name="keeper"))
-    return agg.filter(expr="n_docs > 1")      # vectorized Arrow predicate
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        keys = [" ".join(toks[:k]) for toks in _token_lists(batch)]
+        d = pd.DataFrame({"norm_key": keys,
+                          "doc_id": batch["doc_id"].to_numpy(
+                              zero_copy_only=False).astype(np.int64)})
+        d["_bucket"] = (hash_str_array(np.asarray(keys, object))
+                        % np.uint64(64)).astype(np.int64)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby("norm_key", as_index=False)
+             .agg(n_docs=("doc_id", "size"), keeper=("doc_id", "min")))
+        return a[a["n_docs"] > 1]
+
+    return (read_documents(sf_dir)
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
 
 
 # ------------------------------------------------------------- n-gram Jaccard

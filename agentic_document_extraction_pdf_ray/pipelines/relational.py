@@ -923,8 +923,11 @@ def part_price_iqr_outliers(sf_dir: str) -> ray.data.Dataset:
     def hist(batch: pd.DataFrame) -> pd.DataFrame:
         d = pd.DataFrame({"p_type": batch["p_type"],
                           "cents": _cents(batch["p_retailprice"])})
-        return (d.groupby(["p_type", "cents"], as_index=False)
-                .size().rename(columns={"size": "n"}))
+        g = (d.groupby(["p_type", "cents"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        # (p_type, cents) cardinality approaches #parts — bucketed
+        # partitioned-reduce, not a raw aggregate (see grouped_sum_bucketed)
+        return g.assign(_bucket=g["cents"].to_numpy(np.int64) % 64)
 
     def fences(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cents")
@@ -938,7 +941,10 @@ def part_price_iqr_outliers(sf_dir: str) -> ray.data.Dataset:
                              "q3": np.array([q3], np.int64)})
 
     th = (part.map_batches(hist, batch_format="pandas")
-          .groupby(["p_type", "cents"]).aggregate(Sum("n", alias_name="n"))
+          .groupby("_bucket")
+          .map_groups(lambda g: g.groupby(["p_type", "cents"],
+                                          as_index=False)
+                      .agg(n=("n", "sum")), batch_format="pandas")
           .groupby("p_type").map_groups(fences, batch_format="pandas")
           .to_pandas())                           # ≤ #types rows
     fence_ref = ray.put({r.p_type: (int(r.q1), int(r.q3))

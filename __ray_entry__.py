@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cdc_dedup_ratio": dedup.doc_cdc_dedup_ratio,         # SQL-matched (per-doc CDC duplicated-content fraction, r5)
         "part_price_iqr_outliers": relational.part_price_iqr_outliers,  # SQL-matched (Tukey-fence robust outlier screen, r5)
         "orders_total_reconcile": relational.orders_total_reconcile,  # SQL-matched (cross-table sum_reconcile audit, r5)
+        "events_funnel_latency": events.events_funnel_latency,    # SQL-matched (funnel time-to-convert medians, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2129,6 +2130,45 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens, chunk_hash,
                    count(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
             FROM g
+        """,
+        # Funnel time-to-convert (engine events.events_funnel_latency):
+        # same first-qualifying chain as events_funnel; latency in whole
+        # seconds via epoch_us subtraction (NOT date_diff — boundary
+        # semantics); median by the cum-count convention; mean =
+        # integer sum / N, round 6.
+        "events_funnel_latency": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY 1),
+            l AS (SELECT 'view_to_click' AS transition,
+                         (epoch_us(t2) - epoch_us(t1)) // 1000000 AS sec
+                  FROM c
+                  UNION ALL
+                  SELECT 'click_to_purchase',
+                         (epoch_us(t3) - epoch_us(t2)) // 1000000
+                  FROM p),
+            h AS (SELECT transition, sec, CAST(count(*) AS BIGINT) AS c
+                  FROM l GROUP BY 1, 2),
+            cum AS (SELECT transition, sec, c,
+                           sum(c) OVER (PARTITION BY transition
+                                        ORDER BY sec) AS cc,
+                           sum(c) OVER (PARTITION BY transition) AS n
+                    FROM h),
+            med AS (SELECT transition, min(sec) AS p50_sec FROM cum
+                    WHERE cc >= (50 * n + 99) // 100 GROUP BY 1)
+            SELECT l.transition, CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(med.p50_sec AS BIGINT) AS p50_sec,
+                   round(sum(l.sec) / CAST(count(*) AS DOUBLE), 6)
+                       AS mean_sec
+            FROM l JOIN med USING (transition)
+            GROUP BY 1, 3
         """,
         # Cross-table sum reconciliation (engine
         # relational.orders_total_reconcile): per-line integer cents

@@ -1474,3 +1474,81 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
                             rfm=r * 100 + f * 10 + mo)
 
     return per_user.map_batches(score, batch_format="pandas")
+
+
+def events_funnel_latency(sf_dir: str,
+                          n_buckets: int = 64) -> "pd.DataFrame":
+    """Time-to-convert for each funnel transition: per user the SAME
+    first-qualifying ``view → click → purchase`` chain as
+    :func:`events_funnel`, then per transition the user count, exact
+    MEDIAN latency, and mean latency — the "how long does conversion
+    take" question every funnel report pairs with "how many convert".
+
+    Latency unit = whole seconds via epoch-microsecond subtraction
+    (``(t2_us − t1_us) // 1e6``, mirrored as ``epoch_us(..) // 1000000``
+    in the oracle — NOT date_diff, whose boundary-crossing semantics
+    differ on sub-second parts). Median = smallest sec with running
+    count ≥ ceil(N/2) (the cum-count convention); mean = integer-sum /
+    N, one division, round 6.
+
+    Scale shape: one user-hash bucket exchange (the funnel chain is
+    user-local); per-bucket (transition, sec) PARTIAL histograms fold
+    in a sec-hash bucketed reduce; the driver reads only the folded
+    histogram, whose cardinality is bounded by the distinct latency
+    seconds — the funnel horizon, not the user count.
+
+    Output: ``transition, n_users, p50_sec, mean_sec`` (2 rows).
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(_bucket=bucket_int_array(
+            batch["user_id"].to_numpy(np.int64), n_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=g["ts"].astype("int64"))
+        v = (g[g["event_type"] == "view"]
+             .groupby("user_id", as_index=False).agg(t1=("ts_us", "min")))
+        c = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = (c[c["ts_us"] > c["t1"]]
+             .groupby("user_id", as_index=False)
+             .agg(t2=("ts_us", "min"), t1=("t1", "first")))
+        p = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        p = (p[p["ts_us"] > p["t2"]]
+             .groupby("user_id", as_index=False)
+             .agg(t3=("ts_us", "min"), t2=("t2", "first")))
+        frames = []
+        for name, a, b in (("view_to_click", c["t1"], c["t2"]),
+                           ("click_to_purchase", p["t2"], p["t3"])):
+            sec = ((b.to_numpy(np.int64) - a.to_numpy(np.int64))
+                   // 1_000_000)
+            h = (pd.Series(sec).value_counts().rename_axis("sec")
+                 .reset_index(name="c"))
+            h["transition"] = name
+            frames.append(h)
+        out = pd.concat(frames, ignore_index=True)
+        out["_sb"] = out["sec"].to_numpy(np.int64) % n_buckets
+        return out[["transition", "sec", "c", "_sb"]]
+
+    hist = (read_events(sf_dir, ["user_id", "ts", "event_type"])
+            .map_batches(bucketize, batch_format="pandas",
+                         batch_size=131_072)
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+            .groupby("_sb")
+            .map_groups(lambda g: g.groupby(["transition", "sec"],
+                                            as_index=False)
+                        .agg(c=("c", "sum")), batch_format="pandas")
+            .to_pandas())
+
+    rows = []
+    for name, h in hist.groupby("transition"):
+        h = h.sort_values("sec")
+        sec = h["sec"].to_numpy(np.int64)
+        cnt = h["c"].to_numpy(np.int64)
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        p50 = int(sec[np.searchsorted(cum, (50 * n + 99) // 100, "left")])
+        rows.append((name, n, p50, round(int((sec * cnt).sum()) / n, 6)))
+    return pd.DataFrame(rows, columns=["transition", "n_users",
+                                       "p50_sec", "mean_sec"])

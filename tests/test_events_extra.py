@@ -441,3 +441,44 @@ class TestEventsUserRfm:
         got = events_user_rfm(str(tmp_path)).to_pandas()
         counts = got["f_score"].value_counts()
         assert counts.max() - counts.min() <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsFunnelLatency:
+    def test_matches_brute(self):
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_funnel_latency,
+        )
+        got = (events_funnel_latency(SF_DIR)
+               .set_index("transition").sort_index())
+        ev = pq.read_table(f"{SF_DIR}/events.parquet",
+                           columns=["user_id", "ts", "event_type"]
+                           ).to_pandas()
+        ev["ts_us"] = ev["ts"].astype("int64")
+        lat = {"view_to_click": [], "click_to_purchase": []}
+        for _, g in ev.groupby("user_id"):
+            v = g[g["event_type"] == "view"]["ts_us"]
+            if v.empty:
+                continue
+            t1 = v.min()
+            c = g[(g["event_type"] == "click") & (g["ts_us"] > t1)]["ts_us"]
+            if c.empty:
+                continue
+            t2 = c.min()
+            lat["view_to_click"].append((t2 - t1) // 1_000_000)
+            p = g[(g["event_type"] == "purchase")
+                  & (g["ts_us"] > t2)]["ts_us"]
+            if p.empty:
+                continue
+            t3 = p.min()
+            lat["click_to_purchase"].append((t3 - t2) // 1_000_000)
+        for name, secs in lat.items():
+            secs = sorted(secs)
+            n = len(secs)
+            p50 = secs[(50 * n + 99) // 100 - 1]
+            row = got.loc[name]
+            assert int(row["n_users"]) == n
+            assert int(row["p50_sec"]) == p50
+            assert row["mean_sec"] == round(sum(secs) / n, 6)

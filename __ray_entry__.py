@@ -168,6 +168,13 @@ def _q_conv_render_sft(sf_dir: str) -> Any:
     return conv_render_sft(_transcripts_for(sf_dir))
 
 
+def _q_conv_loss_mask_spans(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import (
+        conv_loss_mask_spans,
+    )
+    return conv_loss_mask_spans(_transcripts_for(sf_dir))
+
+
 def _q_doc_quality_classifier(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.classifier import (
         doc_quality_classifier,
@@ -419,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_iqr_outliers": relational.part_price_iqr_outliers,  # SQL-matched (Tukey-fence robust outlier screen, r5)
         "orders_total_reconcile": relational.orders_total_reconcile,  # SQL-matched (cross-table sum_reconcile audit, r5)
         "events_funnel_latency": events.events_funnel_latency,    # SQL-matched (funnel time-to-convert medians, r5)
+        "conv_loss_mask_spans": _q_conv_loss_mask_spans,          # SQL-matched (SFT loss-mask span layout, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -1245,6 +1253,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns,
                    CAST(length(sft_text) AS BIGINT) AS n_chars, sft_text
             FROM r
+        """,
+        # SFT loss-mask spans (engine extract.conv_loss_mask_spans):
+        # pure length arithmetic over the conv_render_sft layout —
+        # line j starts at sum of (role+2+text+1) of prior turns, the
+        # text starts len(role)+2 further in; assistant turns only.
+        "conv_loss_mask_spans": f"""
+            WITH t AS (SELECT conv_id, turn_idx, role,
+                              CAST(length(role) AS BIGINT) AS role_len,
+                              CAST(length(coalesce(text, '')) AS BIGINT)
+                                  AS text_len
+                       FROM {_T_SRC}),
+            s AS (SELECT conv_id, turn_idx, role, role_len, text_len,
+                         coalesce(sum(role_len + text_len + 3) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS line_start
+                  FROM t)
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(line_start + role_len + 2 AS BIGINT) AS mask_start,
+                   CAST(line_start + role_len + 2 + text_len AS BIGINT)
+                       AS mask_end
+            FROM s WHERE role = 'assistant'
         """,
         # cross-conversation first-user-message dedup (engine
         # extract.conv_first_msg_dedup): md5 of

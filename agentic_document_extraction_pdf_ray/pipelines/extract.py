@@ -943,3 +943,60 @@ def conv_sft_filter(paths: str | list[str],
             .map_batches(partials, batch_format="pyarrow")
             .groupby("pkey").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def conv_loss_mask_spans(paths: str | list[str],
+                         num_partitions: int = DEFAULT_PARTITIONS
+                         ) -> ray.data.Dataset:
+    """Loss-mask layout for SFT training: for every ASSISTANT turn, the
+    character span ``[mask_start, mask_end)`` its text occupies inside
+    the :func:`conv_render_sft` rendered conversation — exactly the
+    spans a trainer unmasks (user/system tokens stay loss-masked). The
+    invariant ``sft_text[mask_start:mask_end] == turn text`` is
+    pytest-pinned against the renderer.
+
+    Pure arithmetic on lengths — the rendered TEXT never needs to
+    exist: line j starts at Σ_{i<j}(len(role_i) + 2 + len(text_i) + 1)
+    (the ``": "`` and the joining ``\\n``), and the turn text starts
+    ``len(role) + 2`` further in. Same ONE conv-hash bucket exchange as
+    the renderer, but carrying only (conv, turn, three int lengths) —
+    no text crosses the wire at all.
+
+    Output: ``conv_id, turn_idx, mask_start, mask_end`` (assistant
+    turns only).
+    """
+    import pandas as pd
+
+    def project(batch: pa.Table) -> pa.Table:
+        role = batch["role"]
+        text = pc.fill_null(batch["text"], "")
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": role,
+            "role_len": pc.cast(pc.utf8_length(role), pa.int64()),
+            "text_len": pc.cast(pc.utf8_length(text), pa.int64())})
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "role", "text"])
+        .map_batches(project, batch_format="pyarrow"),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        rl = g["role_len"].to_numpy(np.int64)
+        tl = g["text_len"].to_numpy(np.int64)
+        full = rl + tl + 3                       # ': ' + text + '\n'
+        pre = np.concatenate(([0], np.cumsum(full)[:-1]))
+        conv = g["conv_id"].to_numpy(object)
+        new_conv = np.concatenate(([True], conv[1:] != conv[:-1]))
+        base = pre[np.flatnonzero(new_conv)][np.cumsum(new_conv) - 1]
+        mask_start = (pre - base) + rl + 2
+        out = pd.DataFrame({
+            "conv_id": conv,
+            "turn_idx": g["turn_idx"].to_numpy(np.int64),
+            "mask_start": mask_start,
+            "mask_end": mask_start + tl})
+        return out[g["role"].to_numpy(object) == "assistant"]
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")

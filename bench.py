@@ -291,6 +291,8 @@ def run_bench() -> dict:
             lambda d: similarity.embedding_hard_negatives(d).count(), sf_dir),
         "conv_render_sft": timed(
             lambda s: _extract.conv_render_sft(s).count(), src),
+        "conv_loss_mask_spans": timed(
+            lambda s: _extract.conv_loss_mask_spans(s).count(), src),
         "doc_compression_ratio": timed(
             lambda d: documents.doc_compression_ratio(d).count(), sf_dir),
         "conv_sft_filter": timed(

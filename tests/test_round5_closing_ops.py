@@ -707,3 +707,40 @@ class TestSourceQualityWinsorKS:
         assert got.loc[("a", "b")] == 0.0
         assert got.loc[("a", "c")] == 1.0
         assert got.loc[("b", "c")] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLossMaskSpans:
+    def test_spans_slice_back_to_turn_text(self, tiny_transcripts):
+        """THE invariant: sft_text[mask_start:mask_end] equals the
+        assistant turn's raw text, for every span."""
+        import pyarrow.parquet as pq2
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_loss_mask_spans, conv_render_sft,
+        )
+        rendered = (conv_render_sft(tiny_transcripts).to_pandas()
+                    .set_index("conv_id")["sft_text"])
+        spans = conv_loss_mask_spans(tiny_transcripts).to_pandas()
+        raw = pq2.read_table(tiny_transcripts).to_pandas()
+        raw_text = {(r.conv_id, r.turn_idx): (r.text or "")
+                    for r in raw.itertuples()}
+        assert len(spans) == (raw["role"] == "assistant").sum()
+        for r in spans.itertuples():
+            sliced = rendered[r.conv_id][r.mask_start:r.mask_end]
+            assert sliced == raw_text[(r.conv_id, r.turn_idx)], \
+                (r.conv_id, r.turn_idx)
+
+    def test_no_user_spans(self, tiny_transcripts):
+        import pyarrow.parquet as pq2
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_loss_mask_spans,
+        )
+        spans = conv_loss_mask_spans(tiny_transcripts).to_pandas()
+        raw = pq2.read_table(tiny_transcripts).to_pandas()
+        assistant_keys = set(
+            zip(raw.loc[raw["role"] == "assistant", "conv_id"],
+                raw.loc[raw["role"] == "assistant", "turn_idx"]))
+        assert set(zip(spans["conv_id"], spans["turn_idx"])) \
+            == assistant_keys

@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_total_reconcile": relational.orders_total_reconcile,  # SQL-matched (cross-table sum_reconcile audit, r5)
         "events_funnel_latency": events.events_funnel_latency,    # SQL-matched (funnel time-to-convert medians, r5)
         "conv_loss_mask_spans": _q_conv_loss_mask_spans,          # SQL-matched (SFT loss-mask span layout, r5)
+        "embedding_pq_codes": similarity.embedding_pq_codes,      # rows-only (product-quantization codes; pytest pins exact fit+codes vs local, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)

@@ -1402,3 +1402,124 @@ def embedding_hard_negatives(sf_dir: str, k: int = 5,
             "cos_sim": pa.array(cc[keep], pa.float64())})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def pq_fit(sf_dir: str, m: int = 4, k: int = 16,
+           iters: int = 5) -> list[np.ndarray]:
+    """Product-quantization codebooks: the d dims split into ``m``
+    contiguous subspaces, each trained with its own small Lloyd loop —
+    all m subspaces advance together in ONE broadcast-refine pass per
+    iteration (the :func:`kmeans_fit` shape; Jégou et al. 2011's PQ).
+
+    Unlike :func:`kmeans_fit`'s float partials, the per-(subspace,
+    centroid) sums are FIXED-POINT int64 (``floor(x·1e6 + .5)``), so
+    the driver fold is exactly order-independent — the trained
+    codebooks are bit-identical across any partitioning or partial
+    arrival order. Init is deterministic: the subvectors of the k
+    lowest vec_ids. Returns a list of m ``(k, d_sub)`` float64 arrays.
+    """
+    ds = read_embeddings(sf_dir)
+
+    def partial_min_ids(batch: pa.Table) -> pa.Table:
+        ids = np.sort(batch["vec_id"].to_numpy(zero_copy_only=False))[:k]
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64),
+                                            pa.int64())})
+
+    id_parts = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                      columns=["vec_id"])
+                .map_batches(partial_min_ids, batch_format="pyarrow")
+                .to_pandas())
+    lowest = np.sort(id_parts["vec_id"].to_numpy(np.int64))[:k]
+    if len(lowest) < k:
+        raise ValueError(f"pq_fit: only {len(lowest)} vectors < k={k}")
+    low_set = {int(x) for x in lowest}
+    init_rows = sorted(
+        (r for r in ds.filter(
+            expr=f"vec_id <= {int(lowest[-1])}").take_all()
+         if int(r["vec_id"]) in low_set),
+        key=lambda r: r["vec_id"])
+    full = np.array([r["embedding"] for r in init_rows], np.float64)
+    d = full.shape[1]
+    bounds = np.cumsum([0] + [len(a) for a in
+                              np.array_split(np.arange(d), m)])
+    books = [full[:, bounds[s]:bounds[s + 1]].copy() for s in range(m)]
+
+    for _ in range(iters):
+        ref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            c = ray.get(ref)
+            _, emb = _batch_matrix(batch)
+            rows = []
+            for s in range(m):
+                x = emb[:, bounds[s]:bounds[s + 1]]
+                d2 = ((x[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
+                cid = np.argmin(d2, axis=1)
+                q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+                sums = np.zeros((k, q.shape[1]), np.int64)
+                np.add.at(sums, cid, q)
+                cnt = np.bincount(cid, minlength=k).astype(np.int64)
+                rows.append(pd.DataFrame({
+                    "s": np.full(k, s, np.int64),
+                    "cid": np.arange(k, dtype=np.int64),
+                    "qsum": [v.tobytes() for v in sums],
+                    "cnt": cnt}))
+            return pd.concat(rows, ignore_index=True)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new_books = []
+        for s in range(m):
+            dsub = bounds[s + 1] - bounds[s]
+            acc = np.zeros((k, dsub), object)
+            cnt = np.zeros(k, np.int64)
+            sub = parts[parts["s"] == s]
+            for r in sub.itertuples():        # exact int fold, any order
+                acc[r.cid] += np.frombuffer(r.qsum, np.int64)
+                cnt[r.cid] += r.cnt
+            nb = books[s].copy()
+            nz = cnt > 0
+            nb[nz] = (acc[nz].astype(np.float64) / 1e6) / cnt[nz, None]
+            new_books.append(nb)
+        books = new_books
+    return books
+
+
+def embedding_pq_codes(sf_dir: str, m: int = 4, k: int = 16,
+                       iters: int = 5) -> ray.data.Dataset:
+    """Product-quantization encoding: every vector compressed to m
+    sub-codes (here 4×16 = one byte-per-subspace, a 64×-to-256×
+    compression of a float32 embedding column) — the memory layout an
+    ANN index at 10⁹+ vectors actually stores. ``pq_code`` packs the m
+    codes base-256 (low subspace in the low byte); ``recon_mse`` is the
+    per-vector quantization error (round 6), the quality signal a
+    recall-vs-memory tuning loop reads.
+
+    Encoding is embarrassingly parallel (codebooks broadcast once, one
+    vectorized distance argmin per subspace per batch — no exchange at
+    any corpus size); training is :func:`pq_fit`'s exact-integer
+    broadcast-refine. Ties in the argmin take the lowest code on every
+    engine (np.argmin first-hit), so codes are partition-invariant.
+    """
+    books = pq_fit(sf_dir, m=m, k=k, iters=iters)
+    d = sum(b.shape[1] for b in books)
+    bounds = np.cumsum([0] + [b.shape[1] for b in books])
+    ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids, emb = _batch_matrix(batch)
+        code = np.zeros(len(ids), np.int64)
+        err = np.zeros(len(ids), np.float64)
+        for s in range(m):
+            x = emb[:, bounds[s]:bounds[s + 1]]
+            d2 = ((x[:, None, :] - c[s][None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)
+            code += cid.astype(np.int64) << np.int64(8 * s)
+            err += d2[np.arange(len(ids)), cid]
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "pq_code": pa.array(code, pa.int64()),
+            "recon_mse": pa.array(np.round(err / d, 6), pa.float64())})
+
+    return read_embeddings(sf_dir).map_batches(encode,
+                                               batch_format="pyarrow")

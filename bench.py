@@ -164,6 +164,8 @@ def run_bench() -> dict:
         "orders_total_reconcile": timed(
             lambda d: relational.orders_total_reconcile(d).count(), sf_dir),
         "events_funnel_latency": timed(events.events_funnel_latency, sf_dir),
+        "embedding_pq_codes": timed(
+            lambda d: similarity.embedding_pq_codes(d).count(), sf_dir),
         "minhash_lsh_pairs": timed(dedup.minhash_lsh_pairs, sf_dir),
         "ann_topk": timed(similarity.ann_topk, sf_dir),
         "events_daily": timed(events.events_daily, sf_dir),

@@ -428,3 +428,64 @@ class TestEmbeddingHardNegatives:
         got = embedding_hard_negatives(str(tmp_path), k=5).to_pandas()
         assert got[got["vec_id"] == 0]["neighbor_id"].tolist() == [2]
         assert got[got["vec_id"] == 2]["rank"].tolist() == [1, 2]
+
+
+class TestPqCodes:
+    def test_codes_and_mse_semantics(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_pq_codes,
+        )
+        got = embedding_pq_codes(SF, m=4, k=16).to_pandas()
+        assert got["vec_id"].is_unique
+        # every byte of the packed code is a valid sub-code < 16
+        codes = got["pq_code"].to_numpy(np.int64)
+        for s in range(4):
+            assert ((codes >> (8 * s)) & 0xFF < 16).all()
+        assert (got["recon_mse"] >= 0).all()
+
+    def test_deterministic_and_matches_local(self, ray_session):
+        """Exact-integer folds make the fit bit-identical across runs;
+        encode matches a local single-process replication."""
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_pq_codes, pq_fit,
+        )
+        b1 = pq_fit(SF, m=4, k=8, iters=3)
+        b2 = pq_fit(SF, m=4, k=8, iters=3)
+        for a, b in zip(b1, b2):
+            np.testing.assert_array_equal(a, b)
+        got = (embedding_pq_codes(SF, m=4, k=8, iters=3).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        t = t.sort_values("vec_id").reset_index(drop=True)
+        emb = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        bounds = np.cumsum([0] + [b.shape[1] for b in b1])
+        code = np.zeros(len(t), np.int64)
+        for s in range(4):
+            x = emb[:, bounds[s]:bounds[s + 1]]
+            d2 = ((x[:, None, :] - b1[s][None, :, :]) ** 2).sum(axis=2)
+            code += np.argmin(d2, axis=1).astype(np.int64) << (8 * s)
+        np.testing.assert_array_equal(got["pq_code"].to_numpy(), code)
+
+    def test_identical_vectors_share_codes(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_pq_codes,
+        )
+        rng = np.random.RandomState(3)
+        base = rng.randn(8, 16).astype(np.float32)
+        vecs = np.vstack([base, base])           # every vector twice
+        t = pa.table({
+            "vec_id": pa.array(range(16), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 16, pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        got = (embedding_pq_codes(str(tmp_path), m=2, k=4, iters=4)
+               .to_pandas().sort_values("vec_id"))
+        c = got["pq_code"].to_numpy()
+        np.testing.assert_array_equal(c[:8], c[8:])

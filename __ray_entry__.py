@@ -175,6 +175,13 @@ def _q_conv_loss_mask_spans(sf_dir: str) -> Any:
     return conv_loss_mask_spans(_transcripts_for(sf_dir))
 
 
+def _q_pq_adc_topk(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+        embedding_pq_adc_topk,
+    )
+    return embedding_pq_adc_topk(sf_dir, m=16, n_codes=16, rerank=100)
+
+
 def _q_doc_quality_classifier(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.classifier import (
         doc_quality_classifier,
@@ -428,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_latency": events.events_funnel_latency,    # SQL-matched (funnel time-to-convert medians, r5)
         "conv_loss_mask_spans": _q_conv_loss_mask_spans,          # SQL-matched (SFT loss-mask span layout, r5)
         "embedding_pq_codes": similarity.embedding_pq_codes,      # rows-only (product-quantization codes; pytest pins exact fit+codes vs local, r5)
+        "embedding_pq_adc_topk": _q_pq_adc_topk,                  # rows-only (PQ-ADC shortlist + exact re-rank; recall-gated pytest, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)

@@ -166,6 +166,9 @@ def run_bench() -> dict:
         "events_funnel_latency": timed(events.events_funnel_latency, sf_dir),
         "embedding_pq_codes": timed(
             lambda d: similarity.embedding_pq_codes(d).count(), sf_dir),
+        "embedding_pq_adc_topk": timed(
+            lambda d: similarity.embedding_pq_adc_topk(
+                d, m=16, n_codes=16, rerank=100), sf_dir),
         "minhash_lsh_pairs": timed(dedup.minhash_lsh_pairs, sf_dir),
         "ann_topk": timed(similarity.ann_topk, sf_dir),
         "events_daily": timed(events.events_daily, sf_dir),

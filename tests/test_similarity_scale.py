@@ -489,3 +489,32 @@ class TestPqCodes:
                .to_pandas().sort_values("vec_id"))
         c = got["pq_code"].to_numpy()
         np.testing.assert_array_equal(c[:8], c[8:])
+
+
+class TestPqAdcTopk:
+    def test_recall_vs_exact(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            ann_topk, embedding_pq_adc_topk,
+        )
+        exact = ann_topk(SF, k=5, n_queries=10)
+        adc = embedding_pq_adc_topk(SF, k=5, n_queries=10, m=16,
+                                    n_codes=16, rerank=100)
+        e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        a = {(r.query_id, r.neighbor_id) for r in adc.itertuples()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.9, f"PQ-ADC+rerank recall {recall:.2f} too low"
+        # the pure-ADC shortlist alone is the coarse stage: much lower
+        raw = embedding_pq_adc_topk(SF, k=5, n_queries=10, m=16,
+                                    n_codes=16, rerank=0)
+        ra = {(r.query_id, r.neighbor_id) for r in raw.itertuples()}
+        assert len(e & ra) / len(e) <= recall
+        assert adc.groupby("query_id").size().eq(5).all()
+        assert (adc["neighbor_id"] != adc["query_id"]).all()
+
+    def test_deterministic(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_pq_adc_topk,
+        )
+        a = embedding_pq_adc_topk(SF, k=3, n_queries=5, iters=2)
+        b = embedding_pq_adc_topk(SF, k=3, n_queries=5, iters=2)
+        pd.testing.assert_frame_equal(a, b)

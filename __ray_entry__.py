@@ -175,6 +175,11 @@ def _q_conv_loss_mask_spans(sf_dir: str) -> Any:
     return conv_loss_mask_spans(_transcripts_for(sf_dir))
 
 
+def _q_conv_turn_repeats(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_turn_repeats
+    return conv_turn_repeats(_transcripts_for(sf_dir))
+
+
 def _q_pq_adc_topk(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.similarity import (
         embedding_pq_adc_topk,
@@ -436,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_loss_mask_spans": _q_conv_loss_mask_spans,          # SQL-matched (SFT loss-mask span layout, r5)
         "embedding_pq_codes": similarity.embedding_pq_codes,      # rows-only (product-quantization codes; pytest pins exact fit+codes vs local, r5)
         "embedding_pq_adc_topk": _q_pq_adc_topk,                  # rows-only (PQ-ADC shortlist + exact re-rank; recall-gated pytest, r5)
+        "conv_turn_repeats": _q_conv_turn_repeats,                # SQL-matched (within-conversation repeated-turn screen, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -1262,6 +1268,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns,
                    CAST(length(sft_text) AS BIGINT) AS n_chars, sft_text
             FROM r
+        """,
+        # within-conversation repeated-turn screen (engine
+        # extract.conv_turn_repeats): md5 of the raw text, n_prior =
+        # earlier identical turns in the same conv.
+        "conv_turn_repeats": f"""
+            WITH t AS (SELECT conv_id, turn_idx,
+                              md5(coalesce(text, '')) AS k
+                       FROM {_T_SRC})
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(row_number() OVER (PARTITION BY conv_id, k
+                                           ORDER BY turn_idx) - 1
+                        AS BIGINT) AS n_prior,
+                   row_number() OVER (PARTITION BY conv_id, k
+                                      ORDER BY turn_idx) > 1 AS is_repeat
+            FROM t
         """,
         # SFT loss-mask spans (engine extract.conv_loss_mask_spans):
         # pure length arithmetic over the conv_render_sft layout —

@@ -1000,3 +1000,50 @@ def conv_loss_mask_spans(paths: str | list[str],
         return out[g["role"].to_numpy(object) == "assistant"]
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+
+
+def conv_turn_repeats(paths: str | list[str],
+                      num_partitions: int = DEFAULT_PARTITIONS
+                      ) -> ray.data.Dataset:
+    """Within-conversation repeated-turn screen: for every turn,
+    ``n_prior`` = how many EARLIER turns of the same conversation carry
+    byte-identical text, and ``is_repeat`` = n_prior > 0 — the SFT
+    hygiene flag for copy-paste loops / stuck assistants (the
+    conversation-local sibling of the corpus-wide
+    :func:`conv_first_msg_dedup`; reference analogue: the repetitive-
+    value detector of ``functions/patterns.py`` applied turn-wise).
+
+    Text never crosses the exchange: each turn ships only its md5 key.
+    ONE conv-hash bucket exchange; inside the bucket a mergesort + a
+    C-level ``groupby(conv, key).cumcount()``.
+
+    Output: ``conv_id, turn_idx, n_prior, is_repeat`` (every turn).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def project(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "").to_pylist()
+        keys = [hashlib.md5(t.encode()).hexdigest() for t in txt]
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "k": pa.array(keys, pa.string())})
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "text"])
+        .map_batches(project, batch_format="pyarrow"),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        n_prior = (g.groupby(["conv_id", "k"], sort=False)
+                   .cumcount().to_numpy(np.int64))
+        return pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy(object),
+            "turn_idx": g["turn_idx"].to_numpy(np.int64),
+            "n_prior": n_prior,
+            "is_repeat": n_prior > 0})
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")

@@ -298,6 +298,8 @@ def run_bench() -> dict:
             lambda s: _extract.conv_render_sft(s).count(), src),
         "conv_loss_mask_spans": timed(
             lambda s: _extract.conv_loss_mask_spans(s).count(), src),
+        "conv_turn_repeats": timed(
+            lambda s: _extract.conv_turn_repeats(s).count(), src),
         "doc_compression_ratio": timed(
             lambda d: documents.doc_compression_ratio(d).count(), sf_dir),
         "conv_sft_filter": timed(

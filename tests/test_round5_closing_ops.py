@@ -744,3 +744,35 @@ class TestLossMaskSpans:
                 raw.loc[raw["role"] == "assistant", "turn_idx"]))
         assert set(zip(spans["conv_id"], spans["turn_idx"])) \
             == assistant_keys
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvTurnRepeats:
+    def test_semantics_on_synthetic(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_turn_repeats,
+        )
+        rows = [("c1", 0, "user", "hello"),
+                ("c1", 1, "assistant", "hi"),
+                ("c1", 2, "user", "hello"),      # repeat of turn 0
+                ("c1", 3, "assistant", "hi"),    # repeat of turn 1
+                ("c1", 4, "assistant", "hi"),    # second repeat
+                ("c2", 0, "user", "hello")]      # other conv: NOT a repeat
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        pq2.write_table(t, str(tmp_path / "part-0.parquet"))
+        got = (conv_turn_repeats(str(tmp_path)).to_pandas()
+               .set_index(["conv_id", "turn_idx"]).sort_index())
+        assert got.loc[("c1", 0), "n_prior"] == 0
+        assert got.loc[("c1", 2), "n_prior"] == 1
+        assert got.loc[("c1", 3), "n_prior"] == 1
+        assert got.loc[("c1", 4), "n_prior"] == 2
+        assert not got.loc[("c2", 0), "is_repeat"]
+        assert got["is_repeat"].equals(got["n_prior"] > 0)

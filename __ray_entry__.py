@@ -175,6 +175,11 @@ def _q_conv_loss_mask_spans(sf_dir: str) -> Any:
     return conv_loss_mask_spans(_transcripts_for(sf_dir))
 
 
+def _q_conv_echo_rate(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_echo_rate
+    return conv_echo_rate(_transcripts_for(sf_dir))
+
+
 def _q_conv_turn_repeats(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_turn_repeats
     return conv_turn_repeats(_transcripts_for(sf_dir))
@@ -442,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pq_codes": similarity.embedding_pq_codes,      # rows-only (product-quantization codes; pytest pins exact fit+codes vs local, r5)
         "embedding_pq_adc_topk": _q_pq_adc_topk,                  # rows-only (PQ-ADC shortlist + exact re-rank; recall-gated pytest, r5)
         "conv_turn_repeats": _q_conv_turn_repeats,                # SQL-matched (within-conversation repeated-turn screen, r5)
+        "conv_echo_rate": _q_conv_echo_rate,                      # SQL-matched (assistant trigram-echo screen, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -1268,6 +1274,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, n_turns,
                    CAST(length(sft_text) AS BIGINT) AS n_chars, sft_text
             FROM r
+        """,
+        # assistant trigram-echo screen (engine extract.conv_echo_rate):
+        # distinct word trigrams vs the immediately preceding turn's
+        # (lag over turn order, conversation-local), _CLEAN whitespace
+        # convention, rate = n_echo / max(n_tri, 1) round 6.
+        "conv_echo_rate": f"""
+            WITH t AS (SELECT conv_id, turn_idx, role,
+                              string_split_regex(trim(regexp_replace(
+                                  coalesce(text, ''), '\\s+', ' ', 'g')),
+                                  ' ') AS tk
+                       FROM {_T_SRC}),
+            g AS (SELECT conv_id, turn_idx, role,
+                         CASE WHEN len(tk) >= 3 THEN list_distinct(
+                             list_transform(range(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1] || ' '
+                                      || tk[i+2]))
+                              ELSE [] END AS tri
+                  FROM t),
+            w AS (SELECT conv_id, turn_idx, role, tri,
+                         coalesce(lag(tri) OVER (PARTITION BY conv_id
+                                                 ORDER BY turn_idx),
+                                  []) AS ptri
+                  FROM g)
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(len(tri) AS BIGINT) AS n_tri,
+                   CAST(len(list_filter(tri, x -> list_contains(ptri, x)))
+                        AS BIGINT) AS n_echo,
+                   round(len(list_filter(tri, x -> list_contains(ptri, x)))
+                         / CAST(greatest(len(tri), 1) AS DOUBLE), 6)
+                       AS echo_rate
+            FROM w WHERE role = 'assistant'
         """,
         # within-conversation repeated-turn screen (engine
         # extract.conv_turn_repeats): md5 of the raw text, n_prior =

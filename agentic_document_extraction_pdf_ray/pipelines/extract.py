@@ -1047,3 +1047,60 @@ def conv_turn_repeats(paths: str | list[str],
             "is_repeat": n_prior > 0})
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+
+
+def conv_echo_rate(paths: str | list[str],
+                   num_partitions: int = DEFAULT_PARTITIONS
+                   ) -> ray.data.Dataset:
+    """Echo screen: per ASSISTANT turn, the fraction of its distinct
+    word trigrams already present in the IMMEDIATELY PRECEDING turn —
+    the "model is parroting the user/context" SFT-quality signal (high
+    echo ⇒ low-information response; the conversational sibling of
+    :func:`~.documents.doc_repetition_stats`).
+
+    Turn text crosses the conv-hash exchange once (grams are ~3× the
+    text, so they are built in-bucket, not shipped); inside the bucket
+    one mergesort then a per-row set intersection against the previous
+    row's gram set (conversation-local, first turns echo 0).
+    Whitespace normalization is the repo's ``_CLEAN`` convention;
+    turns with fewer than 3 tokens have ``n_tri = 0`` and rate 0.
+
+    Output: ``conv_id, turn_idx, n_tri, n_echo, echo_rate``
+    (assistant turns only; rate = n_echo / max(n_tri, 1), round 6).
+    """
+    import pandas as pd
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "role", "text"]),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"],
+                          kind="mergesort").reset_index(drop=True)
+        # RE2 whitespace class via the Arrow kernel — python re's \s is
+        # unicode-wide and diverges from the oracle on \xa0 etc.
+        texts = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pa.array([t or "" for t in g["text"].tolist()], pa.string()),
+            r"\s+", " ")).to_pylist()
+        gram_sets = []
+        for t in texts:
+            tk = t.split(" ") if t else []
+            gram_sets.append({" ".join(tk[j:j + 3])
+                              for j in range(len(tk) - 2)})
+        conv = g["conv_id"].to_numpy(object)
+        role = g["role"].to_numpy(object)
+        rows = []
+        for i in range(len(g)):
+            if role[i] != "assistant":
+                continue
+            tri = gram_sets[i]
+            prev = gram_sets[i - 1] if i and conv[i - 1] == conv[i] \
+                else set()
+            n_echo = len(tri & prev)
+            rows.append((conv[i], int(g["turn_idx"].iloc[i]),
+                         len(tri), n_echo,
+                         round(n_echo / max(len(tri), 1), 6)))
+        return pd.DataFrame(rows, columns=[
+            "conv_id", "turn_idx", "n_tri", "n_echo", "echo_rate"])
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")

@@ -300,6 +300,8 @@ def run_bench() -> dict:
             lambda s: _extract.conv_loss_mask_spans(s).count(), src),
         "conv_turn_repeats": timed(
             lambda s: _extract.conv_turn_repeats(s).count(), src),
+        "conv_echo_rate": timed(
+            lambda s: _extract.conv_echo_rate(s).count(), src),
         "doc_compression_ratio": timed(
             lambda d: documents.doc_compression_ratio(d).count(), sf_dir),
         "conv_sft_filter": timed(

@@ -776,3 +776,37 @@ class TestConvTurnRepeats:
         assert got.loc[("c1", 4), "n_prior"] == 2
         assert not got.loc[("c2", 0), "is_repeat"]
         assert got["is_repeat"].equals(got["n_prior"] > 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvEchoRate:
+    def test_echo_semantics(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import conv_echo_rate
+        rows = [
+            ("c1", 0, "user", "please summarize the quarterly revenue report"),
+            # full echo: every assistant trigram is in the user turn
+            ("c1", 1, "assistant", "summarize the quarterly revenue"),
+            ("c1", 2, "user", "thanks now something else entirely"),
+            # zero echo
+            ("c1", 3, "assistant", "here is a totally fresh novel answer"),
+            # short turn: < 3 tokens -> n_tri 0, rate 0
+            ("c1", 4, "assistant", "ok sure"),
+        ]
+        t = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        })
+        pq2.write_table(t, str(tmp_path / "part-0.parquet"))
+        got = (conv_echo_rate(str(tmp_path)).to_pandas()
+               .set_index("turn_idx").sort_index())
+        assert set(got.index) == {1, 3, 4}       # assistant turns only
+        assert got.loc[1, "echo_rate"] == 1.0
+        assert got.loc[1, "n_tri"] == 2
+        assert got.loc[3, "echo_rate"] == 0.0
+        assert got.loc[4, "n_tri"] == 0
+        assert got.loc[4, "echo_rate"] == 0.0

@@ -1079,28 +1079,41 @@ def conv_echo_rate(paths: str | list[str],
                           kind="mergesort").reset_index(drop=True)
         # RE2 whitespace class via the Arrow kernel — python re's \s is
         # unicode-wide and diverges from the oracle on \xa0 etc.
-        texts = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
             pa.array([t or "" for t in g["text"].tolist()], pa.string()),
-            r"\s+", " ")).to_pylist()
-        gram_sets = []
-        for t in texts:
-            tk = t.split(" ") if t else []
-            gram_sets.append({" ".join(tk[j:j + 3])
-                              for j in range(len(tk) - 2)})
+            r"\s+", " "))
+        toks = pc.split_pattern(norm, " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(len(g), dtype=np.int64), lens)
+        # vectorized trigram build: positions whose row matches 2 ahead
+        ok = (np.flatnonzero(row[:-2] == row[2:])
+              if len(flat) >= 3 else np.array([], np.int64))
+        cur = pd.DataFrame({
+            "row": row[ok],
+            "gram": pd.Series(flat[ok], dtype=object).str.cat(
+                [pd.Series(flat[ok + 1], dtype=object),
+                 pd.Series(flat[ok + 2], dtype=object)], sep=" ")
+            if len(ok) else pd.Series([], dtype=object),
+        }).drop_duplicates()
         conv = g["conv_id"].to_numpy(object)
-        role = g["role"].to_numpy(object)
-        rows = []
-        for i in range(len(g)):
-            if role[i] != "assistant":
-                continue
-            tri = gram_sets[i]
-            prev = gram_sets[i - 1] if i and conv[i - 1] == conv[i] \
-                else set()
-            n_echo = len(tri & prev)
-            rows.append((conv[i], int(g["turn_idx"].iloc[i]),
-                         len(tri), n_echo,
-                         round(n_echo / max(len(tri), 1), 6)))
-        return pd.DataFrame(rows, columns=[
-            "conv_id", "turn_idx", "n_tri", "n_echo", "echo_rate"])
+        n_tri = cur.groupby("row").size()
+        prev = cur.copy()
+        prev["row"] = prev["row"] + 1
+        prev = prev[prev["row"] < len(g)]
+        same = np.concatenate(([False], conv[1:] == conv[:-1]))
+        prev = prev[same[prev["row"].to_numpy(np.int64)]]
+        n_echo = (cur.merge(prev, on=["row", "gram"])
+                  .groupby("row").size())
+        idx = np.flatnonzero(g["role"].to_numpy(object) == "assistant")
+        nt = n_tri.reindex(idx, fill_value=0).to_numpy(np.int64)
+        ne = n_echo.reindex(idx, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "conv_id": conv[idx],
+            "turn_idx": g["turn_idx"].to_numpy(np.int64)[idx],
+            "n_tri": nt,
+            "n_echo": ne,
+            "echo_rate": np.round(ne / np.maximum(nt, 1), 6)})
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")

@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pq_adc_topk": _q_pq_adc_topk,                  # rows-only (PQ-ADC shortlist + exact re-rank; recall-gated pytest, r5)
         "conv_turn_repeats": _q_conv_turn_repeats,                # SQL-matched (within-conversation repeated-turn screen, r5)
         "conv_echo_rate": _q_conv_echo_rate,                      # SQL-matched (assistant trigram-echo screen, r5)
+        "events_ab_lift": events.events_ab_lift,                  # SQL-matched (hash-assigned A/B conversion lift + z, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2227,6 +2228,38 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens, chunk_hash,
                    count(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
             FROM g
+        """,
+        # A/B conversion lift (engine events.events_ab_lift): stable
+        # hash assignment user_id % 2, conversion = any purchase;
+        # z written with the identical float-op order as the engine.
+        "events_ab_lift": """
+            WITH u AS (SELECT user_id,
+                              CAST(max(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS purchased
+                       FROM events GROUP BY user_id),
+            v AS (SELECT user_id % 2 AS variant,
+                         CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(purchased) AS BIGINT) AS n_converted
+                  FROM u GROUP BY 1),
+            w AS (SELECT
+                    max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+                    max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+                    max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+                    max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+                  FROM v),
+            z AS (SELECT ((c1 / CAST(n1 AS DOUBLE))
+                          - (c0 / CAST(n0 AS DOUBLE)))
+                         / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                                * (1.0 - (c0 + c1)
+                                   / CAST(n0 + n1 AS DOUBLE))
+                                * (1.0 / n0 + 1.0 / n1)) AS zv
+                  FROM w)
+            SELECT v.variant, v.n_users, v.n_converted,
+                   round(v.n_converted / CAST(v.n_users AS DOUBLE), 6)
+                       AS conv_rate,
+                   round(z.zv, 6) AS z_score
+            FROM v, z
         """,
         # Funnel time-to-convert (engine events.events_funnel_latency):
         # same first-qualifying chain as events_funnel; latency in whole

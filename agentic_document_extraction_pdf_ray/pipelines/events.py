@@ -1552,3 +1552,66 @@ def events_funnel_latency(sf_dir: str,
         rows.append((name, n, p50, round(int((sec * cnt).sum()) / n, 6)))
     return pd.DataFrame(rows, columns=["transition", "n_users",
                                        "p50_sec", "mean_sec"])
+
+
+def events_ab_lift(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
+    """A/B conversion lift under deterministic hash assignment:
+    ``variant = user_id % 2`` (the standard stable bucketing an
+    experimentation system uses), conversion = the user has ≥1
+    ``purchase`` event; per variant the user count, converted count and
+    rate, plus the shared two-proportion z-score — the experiment
+    readout every event-log pipeline ends in.
+
+    One user-bucket exchange of DISTINCT (user, has_purchase-partial)
+    rows (map-side distinct collapses the event stream ~66×); each
+    bucket folds its users' purchase flags and emits TWO (variant,
+    n_users, n_conv) partial rows; the driver sums ≤ 2 × n_buckets
+    ints and evaluates the z expression once — written with the
+    identical operation order as the SQL oracle so the float result is
+    bit-equal.
+
+    Output: ``variant, n_users, n_converted, conv_rate, z_score``.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(np.int64),
+            "purchased": (batch["event_type"] == "purchase")
+            .to_numpy(bool)})
+        d = (d.groupby("user_id", as_index=False)
+             .agg(purchased=("purchased", "any")))
+        d["_bucket"] = bucket_int_array(d["user_id"].to_numpy(np.int64),
+                                        n_buckets)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = (g.groupby("user_id", as_index=False)
+             .agg(purchased=("purchased", "any")))
+        u["variant"] = u["user_id"].to_numpy(np.int64) % 2
+        out = (u.groupby("variant", as_index=False)
+               .agg(n_users=("user_id", "size"),
+                    n_converted=("purchased", "sum")))
+        return out
+
+    parts = (read_events(sf_dir, ["user_id", "event_type"])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=131_072)
+             .groupby("_bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("variant", as_index=False)
+           .agg(n_users=("n_users", "sum"),
+                n_converted=("n_converted", "sum"))
+           .sort_values("variant").reset_index(drop=True))
+    n0, n1 = (int(x) for x in agg["n_users"])
+    c0, c1 = (int(x) for x in agg["n_converted"])
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    z = (p1 - p0) / np.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    return pd.DataFrame({
+        "variant": agg["variant"].to_numpy(np.int64),
+        "n_users": np.array([n0, n1], np.int64),
+        "n_converted": np.array([c0, c1], np.int64),
+        "conv_rate": np.round([p0, p1], 6),
+        "z_score": np.round([z, z], 6)})

@@ -482,3 +482,35 @@ class TestEventsFunnelLatency:
             assert int(row["n_users"]) == n
             assert int(row["p50_sec"]) == p50
             assert row["mean_sec"] == round(sum(secs) / n, 6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsAbLift:
+    def test_lift_semantics(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import events_ab_lift
+        # variant 0 (even users): 1 of 2 converts; variant 1: 2 of 2
+        rows = [(0, "view"), (0, "purchase"), (2, "view"),
+                (1, "purchase"), (3, "click"), (3, "purchase")]
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        t = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([base + np.timedelta64(i, "m")
+                            for i in range(len(rows))], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        got = (events_ab_lift(str(tmp_path))
+               .set_index("variant").sort_index())
+        assert int(got.loc[0, "n_users"]) == 2
+        assert int(got.loc[0, "n_converted"]) == 1
+        assert got.loc[0, "conv_rate"] == 0.5
+        assert int(got.loc[1, "n_converted"]) == 2
+        assert got.loc[1, "conv_rate"] == 1.0
+        assert (got["z_score"] > 0).all()        # variant 1 wins
+        assert got["z_score"].nunique() == 1

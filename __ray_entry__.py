@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_repeats": _q_conv_turn_repeats,                # SQL-matched (within-conversation repeated-turn screen, r5)
         "conv_echo_rate": _q_conv_echo_rate,                      # SQL-matched (assistant trigram-echo screen, r5)
         "events_ab_lift": events.events_ab_lift,                  # SQL-matched (hash-assigned A/B conversion lift + z, r5)
+        "dedup_sketch_calibration": dedup.dedup_sketch_calibration,  # rows-only (MinHash-vs-exact error calibration; error-bound pytest, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)

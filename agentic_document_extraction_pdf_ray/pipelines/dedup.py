@@ -2278,3 +2278,65 @@ def doc_cdc_dedup_ratio(sf_dir: str) -> ray.data.Dataset:
                            batch_size=131_072),
         "doc_id", ["n", "dup"], n_buckets=64,
     ).map_batches(finish, batch_format="pandas")
+
+
+def dedup_sketch_calibration(sf_dir: str,
+                             n_buckets: int = 64) -> pd.DataFrame:
+    """Sketch-accuracy calibration: every MinHash-LSH candidate pair's
+    128-permutation Jaccard ESTIMATE joined against the exact word-
+    trigram Jaccard, with the error summarized — the measurement a
+    curation team runs before trusting the sketch threshold at corpus
+    scale (expected |err| ≈ 1/√128 ≈ 0.088 per pair; the LSH threshold
+    is then set with this margin in hand).
+
+    One bucketed co-group on the (doc_a, doc_b) pair key joins the two
+    pair streams (both already driver-stateless plans); only matched
+    pairs and their two scores reach the driver, which folds a ≤
+    #pairs-sized error table into one summary row.
+
+    Output: one row — ``n_pairs, mae, p95_abs_err, max_abs_err,
+    mean_est, mean_exact`` (round 6).
+    """
+    from ..functions.hashing import bucket_int_array
+
+    est = minhash_lsh_pairs(sf_dir, threshold=0.0)
+    exact = ngram_jaccard_pairs(sf_dir, threshold=0.0)
+
+    def tag(which: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            col = "est_jaccard" if which == "e" else "jaccard"
+            d = pd.DataFrame({
+                "doc_a": batch["doc_a"].to_numpy(np.int64),
+                "doc_b": batch["doc_b"].to_numpy(np.int64),
+                "score": batch[col].to_numpy(np.float64),
+                "_side": which})
+            d["_bucket"] = bucket_int_array(
+                d["doc_a"].to_numpy(np.int64) * 1_000_003
+                + d["doc_b"].to_numpy(np.int64), n_buckets)
+            return d
+        return fn
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["_side"] == "e"][["doc_a", "doc_b", "score"]]
+        x = g[g["_side"] == "x"][["doc_a", "doc_b", "score"]]
+        m = e.merge(x, on=["doc_a", "doc_b"], suffixes=("_est", "_exact"))
+        return m[["score_est", "score_exact"]]
+
+    pairs = (est.map_batches(tag("e"), batch_format="pandas")
+             .union(exact.map_batches(tag("x"), batch_format="pandas"))
+             .groupby("_bucket").map_groups(join, batch_format="pandas")
+             .to_pandas())
+    err = np.abs(pairs["score_est"].to_numpy(np.float64)
+                 - pairs["score_exact"].to_numpy(np.float64))
+    err_sorted = np.sort(err)
+    n = len(err)
+    p95 = err_sorted[min(n - 1, (95 * n + 99) // 100 - 1)] if n else 0.0
+    return pd.DataFrame({
+        "n_pairs": np.array([n], np.int64),
+        "mae": [round(float(err.mean()) if n else 0.0, 6)],
+        "p95_abs_err": [round(float(p95), 6)],
+        "max_abs_err": [round(float(err.max()) if n else 0.0, 6)],
+        "mean_est": [round(float(pairs["score_est"].mean())
+                           if n else 0.0, 6)],
+        "mean_exact": [round(float(pairs["score_exact"].mean())
+                             if n else 0.0, 6)]})

@@ -165,6 +165,8 @@ def run_bench() -> dict:
             lambda d: relational.orders_total_reconcile(d).count(), sf_dir),
         "events_funnel_latency": timed(events.events_funnel_latency, sf_dir),
         "events_ab_lift": timed(events.events_ab_lift, sf_dir),
+        "dedup_sketch_calibration": timed(
+            dedup.dedup_sketch_calibration, sf_dir),
         "embedding_pq_codes": timed(
             lambda d: similarity.embedding_pq_codes(d).count(), sf_dir),
         "embedding_pq_adc_topk": timed(

@@ -684,3 +684,20 @@ class TestCdcDedupRatio:
         assert got.loc[2, "dup_ratio"] == 0.0
         assert int(got.loc[0, "total_tokens"]) == 300
         assert int(got.loc[2, "total_tokens"]) == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketchCalibration:
+    def test_error_within_minhash_bound(self):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            dedup_sketch_calibration,
+        )
+        got = dedup_sketch_calibration(SF)
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert r["n_pairs"] > 0
+        # 128 permutations: sd of the estimate is sqrt(j(1-j)/128) <=
+        # 0.045; MAE across candidate pairs comfortably under 2 sd
+        assert r["mae"] <= 0.09, r["mae"]
+        assert r["p95_abs_err"] <= 0.2
+        assert 0 <= r["mean_est"] <= 1 and 0 <= r["mean_exact"] <= 1

@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_echo_rate": _q_conv_echo_rate,                      # SQL-matched (assistant trigram-echo screen, r5)
         "events_ab_lift": events.events_ab_lift,                  # SQL-matched (hash-assigned A/B conversion lift + z, r5)
         "dedup_sketch_calibration": dedup.dedup_sketch_calibration,  # rows-only (MinHash-vs-exact error calibration; error-bound pytest, r5)
+        "split_leakage_matrix": dedup.split_leakage_matrix,       # SQL-matched (train/val/test near-dup leakage audit, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -2467,6 +2468,41 @@ def oracle_sql() -> dict[str, str]:
                    inter / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
             FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             WHERE inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.6
+        """,
+        # Train/val/test near-dup leakage (engine
+        # dedup.split_leakage_matrix): the jaccard pair graph with both
+        # ends' hash-rule splits computed in place (doc_split_assign
+        # fences), unordered combo + leak flag.
+        "split_leakage_matrix": f"""
+            WITH t AS (SELECT doc_id, string_split_regex({_CLEAN}, ' ') AS tk FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(tk) - 1),
+                                               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+                  FROM t WHERE len(tk) >= 3),
+            d AS (SELECT DISTINCT doc_id, sh FROM s),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            df AS (SELECT sh FROM d GROUP BY sh HAVING count(*) <= 200),
+            dk AS (SELECT d.doc_id, d.sh FROM d JOIN df USING (sh)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM dk a JOIN dk b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pr AS (SELECT doc_a, doc_b FROM p
+                   JOIN sz sa ON sa.doc_id = doc_a
+                   JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE inter / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.12),
+            sp AS (SELECT
+                     CASE WHEN substr(md5(CAST(doc_a AS VARCHAR) || '|split'), 1, 8) < '0ccccccc' THEN 'test'
+                          WHEN substr(md5(CAST(doc_a AS VARCHAR) || '|split'), 1, 8) < '19999999' THEN 'val'
+                          ELSE 'train' END AS s_a,
+                     CASE WHEN substr(md5(CAST(doc_b AS VARCHAR) || '|split'), 1, 8) < '0ccccccc' THEN 'test'
+                          WHEN substr(md5(CAST(doc_b AS VARCHAR) || '|split'), 1, 8) < '19999999' THEN 'val'
+                          ELSE 'train' END AS s_b
+                   FROM pr)
+            SELECT least(s_a, s_b) AS split_lo,
+                   greatest(s_a, s_b) AS split_hi,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   least(s_a, s_b) <> greatest(s_a, s_b) AS is_leak
+            FROM sp GROUP BY 1, 2
         """,
         # Same pair graph as ngram_jaccard_pairs (cap 200, threshold
         # 0.12); recursive reachability closure, cluster = min reachable

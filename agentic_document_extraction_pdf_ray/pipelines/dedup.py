@@ -2340,3 +2340,61 @@ def dedup_sketch_calibration(sf_dir: str,
                            if n else 0.0, 6)],
         "mean_exact": [round(float(pairs["score_exact"].mean())
                              if n else 0.0, 6)]})
+
+
+def split_leakage_matrix(sf_dir: str,
+                         pairs: ray.data.Dataset | None = None
+                         ) -> ray.data.Dataset:
+    """Train/val/test LEAKAGE audit: every near-dup pair classified by
+    the split memberships of its two ends — the check that a held-out
+    set is not silently contaminated by near-copies of training docs
+    (the split-level composition of :func:`doc_dup_components` with
+    :func:`~.documents.doc_split_assign`; the cross-SPLIT sibling of
+    :func:`source_contamination_matrix`).
+
+    No join is needed to attach splits: the split rule is a pure hash
+    of doc_id (that is WHY hash splitting is used), so both ends'
+    splits are computed in place on the pair row — a no-exchange
+    enrichment over the pair stream, then a ≤6-group fold. Takes the
+    repo-standard ``pairs=`` feed so the LSH candidate stream replaces
+    the exact pair plan at corpus scale.
+
+    Output: ``split_lo, split_hi, n_pairs, is_leak`` (unordered split
+    combo per row; ``is_leak`` = the two ends live in different
+    splits).
+    """
+    import hashlib
+
+    from .documents import SPLIT_TEST_MAX, SPLIT_VAL_MAX
+
+    pairs = pairs if pairs is not None else ngram_jaccard_pairs(sf_dir)
+
+    def split_of(ids: np.ndarray) -> np.ndarray:
+        keys = np.array([hashlib.md5(f"{i}|split".encode())
+                         .hexdigest()[:8] for i in ids], object)
+        return np.where(keys < SPLIT_TEST_MAX, "test",
+                        np.where(keys < SPLIT_VAL_MAX, "val", "train"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sa = split_of(batch["doc_a"].to_numpy(np.int64))
+        sb = split_of(batch["doc_b"].to_numpy(np.int64))
+        lo = np.where(sa <= sb, sa, sb)
+        hi = np.where(sa <= sb, sb, sa)
+        return (pd.DataFrame({"split_lo": lo, "split_hi": hi})
+                .groupby(["split_lo", "split_hi"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["split_lo", "split_hi"], as_index=False)
+               .agg(n_pairs=("n", "sum")))
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        out["is_leak"] = out["split_lo"] != out["split_hi"]
+        return out
+
+    return (pairs.map_batches(partial, batch_format="pandas",
+                              batch_size=131_072)
+            .map_batches(lambda b: b.assign(_one=np.int64(0)),
+                         batch_format="pandas")
+            .groupby("_one").map_groups(
+                lambda g: finish(g.drop(columns="_one")),
+                batch_format="pandas"))

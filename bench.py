@@ -167,6 +167,8 @@ def run_bench() -> dict:
         "events_ab_lift": timed(events.events_ab_lift, sf_dir),
         "dedup_sketch_calibration": timed(
             dedup.dedup_sketch_calibration, sf_dir),
+        "split_leakage_matrix": timed(
+            lambda d: dedup.split_leakage_matrix(d).count(), sf_dir),
         "embedding_pq_codes": timed(
             lambda d: similarity.embedding_pq_codes(d).count(), sf_dir),
         "embedding_pq_adc_topk": timed(

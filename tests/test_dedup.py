@@ -701,3 +701,33 @@ class TestSketchCalibration:
         assert r["mae"] <= 0.09, r["mae"]
         assert r["p95_abs_err"] <= 0.2
         assert 0 <= r["mean_est"] <= 1 and 0 <= r["mean_exact"] <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSplitLeakage:
+    def test_matrix_accounts_for_all_pairs(self):
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            split_leakage_matrix,
+        )
+        got = split_leakage_matrix(SF).to_pandas()
+        n_pairs = ngram_jaccard_pairs(SF).to_pandas().shape[0]
+        assert int(got["n_pairs"].sum()) == n_pairs
+        assert (got["is_leak"] == (got["split_lo"]
+                                   != got["split_hi"])).all()
+        assert (got["split_lo"] <= got["split_hi"]).all()
+
+    def test_lsh_feed_equals_exact_feed_universe(self):
+        """pairs= convention: the LSH candidate stream drives the same
+        audit; with threshold-matched feeds the matrices agree on the
+        shared pair set (recall>=0.9 pytest elsewhere bounds the gap)."""
+        from agentic_document_extraction_pdf_ray.pipelines.dedup import (
+            minhash_lsh_pairs, split_leakage_matrix,
+        )
+        lsh = split_leakage_matrix(
+            SF, pairs=minhash_lsh_pairs(SF, threshold=0.12)).to_pandas()
+        exact = split_leakage_matrix(SF).to_pandas()
+        # same split combos appear; totals within the LSH recall band
+        assert set(map(tuple, lsh[["split_lo", "split_hi"]].values)) \
+            >= set(map(tuple, exact[["split_lo", "split_hi"]].values)) \
+            or abs(int(lsh["n_pairs"].sum())
+                   - int(exact["n_pairs"].sum())) <= 5

@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "lang_fertility": documents.lang_fertility,               # SQL-matched (per-lang tokenizer-fertility profile, r5)
         "embedding_hard_negatives": similarity.embedding_hard_negatives,  # SQL-matched (cross-label hard-negative mining, r5)
         "doc_ngram_containment": dedup.doc_ngram_containment,     # SQL-matched (asymmetric sub-document dup screen, r5)
         "source_quality_winsor": documents.source_quality_winsor,  # SQL-matched (robust winsorized per-source quality, r5)
@@ -451,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_lift": events.events_ab_lift,                  # SQL-matched (hash-assigned A/B conversion lift + z, r5)
         "dedup_sketch_calibration": dedup.dedup_sketch_calibration,  # rows-only (MinHash-vs-exact error calibration; error-bound pytest, r5)
         "split_leakage_matrix": dedup.split_leakage_matrix,       # SQL-matched (train/val/test near-dup leakage audit, r5)
+        "events_user_gini": events.events_user_gini,              # SQL-matched (activity-concentration Gini, r5)
         "dedup_survivors_best": dedup.dedup_survivors_best,       # SQL-matched (quality-argmax survivor policy, r5)
         "embedding_pca": similarity.embedding_pca_project,        # rows-only (distributed PCA; pytest pins exact fit+projection vs local, r5)
         "doc_quality_classifier": _q_doc_quality_classifier,      # rows-only (distributed IRLS filter training; pytest pins exact weights vs local, r5)
@@ -691,6 +693,33 @@ def _doc_bpe_token_stats_sql() -> str:
                    '\\s+')) AS BIGINT)
                    AS n_ws_tokens
         FROM documents
+    """
+
+
+def _lang_fertility_sql() -> str:
+    """Per-language tokenizer-fertility rollup of the doc_bpe_token_stats
+    counts (engine documents.lang_fertility); BPE pattern generated from
+    the SAME Python constant the engine compiles."""
+    from agentic_document_extraction_pdf_ray.pipelines.documents import BPE_TOKEN_PATTERN
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+        WITH t AS (
+            SELECT lang,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS BIGINT)
+                       AS nbpe,
+                   CAST(len(string_split_regex(
+                       trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')),
+                       '\\s+')) AS BIGINT)
+                       AS nws
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nbpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(nws) AS BIGINT) AS n_ws_tokens,
+               round(CAST(sum(nbpe) AS DOUBLE) / CAST(sum(nws) AS DOUBLE), 6)
+                   AS fertility
+        FROM t GROUP BY lang
     """
 
 
@@ -2146,6 +2175,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_code_validation": _doc_code_validation_sql(),
         "doc_bpe_token_stats": _doc_bpe_token_stats_sql(),
+        "lang_fertility": _lang_fertility_sql(),
         "doc_stratified_sample": _doc_stratified_sample_sql(),
         "corpus_curate": CURATE_ORACLE_SQL,
         "doc_length_shards": f"""
@@ -2230,6 +2260,23 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens, chunk_hash,
                    count(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
             FROM g
+        """,
+        # Gini of per-user event counts (engine events.events_user_gini):
+        # Lorenz-rank formula; rank·x is tie-invariant (x constant within
+        # a tie block), integer until the final division, round 6.
+        "events_user_gini": """
+            WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS rk
+                  FROM u),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(n) AS BIGINT) AS n_events,
+                         CAST(sum(rk * n) AS BIGINT) AS rs
+                  FROM r)
+            SELECT n_users, n_events,
+                   round(2.0 * rs / (n_users * CAST(n_events AS DOUBLE))
+                         - (n_users + 1.0) / n_users, 6) AS gini
+            FROM a
         """,
         # A/B conversion lift (engine events.events_ab_lift): stable
         # hash assignment user_id % 2, conversion = any purchase;

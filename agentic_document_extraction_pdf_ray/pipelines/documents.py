@@ -3134,3 +3134,49 @@ def source_quality_ks(sf_dir: str) -> "pd.DataFrame":
     rows = [(a, b, round(float(np.abs(cdfs[a] - cdfs[b]).max()), 6))
             for i, a in enumerate(sources) for b in sources[i + 1:]]
     return pd.DataFrame(rows, columns=["source_a", "source_b", "ks_stat"])
+
+
+def lang_fertility(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer-fertility profile per language: BPE-ish pretokens per
+    whitespace word (``fertility = n_bpe / n_ws``) — the signal a
+    multilingual budget planner uses to convert word counts into token
+    budgets per language (high-fertility languages consume more of a
+    fixed token budget per word; the per-LANG rollup of
+    :func:`doc_bpe_token_stats`, same compiled ``BPE_TOKEN_PATTERN``
+    shared verbatim with the oracle).
+
+    Map-side per-(lang) partial count rows (bounded by #langs per
+    batch), one tiny grouped fold, one division, round 6.
+
+    Output: ``lang, n_docs, n_bpe_tokens, n_ws_tokens, fertility``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.fill_null(batch["text"], "")
+        nbpe = pc.count_substring_regex(txt, BPE_TOKEN_PATTERN) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        clean = _norm_ws(txt)
+        nws = pc.list_value_length(pc.split_pattern_regex(
+            clean, r"\s+")).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "n_docs": np.ones(len(nbpe), np.int64),
+            "n_bpe_tokens": nbpe, "n_ws_tokens": nws})
+        return d.groupby("lang", as_index=False).sum()
+
+    def finish(batch: "pd.DataFrame") -> "pd.DataFrame":
+        return batch.assign(fertility=np.round(
+            batch["n_bpe_tokens"].to_numpy(np.int64)
+            / batch["n_ws_tokens"].to_numpy(np.int64)
+            .astype(np.float64), 6))
+
+    return (read_documents(sf_dir, ["doc_id", "text", "lang"])
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65_536)
+            .groupby("lang").aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+                Sum("n_ws_tokens", alias_name="n_ws_tokens"))
+            .map_batches(finish, batch_format="pandas"))

@@ -1615,3 +1615,56 @@ def events_ab_lift(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
         "n_converted": np.array([c0, c1], np.int64),
         "conv_rate": np.round([p0, p1], 6),
         "z_score": np.round([z, z], 6)})
+
+
+def events_user_gini(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
+    """Gini coefficient of per-user event counts — the activity-
+    concentration readout ("do 1 % of users generate 90 % of events?")
+    that decides whether per-user caps are needed before user-keyed
+    work (the inequality summary behind :func:`events_heavy_hitters`).
+
+    Exact and all-integer until the final division: one bucketed
+    per-user count fold, then a bounded (count-value, frequency)
+    histogram; with the histogram sorted by value, ranks occupy known
+    integer ranges so ``Σ rank·x`` folds in closed form —
+    ``G = 2·Σ(rank·x) / (n·Σx) − (n + 1)/n`` (the Lorenz-rank formula),
+    evaluated once on the driver, round 6.
+
+    Output: one row — ``n_users, n_events, gini``.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = (batch.groupby("user_id", as_index=False)
+             .agg(n=("user_id", "size")))
+        d["_bucket"] = bucket_int_array(d["user_id"].to_numpy(np.int64),
+                                        n_buckets)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+        h = (u.groupby("n", as_index=False)
+             .agg(f=("user_id", "size")))
+        return h
+
+    hist = (read_events(sf_dir, ["user_id"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=131_072)
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+            .to_pandas()
+            .groupby("n", as_index=False).agg(f=("f", "sum"))
+            .sort_values("n").reset_index(drop=True))
+    v = hist["n"].to_numpy(np.int64)
+    f = hist["f"].to_numpy(np.int64)
+    n_users = int(f.sum())
+    total = int((v * f).sum())
+    # ranks 1..n_users in value order; a value-v block of size f spans
+    # ranks (c+1 .. c+f): sum of ranks = f*c + f(f+1)/2, all int
+    c = np.concatenate(([0], np.cumsum(f)[:-1]))
+    rank_sum_x = int((v * (f * c + f * (f + 1) // 2)).sum())
+    gini = 2.0 * rank_sum_x / (n_users * total) \
+        - (n_users + 1.0) / n_users
+    return pd.DataFrame({"n_users": np.array([n_users], np.int64),
+                         "n_events": np.array([total], np.int64),
+                         "gini": [round(gini, 6)]})

@@ -169,6 +169,9 @@ def run_bench() -> dict:
             dedup.dedup_sketch_calibration, sf_dir),
         "split_leakage_matrix": timed(
             lambda d: dedup.split_leakage_matrix(d).count(), sf_dir),
+        "events_user_gini": timed(events.events_user_gini, sf_dir),
+        "lang_fertility": timed(
+            lambda d: documents.lang_fertility(d).count(), sf_dir),
         "embedding_pq_codes": timed(
             lambda d: similarity.embedding_pq_codes(d).count(), sf_dir),
         "embedding_pq_adc_topk": timed(

@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "embedding_margin_mining": similarity.embedding_margin_mining,  # SQL-matched (Artetxe-Schwenk margin pair mining, r5)
         "lang_fertility": documents.lang_fertility,               # SQL-matched (per-lang tokenizer-fertility profile, r5)
         "embedding_hard_negatives": similarity.embedding_hard_negatives,  # SQL-matched (cross-label hard-negative mining, r5)
         "doc_ngram_containment": dedup.doc_ngram_containment,     # SQL-matched (asymmetric sub-document dup screen, r5)
@@ -2989,6 +2990,58 @@ def oracle_sql() -> dict[str, str]:
         # similarity.embedding_hard_negatives): the kNN-graph fixed-point
         # cosine convention with the self-exclusion widened to the whole
         # same-label set; rank 1..k ordered (cos DESC, neighbor_id ASC).
+        # margin-based pair mining (engine
+        # similarity.embedding_margin_mining): the kNN-graph fixed-point
+        # cosine re-quantized to cint = round(c6*1e6) BIGINT; the margin
+        # is a ratio of exact integers (cint*2*cu*cv over su*cv+sv*cu,
+        # su/cu = top-k neighborhood cint sum/count), one DOUBLE
+        # division, round 6 — identical float op on both engines.
+        "embedding_margin_mining": """
+            WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                              CAST(label AS BIGINT) AS label,
+                              unnest(list_transform(range(1, len(embedding) + 1),
+                                  i -> struct_pack(dim := i - 1,
+                                      q := CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                                      * 1000000 + 0.5) AS BIGINT)))) AS s
+                       FROM embeddings),
+            c AS (SELECT vec_id, label, s.dim AS dim, s.q AS q FROM e),
+            nr AS (SELECT vec_id, sum(q * q) AS nrm FROM c
+                   GROUP BY vec_id HAVING sum(q * q) > 0),
+            cl AS (SELECT c.* FROM c JOIN nr USING (vec_id)),
+            p AS (SELECT a.vec_id AS u, a.label AS ul,
+                         b.vec_id AS v, b.label AS vl,
+                         sum(a.q * b.q) AS dot
+                  FROM cl a JOIN cl b ON a.dim = b.dim
+                                     AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2, 3, 4),
+            cs AS (SELECT u, ul, v, vl,
+                          CAST(round(round(CAST(dot AS DOUBLE)
+                               / (sqrt(CAST(nu.nrm AS DOUBLE))
+                                  * sqrt(CAST(nv.nrm AS DOUBLE))), 6)
+                               * 1000000, 0) AS BIGINT) AS cint
+                   FROM p JOIN nr nu ON nu.vec_id = p.u
+                          JOIN nr nv ON nv.vec_id = p.v),
+            r AS (SELECT u, cint,
+                         row_number() OVER (PARTITION BY u
+                                            ORDER BY cint DESC, v) AS rk
+                  FROM cs),
+            s AS (SELECT u AS vec_id, sum(cint) AS su,
+                         count(*) AS cu
+                  FROM r WHERE rk <= 4 GROUP BY u
+                  HAVING sum(cint) > 0),
+            m AS (SELECT cs.u, cs.v, cs.cint,
+                         round(CAST(cs.cint * 2 * a.cu * b.cu AS DOUBLE)
+                               / CAST(a.su * b.cu + b.su * a.cu AS DOUBLE),
+                               6) AS margin
+                  FROM cs JOIN s a ON a.vec_id = cs.u
+                          JOIN s b ON b.vec_id = cs.v
+                  WHERE cs.u < cs.v AND cs.ul <> cs.vl)
+            SELECT u AS vec_id, v AS neighbor_id,
+                   CAST(row_number() OVER (ORDER BY margin DESC, u, v)
+                        AS BIGINT) AS rank,
+                   CAST(cint AS DOUBLE) / 1000000 AS cos_sim, margin
+            FROM m ORDER BY margin DESC, u, v LIMIT 50
+        """,
         "embedding_hard_negatives": """
             WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
                               CAST(label AS BIGINT) AS label,

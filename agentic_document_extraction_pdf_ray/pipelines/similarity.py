@@ -1650,3 +1650,178 @@ def embedding_pq_adc_topk(sf_dir: str, k: int = 5, n_queries: int = 10,
             "rank": np.arange(1, len(nid) + 1, dtype=np.int64)}))
     return (pd.concat(out, ignore_index=True)
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def embedding_margin_mining(sf_dir: str, k: int = 4, top_pairs: int = 50,
+                            chunk_rows: int = 100_000) -> pd.DataFrame:
+    """Margin-based cross-label pair mining (Artetxe & Schwenk 2019,
+    the margin criterion used for bitext mining): score every
+    cross-label pair by ``cos(u,v) / (0.5*(avgNN_k(u) + avgNN_k(v)))``
+    — cosine normalized by the mean cosine of each endpoint's ``k``
+    nearest neighbors — and return the global ``top_pairs`` pairs.
+    Margin > 1 means u and v are closer to each other than to their
+    own neighborhoods, the signature of a true cross-group match
+    rather than a hubness artifact.  Reference analogue: the FAISS
+    similarity lookup of ``/root/reference/src/storage/vector_store.py``
+    with score normalization.
+
+    Exactness (so the DuckDB oracle hash-matches): the
+    :func:`embedding_semdedup` fixed-point convention — ``q =
+    floor(x·1e6+.5)`` ints, exact int64 dots, cosine rounded 6 and
+    re-quantized to ``cint = rint(c6·1e6)``.  The margin is then a
+    ratio of EXACT integers: with ``su =`` sum of u's top-``k``
+    ``cint`` (self excluded, all labels, ordered cos DESC /
+    neighbor ASC) and ``cu`` their count, ``margin = round(cint_uv ·
+    2·cu·cv / (su·cv + sv·cu), 6)`` — one float64 division on both
+    engines.  Vectors with zero quantized norm or non-positive
+    neighborhood sum are excluded; ties order (margin DESC, vec_id,
+    neighbor_id); pairs are emitted once with vec_id < neighbor_id.
+
+    Scale shape: two streaming passes over the same broadcast-chunked
+    corpus (each chunk ``ray.put`` once).  Pass 1 computes per-vector
+    (su, cu) with a per-row running top-k across chunks (narrow: 2
+    ints per vector).  Pass 2 re-streams the chunks, scores the
+    cross-label upper triangle, and keeps only a per-batch top-N —
+    the driver folds ≤ N·num_batches candidate rows.  Peak task
+    memory is batch × ONE chunk; at 1e8+ vectors, feed the pair
+    candidates from :func:`embedding_near_dup_lsh` buckets instead of
+    the dense triangle (same margin kernel).
+    """
+    ds = read_embeddings(sf_dir)
+
+    def pack_block(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(_list_col_matrix(batch["embedding"]).astype(np.float64)
+                     * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"ids": [ids.tobytes()], "lab": [lab.tobytes()],
+                             "q": [q.tobytes()], "d": [np.int64(q.shape[1])]})
+
+    packed = ds.map_batches(pack_block, batch_format="pyarrow").take_all()
+    d = int(packed[0]["d"])
+    ids = np.concatenate([np.frombuffer(r["ids"], np.int64) for r in packed])
+    lab = np.concatenate([np.frombuffer(r["lab"], np.int64) for r in packed])
+    q = np.concatenate([np.frombuffer(r["q"], np.int64).reshape(-1, d)
+                        for r in packed])
+    order = np.argsort(ids, kind="stable")
+    ids, lab, q = ids[order], lab[order], q[order]
+    nrm2 = (q * q).sum(axis=1)
+    live = nrm2 > 0
+    ids, lab, q = ids[live], lab[live], q[live]
+    nrm = np.sqrt(nrm2[live].astype(np.float64))
+    chunks = [ray.put((ids[s:s + chunk_rows], lab[s:s + chunk_rows],
+                       q[s:s + chunk_rows], nrm[s:s + chunk_rows]))
+              for s in range(0, len(ids), chunk_rows)]
+
+    def _cints(b_q, b_nrm, c_q, c_nrm):
+        cos = np.round((b_q @ c_q.T).astype(np.float64)
+                       / np.outer(b_nrm, c_nrm), 6)
+        return np.rint(cos * 1e6).astype(np.int64)
+
+    # ---- pass 1: per-vector top-k neighborhood sum (all labels) ----
+    def knn_sums(batch: pa.Table) -> pa.Table:
+        b_ids = batch["vec_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b_q = np.floor(_list_col_matrix(batch["embedding"])
+                       .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        b_n2 = (b_q * b_q).sum(axis=1)
+        blive = b_n2 > 0
+        b_ids, b_q = b_ids[blive], b_q[blive]
+        b_nrm = np.sqrt(b_n2[blive].astype(np.float64))
+        if not len(b_ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "su": pa.array([], pa.int64()),
+                             "cu": pa.array([], pa.int64())})
+        cand: list[np.ndarray] = []
+        for ref in chunks:
+            c_ids, _c_lab, c_q, c_nrm = ray.get(ref)
+            ci = _cints(b_q, b_nrm, c_q, c_nrm)
+            # self-exclusion sentinel must negate safely (|x| < 2^62):
+            # -int64.min overflows and would win argpartition(-ci)
+            ci[b_ids[:, None] == c_ids[None, :]] = -(1 << 62)
+            kk = min(k, ci.shape[1])
+            sel = np.argpartition(-ci, kk - 1, axis=1)[:, :kk]
+            cand.append(np.take_along_axis(ci, sel, axis=1))
+        cc = np.concatenate(cand, axis=1)
+        cc = -np.sort(-cc, axis=1)[:, :k]
+        keep = cc > -(1 << 61)
+        return pa.table({
+            "vec_id": pa.array(b_ids, pa.int64()),
+            "su": pa.array((cc * keep).sum(axis=1), pa.int64()),
+            "cu": pa.array(keep.sum(axis=1).astype(np.int64), pa.int64())})
+
+    nn = ds.map_batches(knn_sums, batch_format="pyarrow").take_all()
+    nn_ids = np.array([r["vec_id"] for r in nn], np.int64)
+    nn_su = np.array([r["su"] for r in nn], np.int64)
+    nn_cu = np.array([r["cu"] for r in nn], np.int64)
+    o = np.argsort(nn_ids, kind="stable")
+    nn_ids, nn_su, nn_cu = nn_ids[o], nn_su[o], nn_cu[o]
+    nn_ref = ray.put((nn_ids, nn_su, nn_cu))
+
+    # ---- pass 2: cross-label upper triangle, per-batch top-N ----
+    def mine(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64()),
+                          "margin": pa.array([], pa.float64())})
+        b_ids = batch["vec_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b_lab = batch["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b_q = np.floor(_list_col_matrix(batch["embedding"])
+                       .astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+        b_n2 = (b_q * b_q).sum(axis=1)
+        blive = b_n2 > 0
+        b_ids, b_lab, b_q = b_ids[blive], b_lab[blive], b_q[blive]
+        b_nrm = np.sqrt(b_n2[blive].astype(np.float64))
+        if not len(b_ids):
+            return empty
+        g_ids, g_su, g_cu = ray.get(nn_ref)
+        pos = np.searchsorted(g_ids, b_ids)
+        b_su, b_cu = g_su[pos], g_cu[pos]
+        rows_u, rows_v, rows_c, rows_m = [], [], [], []
+        for ref in chunks:
+            c_ids, c_lab, c_q, c_nrm = ray.get(ref)
+            ci = _cints(b_q, b_nrm, c_q, c_nrm)
+            cpos = np.searchsorted(g_ids, c_ids)
+            c_su, c_cu = g_su[cpos], g_cu[cpos]
+            ok = ((b_ids[:, None] < c_ids[None, :])
+                  & (b_lab[:, None] != c_lab[None, :])
+                  & (b_su[:, None] > 0) & (c_su[None, :] > 0))
+            ui, vi = np.nonzero(ok)
+            if not len(ui):
+                continue
+            cint = ci[ui, vi]
+            num = cint * 2 * b_cu[ui] * c_cu[vi]
+            den = b_su[ui] * c_cu[vi] + c_su[vi] * b_cu[ui]
+            marg = np.round(num.astype(np.float64)
+                            / den.astype(np.float64), 6)
+            rows_u.append(b_ids[ui]); rows_v.append(c_ids[vi])
+            rows_c.append(cint); rows_m.append(marg)
+        if not rows_u:
+            return empty
+        u = np.concatenate(rows_u); v = np.concatenate(rows_v)
+        c = np.concatenate(rows_c); m = np.concatenate(rows_m)
+        m_int = np.rint(m * 1e6).astype(np.int64)
+        sel = np.lexsort((v, u, -m_int))[:top_pairs]
+        return pa.table({
+            "vec_id": pa.array(u[sel], pa.int64()),
+            "neighbor_id": pa.array(v[sel], pa.int64()),
+            "cos_sim": pa.array(c[sel].astype(np.float64) / 1e6,
+                                pa.float64()),
+            "margin": pa.array(m[sel], pa.float64())})
+
+    cand = ds.map_batches(mine, batch_format="pyarrow").take_all()
+    if not cand:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "cos_sim": pd.Series([], dtype=np.float64),
+                             "margin": pd.Series([], dtype=np.float64)})
+    df = pd.DataFrame(cand)
+    m_int = np.rint(df["margin"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    sel = np.lexsort((df["neighbor_id"].to_numpy(np.int64),
+                      df["vec_id"].to_numpy(np.int64), -m_int))[:top_pairs]
+    df = df.iloc[sel].reset_index(drop=True)
+    df.insert(2, "rank", np.arange(1, len(df) + 1, dtype=np.int64))
+    return df

@@ -518,3 +518,46 @@ class TestPqAdcTopk:
         a = embedding_pq_adc_topk(SF, k=3, n_queries=5, iters=2)
         b = embedding_pq_adc_topk(SF, k=3, n_queries=5, iters=2)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestEmbeddingMarginMining:
+    def test_margin_prefers_mutual_match_over_hub(self, ray_session,
+                                                  tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_margin_mining,
+        )
+        # label-0 cluster around x-axis, label-1 cluster around y-axis,
+        # plus one isolated cross-label MUTUAL pair on the diagonal:
+        # raw cosine ranks hub pairs (cluster members vs the diagonal
+        # pair) comparably, but the margin criterion must rank the
+        # mutual diagonal pair FIRST because each endpoint's own
+        # neighborhood is far away.
+        vecs = [[1.0, 0.0], [0.99, 0.14], [0.98, -0.2],       # label 0 hub
+                [0.0, 1.0], [0.14, 0.99], [-0.2, 0.98],       # label 1 hub
+                [0.707, 0.707],                                # label 0 iso
+                [0.717, 0.697]]                                # label 1 iso
+        labels = [0, 0, 0, 1, 1, 1, 0, 1]
+        t = pa.table({"vec_id": pa.array(range(8), pa.int64()),
+                      "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                      "label": pa.array(labels, pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        got = embedding_margin_mining(str(tmp_path), k=2, top_pairs=5)
+        assert got.iloc[0]["vec_id"] == 6 and got.iloc[0]["neighbor_id"] == 7
+        assert got.iloc[0]["margin"] > 1.0
+        # every returned pair is cross-label and ordered u < v
+        lab = dict(zip(range(8), labels))
+        for _, r in got.iterrows():
+            assert r["vec_id"] < r["neighbor_id"]
+            assert lab[int(r["vec_id"])] != lab[int(r["neighbor_id"])]
+        assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+    def test_chunked_equals_single_broadcast(self, ray_session):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_margin_mining,
+        )
+        one = embedding_margin_mining(SF, chunk_rows=10**9)
+        many = embedding_margin_mining(SF, chunk_rows=37)
+        pd.testing.assert_frame_equal(one, many)

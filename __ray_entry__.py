@@ -204,6 +204,11 @@ def _q_conv_first_msg_dedup(sf_dir: str) -> Any:
     return conv_first_msg_dedup(_transcripts_for(sf_dir))
 
 
+def _q_conv_dpo_pairs(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_dpo_pairs
+    return conv_dpo_pairs(_transcripts_for(sf_dir))
+
+
 def _q_conv_tool_stats(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_tool_stats
     return conv_tool_stats(_transcripts_for(sf_dir))
@@ -433,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_dpo_pairs": _q_conv_dpo_pairs,                      # SQL-matched (DPO preference-pair mining per shared prompt, r5)
         "embedding_margin_mining": similarity.embedding_margin_mining,  # SQL-matched (Artetxe-Schwenk margin pair mining, r5)
         "lang_fertility": documents.lang_fertility,               # SQL-matched (per-lang tokenizer-fertility profile, r5)
         "embedding_hard_negatives": similarity.embedding_hard_negatives,  # SQL-matched (cross-label hard-negative mining, r5)
@@ -1381,6 +1387,48 @@ def oracle_sql() -> dict[str, str]:
         # lower(trim(regexp_replace(text,'\s+',' '))) of each conv's
         # min-turn_idx user turn; family size + min-conv_id canonical
         # per key; convs with no user turn excluded on both engines.
+        # DPO preference pairs (engine extract.conv_dpo_pairs): families
+        # keyed by the conv_first_msg_dedup md5; score = total assistant
+        # whitespace tokens (conv_context_growth convention); chosen =
+        # first by (score DESC, conv_id ASC), rejected = last (= first
+        # by the reversed order); families of ≥2 only.
+        "conv_dpo_pairs": f"""
+            WITH t AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS ti,
+                              role,
+                              trim(regexp_replace(coalesce(text, ''),
+                                                  '\\s+', ' ', 'g'))
+                                  AS clean
+                       FROM {_T_SRC}),
+            fu AS (SELECT conv_id, md5(lower(clean)) AS first_msg_key,
+                          row_number() OVER (PARTITION BY conv_id
+                                             ORDER BY ti) AS rn
+                   FROM t WHERE role = 'user'),
+            fk AS (SELECT conv_id, first_msg_key FROM fu WHERE rn = 1),
+            sc AS (SELECT conv_id,
+                          CAST(sum(CASE WHEN role = 'assistant'
+                               THEN len(string_split_regex(clean, '\\s+'))
+                               ELSE 0 END) AS BIGINT) AS score
+                   FROM t GROUP BY conv_id),
+            j AS (SELECT fk.first_msg_key, fk.conv_id, sc.score
+                  FROM fk JOIN sc USING (conv_id)),
+            g AS (SELECT *,
+                         count(*) OVER (PARTITION BY first_msg_key)
+                             AS n_convs,
+                         row_number() OVER (PARTITION BY first_msg_key
+                             ORDER BY score DESC, conv_id) AS rf,
+                         row_number() OVER (PARTITION BY first_msg_key
+                             ORDER BY score ASC, conv_id DESC) AS rl
+                  FROM j)
+            SELECT a.first_msg_key,
+                   CAST(a.n_convs AS BIGINT) AS n_convs,
+                   a.conv_id AS chosen_conv_id,
+                   a.score AS chosen_score,
+                   b.conv_id AS rejected_conv_id,
+                   b.score AS rejected_score
+            FROM g a JOIN g b ON a.first_msg_key = b.first_msg_key
+                             AND b.rl = 1
+            WHERE a.rf = 1 AND a.n_convs >= 2
+        """,
         "conv_first_msg_dedup": f"""
             WITH fm AS (
                 SELECT conv_id,

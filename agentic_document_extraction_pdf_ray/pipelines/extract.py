@@ -1117,3 +1117,131 @@ def conv_echo_rate(paths: str | list[str],
             "echo_rate": np.round(ne / np.maximum(nt, 1), 6)})
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+
+
+def conv_dpo_pairs(paths: str | list[str],
+                   num_partitions: int = DEFAULT_PARTITIONS
+                   ) -> ray.data.Dataset:
+    """Preference-pair mining for DPO/RLHF-style training: conversations
+    that share the same opening prompt (the
+    :func:`conv_first_msg_dedup` normalized-first-user-message key) are
+    candidate response sets for one prompt; within each family of ≥2,
+    the highest-scoring conversation becomes ``chosen`` and the lowest
+    ``rejected`` — the standard construction when a scraped corpus
+    contains the same question answered more than once (reference
+    analogue: the dual-pass winner selection of
+    ``/root/reference/src/pipeline/reconciler.py`` applied at
+    conversation granularity).
+
+    Score = total assistant whitespace-token count (the
+    :func:`conv_context_growth` tokenization convention — longer
+    grounded answers outrank terse ones in this deterministic proxy;
+    swap in a model scorer via the same actor-pool slot as
+    ``stages/model.py`` for a learned preference). Order within a
+    family is (score DESC, conv_id ASC); ``chosen`` is the first row,
+    ``rejected`` the last — with ≥2 members they are always distinct
+    conversations, even under full score ties. Conversations with no
+    user turn are excluded.
+
+    Scale shape: NO text crosses an exchange. Each block reduces to one
+    row per (conv, block) carrying the block-local min-turn-idx user
+    candidate (already md5-hashed) plus the block's assistant token
+    subtotal; the conv-hash bucket exchange folds those to one exact
+    row per conversation, and the key-hash bucket exchange sees only
+    ``(key, conv_id, score)`` — a family lives in exactly one bucket,
+    so chosen/rejected are exact.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    SENT = np.int64(2**62)
+
+    def candidates(batch: pa.Table) -> pd.DataFrame:
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.fill_null(batch["text"], ""),
+                                       r"\s+", " "))
+        toks = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(clean, r"\s+")), pa.int64())
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        ti = batch["turn_idx"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        asst = (role == "assistant")
+        df = pd.DataFrame({
+            "conv_id": conv, "turn_idx": ti,
+            "asst_toks": toks.to_numpy() * asst,
+            "is_user": role == "user"})
+        agg = df.groupby("conv_id", sort=False).agg(
+            asst_toks=("asst_toks", "sum"))
+        users = df[df["is_user"]]
+        first = users.groupby("conv_id", sort=False)["turn_idx"].idxmin()
+        norm = pc.utf8_lower(clean)
+        keys = {}
+        cand_ti = {}
+        for cid, row in zip(users.loc[first, "conv_id"],
+                            first.to_numpy()):
+            keys[cid] = hashlib.md5(
+                norm[int(row)].as_py().encode()).hexdigest()
+            cand_ti[cid] = ti[int(row)]
+        out = agg.reset_index()
+        out["cand_turn"] = np.array(
+            [cand_ti.get(c, SENT) for c in out["conv_id"]], np.int64)
+        out["cand_key"] = [keys.get(c, "") for c in out["conv_id"]]
+        out["pkey"] = bucket_str_column(
+            pa.array(out["conv_id"], pa.string()), num_partitions)
+        return out
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        score = g.groupby("conv_id", sort=False)["asst_toks"].sum()
+        withu = g[g["cand_turn"] < SENT]
+        if not len(withu):
+            return pd.DataFrame({
+                "first_msg_key": pd.Series([], dtype=object),
+                "conv_id": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.int64),
+                "kbucket": pd.Series([], dtype=np.int64)})
+        firsts = withu.loc[
+            withu.groupby("conv_id", sort=False)["cand_turn"].idxmin()]
+        out = pd.DataFrame({
+            "first_msg_key": firsts["cand_key"].to_numpy(object),
+            "conv_id": firsts["conv_id"].to_numpy(object),
+            "score": score.reindex(
+                firsts["conv_id"]).to_numpy(np.int64)})
+        out["kbucket"] = bucket_str_column(
+            pa.array(out["first_msg_key"], pa.string()), num_partitions)
+        return out
+
+    def per_family(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["first_msg_key", "score", "conv_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        sizes = g.groupby("first_msg_key", sort=False)["conv_id"] \
+            .transform("size").to_numpy(np.int64)
+        keep = sizes >= 2
+        g = g[keep].reset_index(drop=True)
+        if not len(g):
+            return pd.DataFrame({
+                "first_msg_key": pd.Series([], dtype=object),
+                "n_convs": pd.Series([], dtype=np.int64),
+                "chosen_conv_id": pd.Series([], dtype=object),
+                "chosen_score": pd.Series([], dtype=np.int64),
+                "rejected_conv_id": pd.Series([], dtype=object),
+                "rejected_score": pd.Series([], dtype=np.int64)})
+        grp = g.groupby("first_msg_key", sort=False)
+        head = grp.head(1).reset_index(drop=True)
+        tail = grp.tail(1).reset_index(drop=True)
+        return pd.DataFrame({
+            "first_msg_key": head["first_msg_key"].to_numpy(object),
+            "n_convs": grp.size().to_numpy(np.int64),
+            "chosen_conv_id": head["conv_id"].to_numpy(object),
+            "chosen_score": head["score"].to_numpy(np.int64),
+            "rejected_conv_id": tail["conv_id"].to_numpy(object),
+            "rejected_score": tail["score"].to_numpy(np.int64)})
+
+    return (read_transcripts(paths, columns=["conv_id", "turn_idx",
+                                             "role", "text"])
+            .map_batches(candidates, batch_format="pyarrow")
+            .groupby("pkey").map_groups(per_conv, batch_format="pandas")
+            .groupby("kbucket").map_groups(per_family,
+                                           batch_format="pandas"))

@@ -810,3 +810,98 @@ class TestConvEchoRate:
         assert got.loc[3, "echo_rate"] == 0.0
         assert got.loc[4, "n_tri"] == 0
         assert got.loc[4, "echo_rate"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvDpoPairs:
+    def _write(self, tmp_path, rows):
+        import pyarrow as pa
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+        })
+        d = tmp_path / "dpo"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        return str(d)
+
+    def test_chosen_rejected_by_score(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_dpo_pairs,
+        )
+        # family A: c1 (5 assistant tokens) vs c2 (2) vs c3 (3) —
+        # chosen = c1, rejected = c2; c4 is a singleton prompt (no
+        # pair); c5 has no user turn (excluded entirely).
+        rows = [
+            ("c1", 0, "user", "same  prompt"),
+            ("c1", 1, "assistant", "one two three four five"),
+            ("c2", 0, "user", "Same Prompt"),
+            ("c2", 1, "assistant", "one two"),
+            ("c3", 0, "user", "same prompt "),
+            ("c3", 1, "assistant", "a b c"),
+            ("c4", 0, "user", "lonely prompt"),
+            ("c4", 1, "assistant", "x"),
+            ("c5", 0, "assistant", "no user"),
+        ]
+        out = conv_dpo_pairs(self._write(tmp_path, rows)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["n_convs"] == 3
+        assert r["chosen_conv_id"] == "c1" and r["chosen_score"] == 5
+        assert r["rejected_conv_id"] == "c2" and r["rejected_score"] == 2
+
+    def test_full_tie_still_distinct(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_dpo_pairs,
+        )
+        # equal scores: chosen = min conv_id, rejected = max conv_id
+        rows = [
+            ("a1", 0, "user", "p"), ("a1", 1, "assistant", "x y"),
+            ("a2", 0, "user", "p"), ("a2", 1, "assistant", "u v"),
+        ]
+        out = conv_dpo_pairs(self._write(tmp_path, rows)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["chosen_conv_id"] == "a1"
+        assert r["rejected_conv_id"] == "a2"
+        assert r["chosen_score"] == r["rejected_score"] == 2
+
+    def test_score_sums_across_blocks(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_dpo_pairs,
+        )
+        # split one conversation across TWO files: block-partial
+        # assistant sums and first-user candidates must fold exactly
+        d = tmp_path / "dpo2"
+        d.mkdir()
+
+        def tbl(rows):
+            return pa.table({
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "tool": pa.array([""] * len(rows), pa.string())})
+
+        pq.write_table(tbl([
+            ("b1", 2, "assistant", "three more tokens here"),
+            ("b1", 3, "user", "later user turn"),
+            ("b2", 0, "user", "shared  q"),
+            ("b2", 1, "assistant", "one"),
+        ]), str(d / "part-0.parquet"))
+        pq.write_table(tbl([
+            ("b1", 0, "user", "shared q"),
+            ("b1", 1, "assistant", "two tokens"),
+        ]), str(d / "part-1.parquet"))
+        out = conv_dpo_pairs(str(d)).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        # b1: 4 + 2 = 6 assistant tokens, first user turn is idx 0 in
+        # the OTHER file; b2: 1 token
+        assert r["chosen_conv_id"] == "b1" and r["chosen_score"] == 6
+        assert r["rejected_conv_id"] == "b2" and r["rejected_score"] == 1

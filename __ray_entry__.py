@@ -204,6 +204,11 @@ def _q_conv_first_msg_dedup(sf_dir: str) -> Any:
     return conv_first_msg_dedup(_transcripts_for(sf_dir))
 
 
+def _q_conv_window_truncate(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_window_truncate
+    return conv_window_truncate(_transcripts_for(sf_dir))
+
+
 def _q_conv_dpo_pairs(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_dpo_pairs
     return conv_dpo_pairs(_transcripts_for(sf_dir))
@@ -438,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_window_truncate": _q_conv_window_truncate,          # SQL-matched (drop-oldest context-window truncation, r5)
+        "doc_hapax_risk": documents.doc_hapax_risk,               # SQL-matched (rare-token memorization-risk screen, r5)
         "conv_dpo_pairs": _q_conv_dpo_pairs,                      # SQL-matched (DPO preference-pair mining per shared prompt, r5)
         "embedding_margin_mining": similarity.embedding_margin_mining,  # SQL-matched (Artetxe-Schwenk margin pair mining, r5)
         "lang_fertility": documents.lang_fertility,               # SQL-matched (per-lang tokenizer-fertility profile, r5)
@@ -1219,6 +1226,27 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # drop-oldest truncation (engine extract.conv_window_truncate):
+        # context_growth token convention with the cumsum windowed from
+        # the TAIL (ORDER BY turn_idx DESC).
+        "conv_window_truncate": f"""
+            WITH t AS (
+                SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                       CAST(len(string_split_regex(
+                           trim(regexp_replace(coalesce(text, ''),
+                                               '\\s+', ' ', 'g')),
+                           '\\s+')) AS BIGINT) AS n_tokens
+                FROM {_T_SRC})
+            SELECT conv_id, turn_idx, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS tail_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS UNBOUNDED PRECEDING) <= 512 AS kept
+            FROM t
+        """,
         "conv_context_growth": f"""
             WITH t AS (
                 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
@@ -3768,6 +3796,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_from_postings": _bm25_sql(),
         # Sharded inverted index: exact df, capped ascending postings
         # (first 16 ids), min_df 2; vocab token convention.
+        # rare-token memorization-risk screen (engine
+        # documents.doc_hapax_risk): doc_vocab_topk token convention;
+        # hapax = global df == 1; every doc emitted (zero-hapax docs
+        # included); one DOUBLE division, round 6.
+        "doc_hapax_risk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(trim(regexp_replace(
+                           coalesce(text, ''), '\\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+            td AS (SELECT DISTINCT doc_id, token FROM toks
+                   WHERE token <> ''),
+            nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct
+                   FROM td GROUP BY doc_id),
+            dfq AS (SELECT token, count(*) AS df FROM td GROUP BY token),
+            hx AS (SELECT td.doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+                   FROM td JOIN dfq USING (token)
+                   WHERE dfq.df = 1 GROUP BY td.doc_id),
+            d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents)
+            SELECT d.doc_id,
+                   coalesce(nd.n_distinct, 0) AS n_distinct,
+                   coalesce(hx.n_hapax, 0) AS n_hapax,
+                   round(CAST(coalesce(hx.n_hapax, 0) AS DOUBLE)
+                         / greatest(coalesce(nd.n_distinct, 0), 1), 6)
+                       AS hapax_frac
+            FROM d LEFT JOIN nd USING (doc_id)
+                   LEFT JOIN hx USING (doc_id)
+        """,
         "doc_postings": """
             WITH toks AS (
                 SELECT doc_id,

@@ -3180,3 +3180,104 @@ def lang_fertility(sf_dir: str) -> ray.data.Dataset:
                 Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
                 Sum("n_ws_tokens", alias_name="n_ws_tokens"))
             .map_batches(finish, batch_format="pandas"))
+
+
+def doc_hapax_risk(sf_dir: str, n_buckets: int = 32,
+                   num_partitions: int = 32) -> ray.data.Dataset:
+    """Memorization/rare-token risk screen: per document, how much of
+    its distinct vocabulary is corpus-hapax (tokens whose document
+    frequency is exactly 1) — documents dominated by strings nobody
+    else uses (keys, IDs, one-off boilerplate) are the ones a trained
+    model is most likely to memorize verbatim, the canonical
+    privacy-risk triage before training (token convention =
+    :func:`doc_vocab_topk`; reference analogue: the uniqueness-flag
+    pattern screens of ``/root/reference/src/validation/
+    hallucination_detector.py`` applied corpus-wide).
+
+    Output per document: ``n_distinct`` (exact, computed MAP-SIDE —
+    each document is one row, so its distinct-token count never needs
+    a shuffle), ``n_hapax`` (distinct tokens with global df == 1), and
+    ``hapax_frac = round(n_hapax / max(n_distinct, 1), 6)``.
+
+    Scale shape: one token-hash exchange of distinct ``(token, doc_id,
+    n_distinct)`` pairs (a token lives in exactly one bucket, so df is
+    exact); hapax hits fold to narrow per-(bucket, doc) partial counts,
+    which meet the map-side ``(doc_id, n_distinct, 0)`` base rows in a
+    doc-bucket exchange — every document appears in the output even
+    with zero hapax tokens, and no exchange row is wider than three
+    ints + one token string.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+
+    ds = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def pairs_(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pd.DataFrame({
+            "token": flat.to_numpy(zero_copy_only=False),
+            "doc_id": ids[parents]})
+        d = d[d["token"] != ""].drop_duplicates()
+        nd = d.groupby("doc_id", sort=False).size()
+        d["n_distinct"] = nd.reindex(d["doc_id"]).to_numpy(np.int64)
+        d["_bucket"] = (hash_str_array(d["token"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def hapax_partials(g: "pd.DataFrame") -> "pd.DataFrame":
+        df_ = g.groupby("token", sort=False)["doc_id"].transform("size")
+        hap = g[df_ == 1]
+        agg = hap.groupby(["doc_id", "n_distinct"], sort=False,
+                          as_index=False).size()
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(np.int64),
+            "n_distinct": agg["n_distinct"].to_numpy(np.int64),
+            "n_hapax": agg["size"].to_numpy(np.int64),
+            "dbucket": (agg["doc_id"].to_numpy(np.int64)
+                        % num_partitions)})
+
+    def base_rows(batch: pa.Table) -> "pd.DataFrame":
+        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pd.DataFrame({"token": flat.to_numpy(zero_copy_only=False),
+                          "doc_id": ids[parents]})
+        nd = (d[d["token"] != ""].drop_duplicates()
+              .groupby("doc_id", sort=False).size()
+              .reindex(ids, fill_value=0))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_distinct": nd.to_numpy(np.int64),
+            "n_hapax": np.zeros(len(ids), np.int64),
+            "dbucket": ids % num_partitions})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = g.groupby("doc_id", sort=True, as_index=False).agg(
+            n_distinct=("n_distinct", "max"),
+            n_hapax=("n_hapax", "sum"))
+        nd = agg["n_distinct"].to_numpy(np.int64)
+        nh = agg["n_hapax"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(np.int64),
+            "n_distinct": nd,
+            "n_hapax": nh,
+            "hapax_frac": np.round(nh / np.maximum(nd, 1), 6)})
+
+    hapax = (ds.map_batches(pairs_, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(hapax_partials,
+                                            batch_format="pandas"))
+    base = ds.map_batches(base_rows, batch_format="pyarrow")
+    return (base.union(hapax.select_columns(
+                ["doc_id", "n_distinct", "n_hapax", "dbucket"]))
+            .groupby("dbucket").map_groups(fold, batch_format="pandas"))

@@ -1245,3 +1245,59 @@ def conv_dpo_pairs(paths: str | list[str],
             .groupby("pkey").map_groups(per_conv, batch_format="pandas")
             .groupby("kbucket").map_groups(per_family,
                                            batch_format="pandas"))
+
+
+def conv_window_truncate(paths: str | list[str],
+                         budget: int = CONTEXT_BUDGET_TOKENS,
+                         num_partitions: int = DEFAULT_PARTITIONS
+                         ) -> ray.data.Dataset:
+    """Drop-oldest context-window truncation — the inference/SFT-serving
+    counterpart of :func:`conv_context_growth` (which keeps the oldest
+    PREFIX): keep the most recent turns whose cumulative token count
+    fits ``budget``, i.e. a turn is kept iff the reverse-cumulative
+    token sum from the LAST turn back to it is ≤ budget — exactly what
+    a chat runtime does when a conversation outgrows the model context
+    (reference analogue: the page-window slicing of
+    ``/root/reference/src/pipeline/runner.py`` max_pages cap, applied
+    from the tail).
+
+    Per turn: ``n_tokens`` (the :func:`conv_context_growth`
+    convention), ``tail_tokens`` (reverse cumsum, this turn included),
+    and ``kept``. Same scale shape as context_growth: token counts are
+    computed map-side so the single conv-hash bucket exchange carries
+    only ``(conv_id, turn_idx, n_tokens)``; inside a bucket one
+    mergesort + grouped reverse cumsum, no per-conversation loop.
+    """
+    import pandas as pd
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.fill_null(batch["text"], ""),
+                                       r"\s+", " "))
+        toks = pc.split_pattern_regex(clean, r"\s+")
+        n = pc.cast(pc.list_value_length(toks), pa.int64())
+        return pa.table({"conv_id": batch["conv_id"],
+                         "turn_idx": pc.cast(batch["turn_idx"],
+                                             pa.int64()),
+                         "n_tokens": n})
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow"),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], ascending=False,
+                          kind="mergesort")
+        tail = g.groupby("conv_id", sort=False)["n_tokens"].cumsum() \
+            .to_numpy(np.int64)
+        out = pd.DataFrame({
+            "conv_id": g["conv_id"].to_numpy(object),
+            "turn_idx": g["turn_idx"].to_numpy(np.int64),
+            "n_tokens": g["n_tokens"].to_numpy(np.int64),
+            "tail_tokens": tail,
+            "kept": tail <= budget})
+        return out.iloc[::-1].reset_index(drop=True)
+
+    return ds.groupby("pkey").map_groups(per_bucket,
+                                         batch_format="pandas")

@@ -309,3 +309,32 @@ class TestCompressionRatio:
         assert bool(out.loc[0, "keep"]) is False
         assert out.loc[0, "compression_ratio"] < 0.05
         assert bool(out.loc[1, "keep"]) is True
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHapaxRisk:
+    def test_designed_values(self, tmp_path):
+        """tokens: 'common' in all three docs (df=3); 'xkey9' only in
+        doc 0 (hapax); 'share2' in docs 1+2 (df=2); 'zid7' only in
+        doc 2 (hapax, repeated within the doc but still ONE distinct
+        token); doc 3 is empty."""
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_hapax_risk,
+        )
+        sf = _write_docs(
+            tmp_path, "hx",
+            doc_id=pa.array([0, 1, 2, 3], pa.int64()),
+            text=pa.array(["common xkey9",
+                           "common share2",
+                           "common share2 zid7 zid7",
+                           ""], pa.string()),
+            lang=pa.array(["en"] * 4, pa.string()),
+            source=pa.array(["s"] * 4, pa.string()),
+            n_chars=pa.array([12, 13, 23, 0], pa.int64()))
+        out = (doc_hapax_risk(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out["doc_id"].tolist() == [0, 1, 2, 3]
+        assert out["n_distinct"].tolist() == [2, 2, 3, 0]
+        assert out["n_hapax"].tolist() == [1, 0, 1, 0]
+        assert out["hapax_frac"].tolist() == [0.5, 0.0,
+                                              round(1 / 3, 6), 0.0]

@@ -905,3 +905,46 @@ class TestConvDpoPairs:
         # the OTHER file; b2: 1 token
         assert r["chosen_conv_id"] == "b1" and r["chosen_score"] == 6
         assert r["rejected_conv_id"] == "b2" and r["rejected_score"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvWindowTruncate:
+    def test_keeps_suffix_within_budget(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_window_truncate,
+        )
+        # turns of 3 / 2 / 4 tokens, budget 6: reverse sums are 9/6/4 —
+        # only the last two turns fit
+        rows = [("c", 0, "user", "a b c"),
+                ("c", 1, "assistant", "d e"),
+                ("c", 2, "user", "f g h i")]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string())})
+        d = tmp_path / "wt"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_window_truncate(str(d), budget=6).to_pandas()
+               .sort_values("turn_idx").reset_index(drop=True))
+        assert out["n_tokens"].tolist() == [3, 2, 4]
+        assert out["tail_tokens"].tolist() == [9, 6, 4]
+        assert out["kept"].tolist() == [False, True, True]
+
+    def test_matches_forward_growth_totals(self, ray_session,
+                                           tiny_transcripts):
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_context_growth,
+            conv_window_truncate,
+        )
+        # the final forward cumsum and the first tail sum are both the
+        # conversation total — cross-check the two operators
+        fwd = conv_context_growth(tiny_transcripts).to_pandas()
+        bwd = conv_window_truncate(tiny_transcripts).to_pandas()
+        tot_f = fwd.groupby("conv_id")["cum_tokens"].max()
+        tot_b = bwd.groupby("conv_id")["tail_tokens"].max()
+        assert tot_f.sort_index().equals(tot_b.sort_index())

@@ -443,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "doc_template_detect": documents.doc_template_detect,     # SQL-matched (digit-masked template-skeleton dedup, r5)
+        "events_user_fano": events.events_user_fano,              # SQL-matched (daily-count Fano-factor burstiness screen, r5)
         "conv_window_truncate": _q_conv_window_truncate,          # SQL-matched (drop-oldest context-window truncation, r5)
         "doc_hapax_risk": documents.doc_hapax_risk,               # SQL-matched (rare-token memorization-risk screen, r5)
         "conv_dpo_pairs": _q_conv_dpo_pairs,                      # SQL-matched (DPO preference-pair mining per shared prompt, r5)
@@ -2341,6 +2343,23 @@ def oracle_sql() -> dict[str, str]:
         # Gini of per-user event counts (engine events.events_user_gini):
         # Lorenz-rank formula; rank·x is tie-invariant (x constant within
         # a tie block), integer until the final division, round 6.
+        # daily-count Fano factor (engine events.events_user_fano):
+        # per-user var/mean over active calendar days, exact integers
+        # (n·s2 − s1²)/(n·s1), one DOUBLE division, round 6.
+        "events_user_fano": """
+            WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                              count(*) AS c
+                       FROM events GROUP BY 1, 2),
+            u AS (SELECT user_id,
+                         CAST(count(*) AS BIGINT) AS n_days,
+                         CAST(sum(c) AS BIGINT) AS s1,
+                         CAST(sum(c * c) AS BIGINT) AS s2
+                  FROM d GROUP BY 1)
+            SELECT user_id, n_days, s1 AS n_events,
+                   round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                         / CAST(n_days * s1 AS DOUBLE), 6) AS fano
+            FROM u
+        """,
         "events_user_gini": """
             WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
                        FROM events GROUP BY 1),
@@ -3796,6 +3815,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_from_postings": _bm25_sql(),
         # Sharded inverted index: exact df, capped ascending postings
         # (first 16 ids), min_df 2; vocab token convention.
+        # template-skeleton dedup (engine documents.doc_template_detect):
+        # doc_fingerprint normalization, digit runs masked to '#', md5
+        # key; family stats mirror conv_first_msg_dedup.
+        "doc_template_detect": """
+            WITH s AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       md5(regexp_replace(
+                           lower(trim(regexp_replace(
+                               coalesce(text, ''), '\\s+', ' ', 'g'))),
+                           '[0-9]+', '#', 'g')) AS skeleton_key
+                FROM documents)
+            SELECT doc_id, skeleton_key,
+                   CAST(count(*) OVER (PARTITION BY skeleton_key)
+                        AS BIGINT) AS n_docs,
+                   min(doc_id) OVER (PARTITION BY skeleton_key)
+                       AS canonical_doc_id,
+                   doc_id = min(doc_id) OVER
+                       (PARTITION BY skeleton_key) AS keep
+            FROM s
+        """,
         # rare-token memorization-risk screen (engine
         # documents.doc_hapax_risk): doc_vocab_topk token convention;
         # hapax = global df == 1; every doc emitted (zero-hapax docs

@@ -3281,3 +3281,64 @@ def doc_hapax_risk(sf_dir: str, n_buckets: int = 32,
     return (base.union(hapax.select_columns(
                 ["doc_id", "n_distinct", "n_hapax", "dbucket"]))
             .groupby("dbucket").map_groups(fold, batch_format="pandas"))
+
+
+def doc_template_detect(sf_dir: str,
+                        num_partitions: int = 32) -> ray.data.Dataset:
+    """Template/boilerplate skeleton detection: documents that differ
+    only in their NUMBERS share a skeleton — the digit-masked md5 of
+    the normalized text — which catches machine-generated form pages
+    (invoices, receipts, listings, log dumps) that exact dedup misses
+    because every instance carries different IDs/amounts/dates (the
+    document-level analogue of :func:`..pipelines.extract
+    .conv_first_msg_dedup`; reference analogue: the sequential/
+    repeated-value template screens of ``/root/reference/src/
+    validation/hallucination_detector.py``).
+
+    Skeleton = ``md5(regexp_replace(norm, '[0-9]+', '#'))`` with norm =
+    the :func:`doc_fingerprint` whitespace-collapse + lower convention.
+    Output per document: ``skeleton_key``, family size ``n_docs``,
+    ``canonical_doc_id`` (min), and ``keep`` (is-canonical) — rows with
+    ``n_docs ≥ 2`` are the template families a curation run deduplicates
+    or down-weights.
+
+    Scale shape: the md5 happens map-side, so the single key-hash
+    exchange carries only ``(doc_id, skeleton_key)``; a skeleton lives
+    in exactly one bucket, so family size and canonical are exact.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import bucket_str_column
+
+    def skeletons(batch: pa.Table) -> "pd.DataFrame":
+        norm = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        skel = pc.replace_substring_regex(norm, "[0-9]+", "#")
+        keys = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in skel.to_pylist()]
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "skeleton_key": keys})
+        out["_bucket"] = bucket_str_column(
+            pa.array(keys, pa.string()), num_partitions)
+        return out
+
+    def per_family(g: "pd.DataFrame") -> "pd.DataFrame":
+        fam = g.groupby("skeleton_key", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            canonical_doc_id=("doc_id", "min"))
+        out = g.merge(fam, on="skeleton_key")
+        out = out.sort_values("doc_id", kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "skeleton_key": out["skeleton_key"].to_numpy(object),
+            "n_docs": out["n_docs"].to_numpy(np.int64),
+            "canonical_doc_id":
+                out["canonical_doc_id"].to_numpy(np.int64),
+            "keep": (out["doc_id"]
+                     == out["canonical_doc_id"]).to_numpy(bool)})
+
+    return (read_documents(sf_dir, columns=["doc_id", "text"])
+            .map_batches(skeletons, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_family,
+                                           batch_format="pandas"))

@@ -1668,3 +1668,57 @@ def events_user_gini(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
     return pd.DataFrame({"n_users": np.array([n_users], np.int64),
                          "n_events": np.array([total], np.int64),
                          "gini": [round(gini, 6)]})
+
+
+def events_user_fano(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user burstiness via the Fano factor of daily event counts —
+    ``var/mean`` over the user's active days. Human activity is
+    over-dispersed (Fano > 1, bursty sessions); schedulers and simple
+    bots are under-dispersed (Fano → 0, metronome-regular) — the
+    dispersion complement of :func:`events_bot_users`' inter-arrival
+    CV screen (reference analogue: the repetitive/sequential value
+    detectors of ``/root/reference/src/validation/
+    hallucination_detector.py`` applied to activity series).
+
+    Exact integers until one float64 division: with per-active-day
+    counts ``c_i`` (n days, s1 = Σc, s2 = Σc²), population
+    ``var/mean = (n·s2 − s1²) / (n·s1)``, round 6 — identical float op
+    in the oracle. Day buckets = calendar days of ``ts`` (the
+    :func:`events_daily` convention).
+
+    Scale shape: map-side ``(user, day)`` partial counts (the exchange
+    never carries timestamps), one user-hash bucket fold; a user lives
+    in exactly one bucket so n/s1/s2 are exact. Output per user:
+    ``n_days, n_events, fano``.
+    """
+    from ..functions.hashing import bucket_int_array
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch.assign(day=batch["ts"].dt.floor("D").astype(np.int64))
+        g = (d.groupby(["user_id", "day"], as_index=False)
+             .agg(c=("user_id", "size")))
+        g["_bucket"] = bucket_int_array(g["user_id"].to_numpy(np.int64),
+                                        n_buckets)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.groupby(["user_id", "day"], as_index=False)
+             .agg(c=("c", "sum")))
+        d["c2"] = d["c"] * d["c"]
+        u = d.groupby("user_id", as_index=False).agg(
+            n_days=("day", "size"), s1=("c", "sum"), s2=("c2", "sum"))
+        n = u["n_days"].to_numpy(np.int64)
+        s1 = u["s1"].to_numpy(np.int64)
+        s2 = u["s2"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": u["user_id"].to_numpy(np.int64),
+            "n_days": n,
+            "n_events": s1,
+            "fano": np.round((n * s2 - s1 * s1).astype(np.float64)
+                             / (n * s1).astype(np.float64), 6)})
+
+    return (read_events(sf_dir, ["user_id", "ts"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=131_072)
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))

@@ -338,3 +338,33 @@ class TestHapaxRisk:
         assert out["n_hapax"].tolist() == [1, 0, 1, 0]
         assert out["hapax_frac"].tolist() == [0.5, 0.0,
                                               round(1 / 3, 6), 0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTemplateDetect:
+    def test_digit_masked_families(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_template_detect,
+        )
+        # docs 0/2 differ only in numbers (one family, canonical 0);
+        # doc 1 differs in a WORD (its own family); doc 3 differs only
+        # in whitespace+case from doc 0's skeleton (same family)
+        sf = _write_docs(
+            tmp_path, "tpl",
+            doc_id=pa.array([0, 1, 2, 3], pa.int64()),
+            text=pa.array(["Invoice 123 total 45.60 due 2026",
+                           "Receipt 123 total 45.60 due 2026",
+                           "Invoice 999 total 1.23 due 1999",
+                           "  invoice 7  TOTAL 8.9 due 12  "],
+                          pa.string()),
+            lang=pa.array(["en"] * 4, pa.string()),
+            source=pa.array(["s"] * 4, pa.string()),
+            n_chars=pa.array([32, 32, 31, 30], pa.int64()))
+        out = (doc_template_detect(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out.loc[0, "skeleton_key"] == out.loc[2, "skeleton_key"]
+        assert out.loc[0, "skeleton_key"] == out.loc[3, "skeleton_key"]
+        assert out.loc[1, "skeleton_key"] != out.loc[0, "skeleton_key"]
+        assert out["n_docs"].tolist() == [3, 1, 3, 3]
+        assert out["canonical_doc_id"].tolist() == [0, 1, 0, 0]
+        assert out["keep"].tolist() == [True, True, False, False]

@@ -514,3 +514,38 @@ class TestEventsAbLift:
         assert got.loc[1, "conv_rate"] == 1.0
         assert (got["z_score"] > 0).all()        # variant 1 wins
         assert got["z_score"].nunique() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsUserFano:
+    def test_designed_dispersion(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_user_fano,
+        )
+        # user 1: metronome — 2 events on each of 3 days (var 0, fano 0)
+        # user 2: bursty — counts 1 and 5 over 2 days:
+        #   mean 3, pop var ((1-3)^2+(5-3)^2)/2 = 4, fano 4/3
+        ts = (["2026-01-01 01:00", "2026-01-01 02:00",
+               "2026-01-02 01:00", "2026-01-02 02:00",
+               "2026-01-03 01:00", "2026-01-03 02:00"]
+              + ["2026-01-01 01:00"]
+              + [f"2026-01-02 0{h}:00" for h in range(1, 6)])
+        uid = [1] * 6 + [2] * 6
+        tbl = pa.table({
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "ts": pa.array(pd.to_datetime(ts), pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(["click"] * len(ts), pa.string()),
+            "value": pa.array([1.0] * len(ts), pa.float64()),
+            "props": pa.array(["{}"] * len(ts), pa.string())})
+        d = tmp_path / "fano"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        out = (events_user_fano(str(d)).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        assert out["n_days"].tolist() == [3, 2]
+        assert out["n_events"].tolist() == [6, 6]
+        assert out["fano"].tolist() == [0.0, round(4 / 3, 6)]

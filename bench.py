@@ -316,6 +316,18 @@ def run_bench() -> dict:
             lambda s: _extract.conv_sft_filter(s).count(), src),
         "doc_split_assign": timed(
             lambda d: documents.doc_split_assign(d).count(), sf_dir),
+        "embedding_margin_mining": timed(
+            lambda d: len(similarity.embedding_margin_mining(d)), sf_dir),
+        "conv_dpo_pairs": timed(
+            lambda s: _extract.conv_dpo_pairs(s).count(), src),
+        "doc_hapax_risk": timed(
+            lambda d: documents.doc_hapax_risk(d).count(), sf_dir),
+        "conv_window_truncate": timed(
+            lambda s: _extract.conv_window_truncate(s).count(), src),
+        "events_user_fano": timed(
+            lambda d: events.events_user_fano(d).count(), sf_dir),
+        "doc_template_detect": timed(
+            lambda d: documents.doc_template_detect(d).count(), sf_dir),
     }
 
     ray.shutdown()

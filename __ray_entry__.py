@@ -204,6 +204,16 @@ def _q_conv_first_msg_dedup(sf_dir: str) -> Any:
     return conv_first_msg_dedup(_transcripts_for(sf_dir))
 
 
+def _q_conv_refusal_rate(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_refusal_rate
+    return conv_refusal_rate(_transcripts_for(sf_dir))
+
+
+def _q_conv_lang_mismatch(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_lang_mismatch
+    return conv_lang_mismatch(_transcripts_for(sf_dir))
+
+
 def _q_conv_window_truncate(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_window_truncate
     return conv_window_truncate(_transcripts_for(sf_dir))
@@ -443,6 +453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_refusal_rate": _q_conv_refusal_rate,                # SQL-matched (assistant refusal-marker screen, r5)
+        "conv_lang_mismatch": _q_conv_lang_mismatch,              # SQL-matched (cross-role language-consistency screen, r5)
         "doc_template_detect": documents.doc_template_detect,     # SQL-matched (digit-masked template-skeleton dedup, r5)
         "events_user_fano": events.events_user_fano,              # SQL-matched (daily-count Fano-factor burstiness screen, r5)
         "conv_window_truncate": _q_conv_window_truncate,          # SQL-matched (drop-oldest context-window truncation, r5)
@@ -1228,6 +1240,100 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # assistant refusal screen (engine extract.conv_refusal_rate):
+        # lowercase substring markers, conv fold of two ints, round 6.
+        "conv_refusal_rate": f"""
+            WITH t AS (SELECT conv_id, role,
+                              lower(coalesce(text, '')) AS low
+                       FROM {_T_SRC}),
+            per AS (SELECT conv_id,
+                      CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+                          AS is_a,
+                      CASE WHEN role = 'assistant' AND (
+                             low LIKE '%i cannot%'
+                          OR low LIKE '%i can''t%'
+                          OR low LIKE '%i''m sorry%'
+                          OR low LIKE '%as an ai%'
+                          OR low LIKE '%i am unable%')
+                           THEN 1 ELSE 0 END AS is_r
+                    FROM t)
+            SELECT conv_id,
+                   CAST(sum(is_a) AS BIGINT) AS n_assistant,
+                   CAST(sum(is_r) AS BIGINT) AS n_refusal,
+                   round(CAST(sum(is_r) AS DOUBLE)
+                         / greatest(sum(is_a), 1), 6) AS refusal_rate
+            FROM per GROUP BY conv_id
+        """,
+        # cross-role language mismatch (engine
+        # extract.conv_lang_mismatch): the doc_lang_id marker kernel per
+        # turn, per-conv user-majority via the same en>=de>=es>=fr
+        # ladder, assistant mismatch fraction round 6.
+        "conv_lang_mismatch": f"""
+            WITH t AS (SELECT conv_id, role,
+                              string_split_regex(lower(coalesce(text, '')),
+                                                 '[^a-z]+') AS tk
+                       FROM {_T_SRC}),
+            c AS (SELECT conv_id, role,
+                    CAST(len(list_filter(tk, x -> list_contains(
+                        ['the','and','of','to','a','in','is'], x)))
+                        AS BIGINT) AS en_n,
+                    CAST(len(list_filter(tk, x -> list_contains(
+                        ['der','die','das','und','ist','ein'], x)))
+                        AS BIGINT) AS de_n,
+                    CAST(len(list_filter(tk, x -> list_contains(
+                        ['el','la','los','que','y','es'], x)))
+                        AS BIGINT) AS es_n,
+                    CAST(len(list_filter(tk, x -> list_contains(
+                        ['le','les','des','et','est','une'], x)))
+                        AS BIGINT) AS fr_n
+                  FROM t),
+            p AS (SELECT conv_id, role,
+                    CASE WHEN en_n >= de_n AND en_n >= es_n
+                              AND en_n >= fr_n THEN 'en'
+                         WHEN de_n >= es_n AND de_n >= fr_n THEN 'de'
+                         WHEN es_n >= fr_n THEN 'es' ELSE 'fr' END
+                        AS pred
+                  FROM c),
+            agg AS (SELECT conv_id,
+                      sum(CASE WHEN role='user' AND pred='en'
+                               THEN 1 ELSE 0 END) AS u_en,
+                      sum(CASE WHEN role='user' AND pred='de'
+                               THEN 1 ELSE 0 END) AS u_de,
+                      sum(CASE WHEN role='user' AND pred='es'
+                               THEN 1 ELSE 0 END) AS u_es,
+                      sum(CASE WHEN role='user' AND pred='fr'
+                               THEN 1 ELSE 0 END) AS u_fr,
+                      sum(CASE WHEN role='assistant' AND pred='en'
+                               THEN 1 ELSE 0 END) AS a_en,
+                      sum(CASE WHEN role='assistant' AND pred='de'
+                               THEN 1 ELSE 0 END) AS a_de,
+                      sum(CASE WHEN role='assistant' AND pred='es'
+                               THEN 1 ELSE 0 END) AS a_es,
+                      sum(CASE WHEN role='assistant' AND pred='fr'
+                               THEN 1 ELSE 0 END) AS a_fr
+                    FROM p GROUP BY conv_id),
+            m AS (SELECT conv_id,
+                    CASE WHEN u_en >= u_de AND u_en >= u_es
+                              AND u_en >= u_fr THEN 'en'
+                         WHEN u_de >= u_es AND u_de >= u_fr THEN 'de'
+                         WHEN u_es >= u_fr THEN 'es' ELSE 'fr' END
+                        AS user_lang,
+                    CAST(a_en + a_de + a_es + a_fr AS BIGINT)
+                        AS n_assistant,
+                    a_en, a_de, a_es, a_fr
+                  FROM agg)
+            SELECT conv_id, user_lang, n_assistant,
+                   CAST(n_assistant - CASE user_lang
+                        WHEN 'en' THEN a_en WHEN 'de' THEN a_de
+                        WHEN 'es' THEN a_es ELSE a_fr END AS BIGINT)
+                       AS n_mismatch,
+                   round(CAST(n_assistant - CASE user_lang
+                         WHEN 'en' THEN a_en WHEN 'de' THEN a_de
+                         WHEN 'es' THEN a_es ELSE a_fr END AS DOUBLE)
+                         / greatest(n_assistant, 1), 6)
+                       AS mismatch_frac
+            FROM m
+        """,
         # drop-oldest truncation (engine extract.conv_window_truncate):
         # context_growth token convention with the cumsum windowed from
         # the TAIL (ORDER BY turn_idx DESC).

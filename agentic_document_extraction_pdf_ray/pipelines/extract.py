@@ -1301,3 +1301,142 @@ def conv_window_truncate(paths: str | list[str],
 
     return ds.groupby("pkey").map_groups(per_bucket,
                                          batch_format="pandas")
+
+
+def conv_lang_mismatch(paths: str | list[str],
+                       num_partitions: int = DEFAULT_PARTITIONS
+                       ) -> ray.data.Dataset:
+    """Cross-role language-consistency screen: per conversation, the
+    majority language of the USER turns (the
+    :func:`..pipelines.documents.lang_id_arrays` marker heuristic with
+    its deterministic en≥de≥es≥fr argmax ladder) versus each ASSISTANT
+    turn's detected language — a high mismatch fraction flags
+    wrong-language responses and machine-translation contamination,
+    a standard multilingual-SFT curation screen (reference analogue:
+    the per-field confidence/agreement screens of
+    ``/root/reference/src/pipeline/reconciler.py`` applied at language
+    granularity).
+
+    Output per conversation: ``user_lang`` (majority; the all-zero
+    marker case resolves to 'en' by the shared ladder), ``n_assistant``,
+    ``n_mismatch`` (assistant turns whose detected lang differs), and
+    ``mismatch_frac = round(n_mismatch / max(n_assistant, 1), 6)``.
+
+    Scale shape: language detection is vectorized MAP-SIDE (one Arrow
+    split + ``index_in`` + bincount per batch); each block reduces to
+    one row of EIGHT ints per conversation (user/assistant counts per
+    language), so the single conv-hash exchange carries no text and the
+    per-bucket fold is a sum + CASE ladder.
+    """
+    import pandas as pd
+
+    from .documents import lang_id_arrays
+
+    LANGS = ("en", "de", "es", "fr")
+
+    def per_block(batch: pa.Table) -> pd.DataFrame:
+        _, _, _, _, pred = lang_id_arrays(batch["text"])
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"conv_id": conv})
+        for side, rname in (("u", "user"), ("a", "assistant")):
+            m = role == rname
+            for lang in LANGS:
+                df[f"{side}_{lang}"] = (m & (pred == lang)) \
+                    .astype(np.int64)
+        g = df.groupby("conv_id", as_index=False).sum()
+        g["pkey"] = bucket_str_column(
+            pa.array(g["conv_id"], pa.string()), num_partitions)
+        return g
+
+    cols = [f"{s}_{lang}" for s in ("u", "a") for lang in LANGS]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("conv_id", as_index=False)[cols].sum()
+        u = {lang: agg[f"u_{lang}"].to_numpy(np.int64) for lang in LANGS}
+        a = {lang: agg[f"a_{lang}"].to_numpy(np.int64) for lang in LANGS}
+        maj = np.where(
+            (u["en"] >= u["de"]) & (u["en"] >= u["es"])
+            & (u["en"] >= u["fr"]), "en",
+            np.where((u["de"] >= u["es"]) & (u["de"] >= u["fr"]), "de",
+                     np.where(u["es"] >= u["fr"], "es", "fr")))
+        n_asst = sum(a.values())
+        match = np.select([maj == lang for lang in LANGS],
+                          [a[lang] for lang in LANGS])
+        mism = n_asst - match
+        return pd.DataFrame({
+            "conv_id": agg["conv_id"].to_numpy(object),
+            "user_lang": maj,
+            "n_assistant": n_asst,
+            "n_mismatch": mism,
+            "mismatch_frac": np.round(
+                mism / np.maximum(n_asst, 1), 6)})
+
+    return (read_transcripts(paths, columns=["conv_id", "role", "text"])
+            .map_batches(per_block, batch_format="pyarrow")
+            .groupby("pkey").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
+REFUSAL_MARKERS = ("i cannot", "i can't", "i'm sorry",
+                   "as an ai", "i am unable")
+
+
+def conv_refusal_rate(paths: str | list[str],
+                      num_partitions: int = DEFAULT_PARTITIONS
+                      ) -> ray.data.Dataset:
+    """Assistant refusal-rate screen: the fraction of a conversation's
+    assistant turns containing a refusal/deflection marker
+    (:data:`REFUSAL_MARKERS`, lowercase substring match) — the standard
+    SFT-curation filter that drops over-refusing samples before
+    training (reference analogue: the phrase-inventory screens of
+    ``/root/reference/src/validation/hallucination_detector.py``
+    hallucination patterns, re-targeted at refusal phrasing).
+
+    Output per conversation: ``n_assistant``, ``n_refusal`` (assistant
+    turns matching ANY marker), ``refusal_rate = round(n_refusal /
+    max(n_assistant, 1), 6)``. Conversations with no assistant turn
+    emit 0 / 0 / 0.0.
+
+    Scale shape: marker matching is vectorized map-side
+    (``match_substring`` over the lowered text, one pass per marker —
+    the marker list is a compile-once constant); each block reduces to
+    one ``(conv_id, n_assistant, n_refusal)`` row per conversation, so
+    the single conv-hash exchange carries two ints and the fold is a
+    sum.
+    """
+    import pandas as pd
+
+    def per_block(batch: pa.Table) -> pd.DataFrame:
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        hit = None
+        for m in REFUSAL_MARKERS:
+            h = pc.match_substring(low, m)
+            hit = h if hit is None else pc.or_(hit, h)
+        hit = hit.to_numpy(zero_copy_only=False)
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        asst = role == "assistant"
+        df = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+            "n_assistant": asst.astype(np.int64),
+            "n_refusal": (asst & hit).astype(np.int64)})
+        g = df.groupby("conv_id", as_index=False).sum()
+        g["pkey"] = bucket_str_column(
+            pa.array(g["conv_id"], pa.string()), num_partitions)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("conv_id", as_index=False)[
+            ["n_assistant", "n_refusal"]].sum()
+        na = agg["n_assistant"].to_numpy(np.int64)
+        nr = agg["n_refusal"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "conv_id": agg["conv_id"].to_numpy(object),
+            "n_assistant": na,
+            "n_refusal": nr,
+            "refusal_rate": np.round(nr / np.maximum(na, 1), 6)})
+
+    return (read_transcripts(paths, columns=["conv_id", "role", "text"])
+            .map_batches(per_block, batch_format="pyarrow")
+            .groupby("pkey").map_groups(per_bucket,
+                                        batch_format="pandas"))

@@ -328,6 +328,10 @@ def run_bench() -> dict:
             lambda d: events.events_user_fano(d).count(), sf_dir),
         "doc_template_detect": timed(
             lambda d: documents.doc_template_detect(d).count(), sf_dir),
+        "conv_lang_mismatch": timed(
+            lambda s: _extract.conv_lang_mismatch(s).count(), src),
+        "conv_refusal_rate": timed(
+            lambda s: _extract.conv_refusal_rate(s).count(), src),
     }
 
     ray.shutdown()

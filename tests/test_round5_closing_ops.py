@@ -948,3 +948,78 @@ class TestConvWindowTruncate:
         tot_f = fwd.groupby("conv_id")["cum_tokens"].max()
         tot_b = bwd.groupby("conv_id")["tail_tokens"].max()
         assert tot_f.sort_index().equals(tot_b.sort_index())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvLangMismatch:
+    def test_designed_mismatch(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_lang_mismatch,
+        )
+        # c1: user turns are English-marked; assistant replies one EN,
+        # one ES -> majority 'en', 1 of 2 assistants mismatch.
+        # c2: user Spanish-marked, assistant Spanish -> 0 mismatch.
+        rows = [
+            ("c1", 0, "user", "the cat and the dog"),
+            ("c1", 1, "assistant", "the answer is here"),
+            ("c1", 2, "user", "to be in a house is the point"),
+            ("c1", 3, "assistant", "el gato y la casa que es"),
+            ("c2", 0, "user", "el que la y los es"),
+            ("c2", 1, "assistant", "la y el los que es"),
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string())})
+        d = tmp_path / "lm"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_lang_mismatch(str(d)).to_pandas()
+               .set_index("conv_id").sort_index())
+        assert out.loc["c1", "user_lang"] == "en"
+        assert out.loc["c1", "n_assistant"] == 2
+        assert out.loc["c1", "n_mismatch"] == 1
+        assert out.loc["c1", "mismatch_frac"] == 0.5
+        assert out.loc["c2", "user_lang"] == "es"
+        assert out.loc["c2", "n_mismatch"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvRefusalRate:
+    def test_designed_rates(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_refusal_rate,
+        )
+        rows = [
+            ("c1", 0, "user", "do the thing"),
+            ("c1", 1, "assistant", "I cannot help with that"),
+            ("c1", 2, "user", "please?"),
+            ("c1", 3, "assistant", "Sure, here it is"),
+            ("c2", 0, "user", "hi"),
+            ("c2", 1, "assistant", "As an AI, I'm sorry but no"),
+            ("c3", 0, "user", "no assistant here"),
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string())})
+        d = tmp_path / "rr"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_refusal_rate(str(d)).to_pandas()
+               .set_index("conv_id").sort_index())
+        assert out.loc["c1", "n_assistant"] == 2
+        assert out.loc["c1", "n_refusal"] == 1
+        assert out.loc["c1", "refusal_rate"] == 0.5
+        assert out.loc["c2", "n_refusal"] == 1
+        assert out.loc["c2", "refusal_rate"] == 1.0
+        assert out.loc["c3", "n_assistant"] == 0
+        assert out.loc["c3", "refusal_rate"] == 0.0

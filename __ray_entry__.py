@@ -214,6 +214,26 @@ def _q_conv_lang_mismatch(sf_dir: str) -> Any:
     return conv_lang_mismatch(_transcripts_for(sf_dir))
 
 
+def _q_conv_tool_transitions(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_tool_transitions
+    return conv_tool_transitions(_transcripts_for(sf_dir))
+
+
+def _q_conv_verbosity_ratio(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_verbosity_ratio
+    return conv_verbosity_ratio(_transcripts_for(sf_dir))
+
+
+def _q_conv_pii_leak_rate(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_pii_leak_rate
+    return conv_pii_leak_rate(_transcripts_for(sf_dir))
+
+
+def _q_conv_time_splits(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_time_splits
+    return conv_time_splits(_transcripts_for(sf_dir))
+
+
 def _q_conv_window_truncate(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_window_truncate
     return conv_window_truncate(_transcripts_for(sf_dir))
@@ -453,6 +473,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_tool_transitions": _q_conv_tool_transitions,        # SQL-matched (tool-chain Markov transition matrix, r5)
+        "conv_verbosity_ratio": _q_conv_verbosity_ratio,          # SQL-matched (assistant-verbosity screen, r5)
+        "conv_pii_leak_rate": _q_conv_pii_leak_rate,              # SQL-matched (assistant PII-leakage screen, r5)
+        "conv_time_splits": _q_conv_time_splits,                  # SQL-matched (time-gap conversation sessionization, r5)
         "conv_refusal_rate": _q_conv_refusal_rate,                # SQL-matched (assistant refusal-marker screen, r5)
         "conv_lang_mismatch": _q_conv_lang_mismatch,              # SQL-matched (cross-role language-consistency screen, r5)
         "doc_template_detect": documents.doc_template_detect,     # SQL-matched (digit-masked template-skeleton dedup, r5)
@@ -1240,6 +1264,107 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # tool-chain Markov transitions (engine
+        # extract.conv_tool_transitions): consecutive pairs of the
+        # tool-turn subsequence per conv, n per (from,to), prob
+        # normalized per from_tool, round 6.
+        "conv_tool_transitions": f"""
+            WITH c AS (SELECT conv_id, turn_idx, tool FROM {_T_SRC}
+                       WHERE tool IS NOT NULL AND tool <> ''),
+            s AS (SELECT conv_id, tool AS from_tool,
+                         lead(tool) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS to_tool
+                  FROM c)
+            SELECT from_tool, to_tool,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) / CAST(sum(count(*)) OVER (
+                         PARTITION BY from_tool) AS DOUBLE), 6) AS prob
+            FROM s WHERE to_tool IS NOT NULL
+            GROUP BY from_tool, to_tool
+        """,
+        # assistant-verbosity screen (engine
+        # extract.conv_verbosity_ratio): exact codepoint char sums per
+        # role (DuckDB length == Arrow utf8_length), ratio round 6.
+        "conv_verbosity_ratio": f"""
+            SELECT conv_id,
+              CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_user,
+              CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_assistant,
+              CAST(sum(CASE WHEN role = 'user'
+                            THEN length(coalesce(text, '')) ELSE 0 END)
+                   AS BIGINT) AS user_chars,
+              CAST(sum(CASE WHEN role = 'assistant'
+                            THEN length(coalesce(text, '')) ELSE 0 END)
+                   AS BIGINT) AS assistant_chars,
+              round(CAST(sum(CASE WHEN role = 'assistant'
+                             THEN length(coalesce(text, '')) ELSE 0 END)
+                         AS DOUBLE)
+                    / greatest(sum(CASE WHEN role = 'user'
+                               THEN length(coalesce(text, '')) ELSE 0
+                               END), 1), 6) AS verbosity_ratio
+            FROM {_T_SRC} GROUP BY conv_id
+        """,
+        # assistant PII-leakage screen (engine
+        # extract.conv_pii_leak_rate): the doc_pii_scrub seed/pattern
+        # convention keyed on serial(conv_id)*37 + turn_idx; the four
+        # RE2 pattern strings are shared verbatim with the engine.
+        "conv_pii_leak_rate": f"""
+            WITH b AS (SELECT conv_id, role, coalesce(text, '') AS tx,
+                              CAST(substr(conv_id, 6) AS BIGINT) * 37
+                              + turn_idx AS k
+                       FROM {_T_SRC}),
+            s AS (SELECT conv_id, role, tx || CASE CAST(k % 7 AS INTEGER)
+                    WHEN 0 THEN ' contact user' || CAST(k AS VARCHAR)
+                                || '@example.com'
+                    WHEN 1 THEN ' ssn ' || CAST(k % 900 + 100 AS VARCHAR)
+                                || '-' || CAST(k % 90 + 10 AS VARCHAR)
+                                || '-' || CAST(k % 9000 + 1000 AS VARCHAR)
+                    WHEN 2 THEN ' call ' || CAST(k % 900 + 100 AS VARCHAR)
+                                || '.' || CAST(k % 900 + 100 AS VARCHAR)
+                                || '.' || CAST(k % 9000 + 1000 AS VARCHAR)
+                    WHEN 3 THEN ' host 10.' || CAST(k % 256 AS VARCHAR)
+                                || '.0.' || CAST(k % 100 AS VARCHAR)
+                    ELSE '' END AS sx
+                  FROM b),
+            p AS (SELECT conv_id,
+                    CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_a,
+                    CASE WHEN role = 'assistant' AND (
+                      regexp_matches(sx,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                      OR regexp_matches(sx, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')
+                      OR regexp_matches(sx,
+                        '\\b\\d{{3}}\\.\\d{{3}}\\.\\d{{4}}\\b')
+                      OR regexp_matches(sx,
+                        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+                      THEN 1 ELSE 0 END AS is_l
+                  FROM s)
+            SELECT conv_id,
+                   CAST(sum(is_a) AS BIGINT) AS n_assistant,
+                   CAST(sum(is_l) AS BIGINT) AS n_pii,
+                   round(CAST(sum(is_l) AS DOUBLE)
+                         / greatest(sum(is_a), 1), 6) AS pii_rate
+            FROM p GROUP BY conv_id
+        """,
+        # time-gap sessionization (engine extract.conv_time_splits):
+        # lag gap in exact µs, break threshold 300s.
+        "conv_time_splits": f"""
+            WITH w AS (SELECT conv_id, ts,
+                              lag(ts) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx) AS pts
+                       FROM {_T_SRC}),
+            e AS (SELECT conv_id,
+                         CASE WHEN pts IS NULL THEN NULL
+                              ELSE date_diff('microsecond', pts, ts)
+                         END AS gap
+                  FROM w)
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(1 + sum(CASE WHEN gap > 300000000
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+                   CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us
+            FROM e GROUP BY conv_id
+        """,
         # assistant refusal screen (engine extract.conv_refusal_rate):
         # lowercase substring markers, conv fold of two ints, round 6.
         "conv_refusal_rate": f"""

@@ -1440,3 +1440,242 @@ def conv_refusal_rate(paths: str | list[str],
             .map_batches(per_block, batch_format="pyarrow")
             .groupby("pkey").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def conv_tool_transitions(paths: str | list[str],
+                          num_partitions: int = DEFAULT_PARTITIONS
+                          ) -> ray.data.Dataset:
+    """Tool-chain transition matrix over agent transcripts: for the
+    subsequence of tool-call turns (non-empty ``tool``) of each
+    conversation ordered by ``turn_idx``, count every consecutive
+    ``from_tool → to_tool`` pair corpus-wide and emit the first-order
+    Markov transition probability per source tool — the agent-behavior
+    profile a curation pipeline uses to spot degenerate tool loops
+    (reference analogue: the per-stage call/transition counters of
+    ``/root/reference/src/extraction/multi_record.py:72-96``, lifted
+    from one document's VLM calls to the corpus's tool chains).
+
+    Output: ``(from_tool, to_tool, n, prob)`` with
+    ``prob = round(n / Σ_to n, 6)`` normalized per ``from_tool``.
+
+    Scale shape: the tool-turn filter runs MAP-SIDE (tool turns are a
+    small fraction of the stream), so the conv-hash exchange carries
+    only ``(conv_id, turn_idx, tool)`` for tool turns; each bucket
+    reduces to at most |tools|² partial-count rows, and the final
+    per-``from_tool`` normalization exchanges ≤ P·|tools|² tiny rows
+    over a bounded key domain (raw groupby is fine there)."""
+    import pandas as pd
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        tool = pc.fill_null(batch["tool"], "")
+        keep = pc.not_equal(tool, "")
+        t = pa.table({"conv_id": batch["conv_id"],
+                      "turn_idx": batch["turn_idx"],
+                      "tool": tool}).filter(keep)
+        return t.append_column(
+            "pkey", pa.array(bucket_str_column(t["conv_id"],
+                                               num_partitions), pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        tool = g["tool"].to_numpy(object)
+        same = conv[1:] == conv[:-1]
+        d = pd.DataFrame({"from_tool": tool[:-1][same],
+                          "to_tool": tool[1:][same]})
+        out = (d.groupby(["from_tool", "to_tool"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def normalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["from_tool", "to_tool"], as_index=False)["n"].sum()
+        tot = agg["n"].sum()
+        return pd.DataFrame({
+            "from_tool": agg["from_tool"].to_numpy(object),
+            "to_tool": agg["to_tool"].to_numpy(object),
+            "n": agg["n"].to_numpy(np.int64),
+            "prob": np.round(agg["n"].to_numpy(np.float64) / tot, 6)})
+
+    return (read_transcripts(paths, columns=["conv_id", "turn_idx", "tool"])
+            .map_batches(per_block, batch_format="pyarrow")
+            .groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+            .groupby("from_tool").map_groups(normalize,
+                                             batch_format="pandas"))
+
+
+def conv_verbosity_ratio(paths: str | list[str],
+                         num_partitions: int = DEFAULT_PARTITIONS
+                         ) -> ray.data.Dataset:
+    """Assistant-verbosity screen: per conversation, total assistant
+    characters over total user characters — the SFT-curation filter for
+    over-verbose (or suspiciously terse) assistants (reference
+    analogue: the field-length plausibility checks of
+    ``/root/reference/src/validation/confidence.py``, lifted to
+    role-level conversation shape).
+
+    Output per conversation: ``n_user``, ``n_assistant`` (turn counts),
+    ``user_chars``, ``assistant_chars`` (exact codepoint counts,
+    null→''), and ``verbosity_ratio = round(assistant_chars /
+    max(user_chars, 1), 6)``.
+
+    Scale shape: character counting is one vectorized ``utf8_length``
+    per batch MAP-SIDE; each block reduces to one four-int row per
+    conversation, so the single conv-hash exchange carries no text."""
+    import pandas as pd
+
+    def per_block(batch: pa.Table) -> pd.DataFrame:
+        nch = pc.utf8_length(pc.fill_null(batch["text"], "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        role = batch["role"].to_numpy(zero_copy_only=False)
+        u = role == "user"
+        a = role == "assistant"
+        df = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+            "n_user": u.astype(np.int64),
+            "n_assistant": a.astype(np.int64),
+            "user_chars": np.where(u, nch, 0),
+            "assistant_chars": np.where(a, nch, 0)})
+        g = df.groupby("conv_id", as_index=False).sum()
+        g["pkey"] = bucket_str_column(
+            pa.array(g["conv_id"], pa.string()), num_partitions)
+        return g
+
+    cols = ["n_user", "n_assistant", "user_chars", "assistant_chars"]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("conv_id", as_index=False)[cols].sum()
+        out = pd.DataFrame({"conv_id": agg["conv_id"].to_numpy(object)})
+        for c in cols:
+            out[c] = agg[c].to_numpy(np.int64)
+        out["verbosity_ratio"] = np.round(
+            out["assistant_chars"].to_numpy(np.float64)
+            / np.maximum(out["user_chars"].to_numpy(np.int64), 1), 6)
+        return out
+
+    return (read_transcripts(paths, columns=["conv_id", "role", "text"])
+            .map_batches(per_block, batch_format="pyarrow")
+            .groupby("pkey").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
+def conv_pii_leak_rate(paths: str | list[str],
+                       num_partitions: int = DEFAULT_PARTITIONS
+                       ) -> ray.data.Dataset:
+    """Assistant PII-leakage screen: the fraction of a conversation's
+    assistant turns whose text matches ANY of the corpus PII classes
+    (:data:`..pipelines.documents.PII_PATTERNS` — email / SSN / phone /
+    IPv4, the same RE2 inventory as :func:`doc_pii_scrub`) — the
+    role-targeted variant of the scrub a training pipeline runs before
+    assistant text can become training targets (reference analogue:
+    ``/root/reference/src/utils/phi_redaction.py`` applied per role).
+
+    The synthetic transcripts are PII-free, so the measurable-harness
+    convention of ``doc_pii_scrub`` is reused: a deterministic,
+    SQL-reproducible decoration (:func:`..pipelines.documents
+    .pii_seed_suffix` keyed on ``serial(conv_id)·37 + turn_idx``)
+    plants one PII instance on ~4/7 of turns; detection runs on the
+    seeded text on both engines.
+
+    Output per conversation: ``n_assistant``, ``n_pii`` (assistant
+    turns with ≥1 match), ``pii_rate = round(n_pii /
+    max(n_assistant, 1), 6)``.
+
+    Scale shape: four RE2 ``count_substring_regex`` passes per batch
+    MAP-SIDE (compile-once module constants); each block reduces to a
+    two-int row per conversation, so the conv-hash exchange carries no
+    text."""
+    import pandas as pd
+
+    from .documents import pii_scrub_batch, pii_seed_suffix
+
+    def per_block(batch: pa.Table) -> pd.DataFrame:
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        serial = pd.Series(conv).str.slice(5).astype(np.int64).to_numpy()
+        k = serial * 37 + batch["turn_idx"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        seeded = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""),
+            pa.array(pii_seed_suffix(k), pa.string()), "")
+        counts, _red = pii_scrub_batch(seeded)
+        hit = np.zeros(len(conv), dtype=bool)
+        for arr in counts.values():
+            hit |= arr.to_numpy(zero_copy_only=False) > 0
+        asst = batch["role"].to_numpy(zero_copy_only=False) == "assistant"
+        df = pd.DataFrame({
+            "conv_id": conv,
+            "n_assistant": asst.astype(np.int64),
+            "n_pii": (asst & hit).astype(np.int64)})
+        g = df.groupby("conv_id", as_index=False).sum()
+        g["pkey"] = bucket_str_column(
+            pa.array(g["conv_id"], pa.string()), num_partitions)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("conv_id", as_index=False)[
+            ["n_assistant", "n_pii"]].sum()
+        na = agg["n_assistant"].to_numpy(np.int64)
+        np_ = agg["n_pii"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "conv_id": agg["conv_id"].to_numpy(object),
+            "n_assistant": na,
+            "n_pii": np_,
+            "pii_rate": np.round(np_ / np.maximum(na, 1), 6)})
+
+    return (read_transcripts(paths,
+                             columns=["conv_id", "turn_idx", "role", "text"])
+            .map_batches(per_block, batch_format="pyarrow")
+            .groupby("pkey").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
+CONV_SPLIT_GAP_US = 300_000_000          # 5 min, exact µs
+
+
+def conv_time_splits(paths: str | list[str],
+                     gap_us: int = CONV_SPLIT_GAP_US,
+                     num_partitions: int = DEFAULT_PARTITIONS
+                     ) -> ray.data.Dataset:
+    """Time-gap sessionization of conversations: a new segment starts
+    whenever the inter-turn gap exceeds ``gap_us`` (default 5 min) —
+    the transcript-side twin of the events-table sessionizer
+    (:func:`..pipelines.events.events_sessions`; long-idle transcripts
+    are usually several logical sessions concatenated, which matters
+    for context-window packing and dedup granularity).
+
+    Output per conversation: ``n_turns``, ``n_segments`` (1 + breaks),
+    ``max_gap_us`` (exact int µs, 0 for single-turn conversations).
+
+    Scale shape: the same single conv-bucket exchange as
+    :func:`conv_response_latency` — the narrow ``(conv_id, turn_idx,
+    ts)`` projection moves once; inside the bucket one mergesort +
+    shifted compare over the whole bucket, boundary-masked — no
+    per-conversation loop."""
+    import pandas as pd
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "ts"]),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = conv[1:] == conv[:-1]
+        edges = pd.DataFrame({"conv_id": conv[1:][same],
+                              "gap": ts_us[1:][same] - ts_us[:-1][same]})
+        edges["brk"] = (edges["gap"] > gap_us).astype(np.int64)
+        e = edges.groupby("conv_id", as_index=False).agg(
+            n_breaks=("brk", "sum"), max_gap_us=("gap", "max"))
+        n = (g.groupby("conv_id", as_index=False).size()
+             .rename(columns={"size": "n_turns"}))
+        out = n.merge(e, on="conv_id", how="left")
+        out["n_breaks"] = out["n_breaks"].fillna(0).astype(np.int64)
+        out["max_gap_us"] = out["max_gap_us"].fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].to_numpy(object),
+            "n_turns": out["n_turns"].to_numpy(np.int64),
+            "n_segments": 1 + out["n_breaks"].to_numpy(np.int64),
+            "max_gap_us": out["max_gap_us"].to_numpy(np.int64)})
+
+    return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")

@@ -332,6 +332,14 @@ def run_bench() -> dict:
             lambda s: _extract.conv_lang_mismatch(s).count(), src),
         "conv_refusal_rate": timed(
             lambda s: _extract.conv_refusal_rate(s).count(), src),
+        "conv_tool_transitions": timed(
+            lambda s: _extract.conv_tool_transitions(s).count(), src),
+        "conv_verbosity_ratio": timed(
+            lambda s: _extract.conv_verbosity_ratio(s).count(), src),
+        "conv_pii_leak_rate": timed(
+            lambda s: _extract.conv_pii_leak_rate(s).count(), src),
+        "conv_time_splits": timed(
+            lambda s: _extract.conv_time_splits(s).count(), src),
     }
 
     ray.shutdown()

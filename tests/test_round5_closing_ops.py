@@ -1023,3 +1023,151 @@ class TestConvRefusalRate:
         assert out.loc["c2", "refusal_rate"] == 1.0
         assert out.loc["c3", "n_assistant"] == 0
         assert out.loc["c3", "refusal_rate"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvToolTransitions:
+    def test_designed_chain(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_tool_transitions,
+        )
+        # c1 tool subsequence: search -> db -> search (turns 1,3,5;
+        # non-tool turns in between must be skipped, not break chains).
+        # c2: db -> db. Corpus pairs: search->db x1, db->search x1,
+        # db->db x1.
+        rows = [
+            ("c1", 0, "user", "q", ""),
+            ("c1", 1, "tool", "r", "search"),
+            ("c1", 2, "assistant", "a", ""),
+            ("c1", 3, "tool", "r", "db"),
+            ("c1", 4, "user", "q", ""),
+            ("c1", 5, "tool", "r", "search"),
+            ("c2", 0, "tool", "r", "db"),
+            ("c2", 1, "tool", "r", "db"),
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string())})
+        d = tmp_path / "tt"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_tool_transitions(str(d)).to_pandas()
+               .set_index(["from_tool", "to_tool"]).sort_index())
+        assert out.loc[("search", "db"), "n"] == 1
+        assert out.loc[("db", "search"), "n"] == 1
+        assert out.loc[("db", "db"), "n"] == 1
+        # db fan-out normalizes across its two destinations
+        assert out.loc[("db", "search"), "prob"] == 0.5
+        assert out.loc[("db", "db"), "prob"] == 0.5
+        assert out.loc[("search", "db"), "prob"] == 1.0
+        assert len(out) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvVerbosityRatio:
+    def test_designed_ratio(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_verbosity_ratio,
+        )
+        rows = [
+            ("c1", 0, "user", "abcd"),          # 4 chars
+            ("c1", 1, "assistant", "abcdefgh"),  # 8 chars
+            ("c1", 2, "system", "ignored-for-chars"),
+            ("c2", 0, "assistant", "xy"),        # no user turns -> /1
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string())})
+        d = tmp_path / "vr"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_verbosity_ratio(str(d)).to_pandas()
+               .set_index("conv_id").sort_index())
+        assert out.loc["c1", "user_chars"] == 4
+        assert out.loc["c1", "assistant_chars"] == 8
+        assert out.loc["c1", "verbosity_ratio"] == 2.0
+        assert out.loc["c2", "n_user"] == 0
+        assert out.loc["c2", "verbosity_ratio"] == 2.0  # 2 chars / max(0,1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvPiiLeakRate:
+    def test_seeded_rate(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_pii_leak_rate,
+        )
+        # conv-00000007: k = 7*37 + turn_idx = 259 + i.
+        # i=0 -> k=259, 259%7=0 (email seeded); i=1 -> 260%7=1 (ssn);
+        # i=2 -> 261%7=2 (phone); i=3 -> 262%7=3 (ipv4);
+        # i=4 -> 263%7=4 (none); i=5 -> 264%7=5 (none).
+        rows = [
+            ("conv-00000007", 0, "assistant", "a"),   # seeded email
+            ("conv-00000007", 1, "user", "b"),        # seeded but user
+            ("conv-00000007", 2, "assistant", "c"),   # seeded phone
+            ("conv-00000007", 3, "user", "d"),
+            ("conv-00000007", 4, "assistant", "e"),   # NOT seeded
+            ("conv-00000007", 5, "assistant", "f"),   # NOT seeded
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string())})
+        d = tmp_path / "pl"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_pii_leak_rate(str(d)).to_pandas()
+               .set_index("conv_id"))
+        assert out.loc["conv-00000007", "n_assistant"] == 4
+        assert out.loc["conv-00000007", "n_pii"] == 2
+        assert out.loc["conv-00000007", "pii_rate"] == 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvTimeSplits:
+    def test_designed_segments(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_time_splits,
+        )
+        t0 = datetime(2024, 1, 1)
+        # c1: gaps 10s, 400s (break), 5s -> 2 segments, max 400s
+        c1 = [t0, t0 + timedelta(seconds=10), t0 + timedelta(seconds=410),
+              t0 + timedelta(seconds=415)]
+        # c2: single turn -> 1 segment, max gap 0
+        rows = ([("c1", i, ts) for i, ts in enumerate(c1)]
+                + [("c2", 0, t0)])
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us"))})
+        d = tmp_path / "ts"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_time_splits(str(d)).to_pandas()
+               .set_index("conv_id").sort_index())
+        assert out.loc["c1", "n_turns"] == 4
+        assert out.loc["c1", "n_segments"] == 2
+        assert out.loc["c1", "max_gap_us"] == 400_000_000
+        assert out.loc["c2", "n_turns"] == 1
+        assert out.loc["c2", "n_segments"] == 1
+        assert out.loc["c2", "max_gap_us"] == 0

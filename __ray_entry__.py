@@ -473,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "doc_link_density": documents.doc_link_density,           # SQL-matched (URL/link-density boilerplate screen, r5)
+        "doc_readability": documents.doc_readability,             # SQL-matched (Flesch reading-ease battery, r5)
+        "events_cusum_changepoint": events.events_cusum_changepoint,  # SQL-matched (exact-integer CUSUM drift day, r5)
         "conv_tool_transitions": _q_conv_tool_transitions,        # SQL-matched (tool-chain Markov transition matrix, r5)
         "conv_verbosity_ratio": _q_conv_verbosity_ratio,          # SQL-matched (assistant-verbosity screen, r5)
         "conv_pii_leak_rate": _q_conv_pii_leak_rate,              # SQL-matched (assistant PII-leakage screen, r5)
@@ -1264,6 +1267,81 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # link-density boilerplate screen (engine
+        # documents.doc_link_density): RE2 URL pattern shared verbatim;
+        # url_chars = exact codepoint length difference.
+        "doc_link_density": """
+            WITH b AS (SELECT doc_id, coalesce(text, '') AS tx
+                       FROM documents),
+            c AS (SELECT doc_id,
+                    CAST(len(regexp_extract_all(tx, 'https?://[^\\s]+'))
+                         AS BIGINT) AS n_urls,
+                    CAST(length(tx) AS BIGINT) AS total_chars,
+                    CAST(length(tx) - length(regexp_replace(tx,
+                         'https?://[^\\s]+', '', 'g')) AS BIGINT)
+                        AS url_chars
+                  FROM b)
+            SELECT doc_id, n_urls, url_chars, total_chars,
+                   round(CAST(url_chars AS DOUBLE)
+                         / greatest(total_chars, 1), 6) AS link_density,
+                   round(CAST(url_chars AS DOUBLE)
+                         / greatest(total_chars, 1), 6) > 0.2
+                       AS link_heavy
+            FROM c
+        """,
+        # Flesch reading ease (engine documents.doc_readability): the
+        # shared lowercase normalized-text convention; sentence/syllable
+        # runs are RE2 counts, the score one fixed-order double expr.
+        "doc_readability": f"""
+            WITH c AS (SELECT doc_id, {_CLEAN_LC} AS cl FROM documents),
+            n AS (SELECT doc_id,
+                    CASE WHEN cl = '' THEN 0
+                         ELSE length(cl) - length(replace(cl, ' ', ''))
+                              + 1 END AS w,
+                    CAST(len(regexp_extract_all(cl, '[.!?]+'))
+                         AS BIGINT) AS s,
+                    CAST(len(regexp_extract_all(cl, '[aeiouy]+'))
+                         AS BIGINT) AS y
+                  FROM c)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   s AS n_sentences,
+                   y AS n_syllables,
+                   round(206.835
+                         - 1.015 * (CAST(w AS DOUBLE) / greatest(s, 1))
+                         - 84.6 * (CAST(y AS DOUBLE) / greatest(w, 1)),
+                         6) AS flesch
+            FROM n
+        """,
+        # CUSUM changepoint (engine events.events_cusum_changepoint):
+        # exact-int numerator P_k*D - k*T; argmax |num| DESC, day ASC.
+        "events_cusum_changepoint": """
+            WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS ndays
+                  FROM d GROUP BY 1),
+            c AS (SELECT d.event_type, day, n, total, ndays,
+                    CAST(sum(n) OVER (PARTITION BY d.event_type
+                         ORDER BY day) AS BIGINT) AS prefix,
+                    CAST(row_number() OVER (PARTITION BY d.event_type
+                         ORDER BY day) AS BIGINT) AS k
+                  FROM d JOIN t ON d.event_type = t.event_type),
+            m AS (SELECT event_type, day, total, ndays,
+                    prefix * ndays - k * total AS num,
+                    row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs(prefix * ndays - k * total) DESC,
+                                 day) AS r
+                  FROM c)
+            SELECT event_type,
+                   CAST(ndays AS BIGINT) AS n_days,
+                   total AS total_events,
+                   round(CAST(total AS DOUBLE) / ndays, 6) AS mean_daily,
+                   day AS cp_day,
+                   round(CAST(num AS DOUBLE) / ndays, 6) AS cp_cusum
+            FROM m WHERE r = 1
+        """,
         # tool-chain Markov transitions (engine
         # extract.conv_tool_transitions): consecutive pairs of the
         # tool-turn subsequence per conv, n per (from,to), prob

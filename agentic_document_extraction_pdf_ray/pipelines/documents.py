@@ -3342,3 +3342,83 @@ def doc_template_detect(sf_dir: str,
             .map_batches(skeletons, batch_format="pyarrow")
             .groupby("_bucket").map_groups(per_family,
                                            batch_format="pandas"))
+
+
+URL_PATTERN = r"https?://[^\s]+"          # RE2, shared verbatim with SQL
+LINK_HEAVY_DENSITY = 0.2
+
+
+def doc_link_density(sf_dir: str) -> ray.data.Dataset:
+    """Link-density boilerplate screen over the corpus — the
+    readability/trafilatura-style signal the extraction core uses to
+    drop navigation/boilerplate blocks (cf. ``functions/html_extract.py``
+    and SURVEY §2.1 DOM heuristics), lifted to a per-document corpus
+    query: URL count, URL character share, and the ``link_heavy`` flag
+    (density > 0.2, the classic boilerplate threshold).
+
+    Purely per-row (no shuffle): one RE2 count + one RE2 strip per
+    batch; ``url_chars`` is the exact length difference between the raw
+    and URL-stripped text, so every column is bit-identical to the
+    DuckDB oracle (both engines compile RE2 and count codepoints).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        n_urls = pc.cast(pc.count_substring_regex(txt, URL_PATTERN),
+                         pa.int64())
+        total = pc.cast(pc.utf8_length(txt), pa.int64())
+        stripped_len = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(txt, URL_PATTERN, "")), pa.int64())
+        url_chars = pc.subtract(total, stripped_len).to_numpy(
+            zero_copy_only=False)
+        tot = total.to_numpy(zero_copy_only=False)
+        density = np.round(url_chars / np.maximum(tot, 1), 6)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_urls": n_urls,
+            "url_chars": pa.array(url_chars, pa.int64()),
+            "total_chars": pa.array(tot, pa.int64()),
+            "link_density": pa.array(density, pa.float64()),
+            "link_heavy": pa.array(density > LINK_HEAVY_DENSITY)})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def doc_readability(sf_dir: str) -> ray.data.Dataset:
+    """Flesch reading-ease score per document — the readability screen
+    a curation pipeline uses alongside the Gopher battery
+    (:func:`doc_gopher_flags`; vowel-group syllable approximation, the
+    standard codepoint-level stand-in when no dictionary is allowed).
+
+    Over the shared lowercase whitespace-normalized text: ``n_words``
+    (single-space split, '' artifact excluded), ``n_sentences``
+    (``[.!?]+`` runs), ``n_syllables`` (``[aeiouy]+`` vowel groups),
+    and ``flesch = round(206.835 − 1.015·(w/max(s,1)) −
+    84.6·(y/max(w,1)), 6)``. All counts are exact ints from RE2 kernels
+    shared verbatim with the oracle; the score is one fixed-order
+    float64 expression on both engines. Purely per-row, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+        nonempty = pc.not_equal(clean, "").to_numpy(zero_copy_only=False)
+        spaces = pc.count_substring(clean, " ").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        words = np.where(nonempty, spaces + 1, 0)
+        sents = pc.count_substring_regex(clean, r"[.!?]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        syll = pc.count_substring_regex(clean, r"[aeiouy]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flesch = np.round(
+            206.835
+            - 1.015 * (words / np.maximum(sents, 1))
+            - 84.6 * (syll / np.maximum(words, 1)), 6)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(words, pa.int64()),
+            "n_sentences": pa.array(sents, pa.int64()),
+            "n_syllables": pa.array(syll, pa.int64()),
+            "flesch": pa.array(flesch, pa.float64())})
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

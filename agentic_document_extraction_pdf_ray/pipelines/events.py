@@ -1722,3 +1722,51 @@ def events_user_fano(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
                          batch_size=131_072)
             .groupby("_bucket").map_groups(per_bucket,
                                            batch_format="pandas"))
+
+
+def events_cusum_changepoint(sf_dir: str) -> ray.data.Dataset:
+    """CUSUM changepoint per event type over the daily count series —
+    the drift detector a telemetry pipeline runs to find the day a
+    type's volume regime shifted (Page's cumulative-sum statistic
+    against the series mean; reference analogue: the drift/consistency
+    monitors of SURVEY §2.5's metrics family, lifted to time series).
+
+    Exact-integer formulation (no float accumulation order to disagree
+    on): with per-day counts ``n_k`` (days present, ordered), prefix
+    ``P_k`` and totals ``(T, D)``, the cusum at day ``k`` is
+    ``(P_k·D − k·T)/D`` — the numerator is pure int64, so the argmax by
+    ``(|numerator| DESC, day ASC)`` is deterministic on both engines;
+    only the reported ``cp_cusum``/``mean_daily`` divide at the end
+    (round 6).
+
+    Scale shape: map-side partial (type, day) counts collapse each
+    block to the bounded (|types|·|days|) domain before ONE small
+    exchange; the per-type scan is a vectorized cumsum inside a
+    bounded-domain ``map_groups``."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(day=batch["ts"].dt.strftime("%Y-%m-%d"))
+        return (batch.groupby(["event_type", "day"], as_index=False)
+                .agg(n=("event_id", "size")))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.groupby("day", as_index=False)["n"].sum()
+             .sort_values("day", kind="mergesort"))
+        n = d["n"].to_numpy(np.int64)
+        total = n.sum()
+        ndays = np.int64(len(n))
+        prefix = np.cumsum(n)
+        k = np.arange(1, ndays + 1, dtype=np.int64)
+        num = prefix * ndays - k * total
+        i = int(np.lexsort((np.arange(ndays), -np.abs(num)))[0])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_days": [int(ndays)],
+            "total_events": [int(total)],
+            "mean_daily": [round(float(total) / float(ndays), 6)],
+            "cp_day": [d["day"].iloc[i]],
+            "cp_cusum": [round(float(num[i]) / float(ndays), 6)]})
+
+    ds = read_events(sf_dir, ["event_id", "ts", "event_type"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(per_type,
+                                              batch_format="pandas"))

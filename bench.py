@@ -332,6 +332,12 @@ def run_bench() -> dict:
             lambda s: _extract.conv_lang_mismatch(s).count(), src),
         "conv_refusal_rate": timed(
             lambda s: _extract.conv_refusal_rate(s).count(), src),
+        "doc_link_density": timed(
+            lambda d: documents.doc_link_density(d).count(), sf_dir),
+        "doc_readability": timed(
+            lambda d: documents.doc_readability(d).count(), sf_dir),
+        "events_cusum_changepoint": timed(
+            lambda d: events.events_cusum_changepoint(d).count(), sf_dir),
         "conv_tool_transitions": timed(
             lambda s: _extract.conv_tool_transitions(s).count(), src),
         "conv_verbosity_ratio": timed(

@@ -1171,3 +1171,101 @@ class TestConvTimeSplits:
         assert out.loc["c2", "n_turns"] == 1
         assert out.loc["c2", "n_segments"] == 1
         assert out.loc["c2", "max_gap_us"] == 0
+
+
+def _write_doc_table(tmp_path, texts):
+    import pyarrow as pa
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s0"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocLinkDensity:
+    def test_designed_densities(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_link_density,
+        )
+        sf = _write_doc_table(tmp_path, [
+            "plain text no links here",              # 0 urls
+            "go https://a.io/x now",                 # 1 url, 12 chars
+            "https://b.co https://c.de",             # all-link doc
+            None,                                    # null -> ''
+        ])
+        out = doc_link_density(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_urls"] == 0
+        assert out.loc[0, "link_heavy"] == False  # noqa: E712
+        assert out.loc[1, "n_urls"] == 1
+        assert out.loc[1, "url_chars"] == len("https://a.io/x")
+        assert out.loc[2, "n_urls"] == 2
+        # 'https://b.co https://c.de': 25 chars, 24 in urls
+        assert out.loc[2, "url_chars"] == 24
+        assert out.loc[2, "link_heavy"] == True  # noqa: E712
+        assert out.loc[3, "total_chars"] == 0
+        assert out.loc[3, "link_density"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocReadability:
+    def test_designed_scores(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_readability,
+        )
+        sf = _write_doc_table(tmp_path, [
+            "The cat sat. The dog ran!",   # 6 words, 2 sentences
+            "",                            # empty doc
+        ])
+        out = doc_readability(sf).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_words"] == 6
+        assert out.loc[0, "n_sentences"] == 2
+        # vowel groups in 'the cat sat. the dog ran!':
+        # e,a,a,e,o,a -> 6
+        assert out.loc[0, "n_syllables"] == 6
+        exp = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+        assert out.loc[0, "flesch"] == exp
+        assert out.loc[1, "n_words"] == 0
+        assert out.loc[1, "flesch"] == 206.835
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsCusumChangepoint:
+    def test_designed_shift(self, tmp_path):
+        from datetime import datetime
+
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_cusum_changepoint,
+        )
+        # type 'a': counts 1,1,5,5 over 4 days -> mean 3; cusum numerator
+        # P_k*D - k*T: (1*4-12), (2*4-24), (7*4-36), (12*4-48)
+        # = -8, -16, -8, 0 -> argmax |.| at day 2.
+        rows = []
+        eid = 0
+        for day, cnt in (("2024-01-01", 1), ("2024-01-02", 1),
+                         ("2024-01-03", 5), ("2024-01-04", 5)):
+            for _ in range(cnt):
+                rows.append((eid, datetime.fromisoformat(day + "T12:00:00"),
+                             "u1", "a", 1.0, "{}"))
+                eid += 1
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.string()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string())})
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        out = (events_cusum_changepoint(str(tmp_path)).to_pandas()
+               .set_index("event_type"))
+        assert out.loc["a", "n_days"] == 4
+        assert out.loc["a", "total_events"] == 12
+        assert out.loc["a", "mean_daily"] == 3.0
+        assert out.loc["a", "cp_day"] == "2024-01-02"
+        assert out.loc["a", "cp_cusum"] == -4.0   # -16/4

@@ -234,6 +234,16 @@ def _q_conv_time_splits(sf_dir: str) -> Any:
     return conv_time_splits(_transcripts_for(sf_dir))
 
 
+def _q_conv_link_domains(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_link_domains
+    return conv_link_domains(_transcripts_for(sf_dir))
+
+
+def _q_conv_stock_lines(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_stock_lines
+    return conv_stock_lines(_transcripts_for(sf_dir))
+
+
 def _q_conv_window_truncate(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_window_truncate
     return conv_window_truncate(_transcripts_for(sf_dir))
@@ -473,6 +483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_link_domains": _q_conv_link_domains,                # SQL-matched (URL-domain blocklist inventory, r5)
+        "conv_stock_lines": _q_conv_stock_lines,                  # SQL-matched (cross-conv boilerplate-line mining, r5)
         "doc_link_density": documents.doc_link_density,           # SQL-matched (URL/link-density boilerplate screen, r5)
         "doc_readability": documents.doc_readability,             # SQL-matched (Flesch reading-ease battery, r5)
         "events_cusum_changepoint": events.events_cusum_changepoint,  # SQL-matched (exact-integer CUSUM drift day, r5)
@@ -1267,6 +1279,49 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # URL-domain inventory (engine extract.conv_link_domains): the
+        # PII-screen seed convention (serial*37+turn_idx, every 5th key
+        # gets a site{{k%50}}.example URL); token split + domain strip.
+        "conv_link_domains": f"""
+            WITH b AS (SELECT conv_id, coalesce(text, '') AS tx,
+                              CAST(substr(conv_id, 6) AS BIGINT) * 37
+                              + turn_idx AS k
+                       FROM {_T_SRC}),
+            s AS (SELECT conv_id,
+                    tx || CASE WHEN k % 5 = 0
+                          THEN ' see https://site' || CAST(k % 50 AS VARCHAR)
+                               || '.example/p' || CAST(k AS VARCHAR)
+                          ELSE '' END AS sx
+                  FROM b),
+            u AS (SELECT conv_id,
+                         unnest(string_split_regex(sx, '\\s+')) AS tok
+                  FROM s),
+            d AS (SELECT conv_id,
+                         regexp_extract(tok, '^https?://([^/]+)', 1)
+                             AS domain
+                  FROM u WHERE regexp_matches(tok, '^https?://')),
+            g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+                  FROM d GROUP BY domain)
+            SELECT domain, n, n_convs FROM g
+            ORDER BY n DESC, domain LIMIT 20
+        """,
+        # cross-conv stock lines (engine extract.conv_stock_lines):
+        # newline-run split, trim ' \\t\\r' then lower, lines in >=2
+        # distinct convs, top-20 by (n DESC, line ASC).
+        "conv_stock_lines": f"""
+            WITH a AS (SELECT conv_id,
+                         unnest(string_split_regex(coalesce(text, ''),
+                                                   '\\n+')) AS raw
+                       FROM {_T_SRC}),
+            n AS (SELECT conv_id, lower(trim(raw, ' \t\r')) AS line
+                  FROM a),
+            g AS (SELECT line, CAST(count(*) AS BIGINT) AS n,
+                         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+                  FROM n WHERE line <> '' GROUP BY line)
+            SELECT line, n, n_convs FROM g WHERE n_convs >= 2
+            ORDER BY n DESC, line LIMIT 20
+        """,
         # link-density boilerplate screen (engine
         # documents.doc_link_density): RE2 URL pattern shared verbatim;
         # url_chars = exact codepoint length difference.

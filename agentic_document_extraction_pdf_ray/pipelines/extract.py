@@ -1679,3 +1679,136 @@ def conv_time_splits(paths: str | list[str],
             "max_gap_us": out["max_gap_us"].to_numpy(np.int64)})
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
+
+
+def conv_link_domains(paths: str | list[str], k: int = 20,
+                      n_buckets: int = 64) -> "object":
+    """Corpus URL-domain profile over transcripts — the domain
+    inventory a web-curation pipeline feeds its domain blocklist /
+    allowlist from (the corpus-level complement of the link-density
+    boilerplate signal, cf. :func:`..pipelines.documents
+    .doc_link_density` and the DOM link-density heuristics of SURVEY
+    §2.1): per domain, total URL occurrences and distinct
+    conversations, top-k by ``(n DESC, domain ASC)``.
+
+    The synthetic transcripts carry only one literal domain, so the
+    measurable-harness convention of the PII screens is reused: a
+    deterministic SQL-reproducible decoration keyed on
+    ``serial(conv_id)·37 + turn_idx`` plants ``https://site{{k%50}}
+    .example/p{{k}}`` on every 5th key; extraction runs on the seeded
+    text on both engines.
+
+    Scale shape: tokenize + URL-match + domain-strip are vectorized
+    Arrow kernels MAP-SIDE; the exchange carries only ``(domain,
+    conv_id, n)`` partials for URL-bearing tokens, bucketed by domain
+    hash; per-bucket the fold is a grouped sum + nunique; the final
+    top-k is the partial-top-k merge (≤k rows per block to the
+    driver)."""
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+    from .relational import topk
+
+    def per_block(batch: pa.Table) -> pd.DataFrame:
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        serial = pd.Series(conv).str.slice(5).astype(np.int64)
+        kk = (serial * 37 + batch["turn_idx"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        seed = pd.Series(np.where(
+            (kk % 5).to_numpy() == 0,
+            " see https://site" + (kk % 50).astype(str)
+            + ".example/p" + kk.astype(str), ""))
+        sx = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""),
+            pa.array(seed.to_numpy(object), pa.string()), "")
+        toks = pc.split_pattern_regex(sx, r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        is_url = pc.match_substring_regex(flat, r"^https?://")
+        urls = flat.filter(is_url)
+        conv_t = conv[parents[is_url.to_numpy(zero_copy_only=False)]]
+        dom = pc.replace_substring_regex(
+            urls, r"^https?://([^/]+).*$", r"\1")
+        d = (pd.DataFrame({"domain": dom.to_numpy(zero_copy_only=False),
+                           "conv_id": conv_t})
+             .groupby(["domain", "conv_id"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        d["n"] = d["n"].astype(np.int64)
+        d["_bucket"] = (hash_str_array(d["domain"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g.groupby(["domain", "conv_id"], as_index=False)["n"].sum()
+        out = pair.groupby("domain", as_index=False).agg(
+            n=("n", "sum"), n_convs=("conv_id", "size"))
+        out["n"] = out["n"].astype(np.int64)
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out
+
+    merged = (read_transcripts(paths, columns=["conv_id", "turn_idx",
+                                               "text"])
+              .map_batches(per_block, batch_format="pyarrow")
+              .groupby("_bucket").map_groups(per_bucket,
+                                             batch_format="pandas"))
+    return topk(merged, ["n", "domain"], k, [False, True])[
+        ["domain", "n", "n_convs"]]
+
+
+def conv_stock_lines(paths: str | list[str], k: int = 20,
+                     n_buckets: int = 64) -> "object":
+    """Cross-conversation stock-line mining: the normalized text lines
+    (split on newline runs, trim ``' \\t\\r'``, lowercase) that recur
+    in ≥2 DISTINCT conversations, top-k by ``(n DESC, line ASC)`` with
+    total occurrences and conversation reach — the learned boilerplate
+    blocklist (banners, separators, canned disclaimers) a trafilatura-
+    style stripper is seeded with (SURVEY §2.1 HTML/boilerplate
+    heuristics; within-doc sibling: ``doc_line_dedup``; within-conv
+    sibling: :func:`conv_turn_repeats`).
+
+    Scale shape: split/trim/lower are vectorized Arrow kernels
+    MAP-SIDE; each block collapses to distinct ``(line, conv_id, n)``
+    partials before the domain-hash-bucketed exchange (one text copy
+    per block-distinct line, never the exploded stream); per-bucket a
+    grouped sum + nunique, then the partial-top-k merge."""
+    import pandas as pd
+
+    from ..functions.hashing import hash_str_array
+    from .relational import topk
+
+    def per_block(batch: pa.Table) -> pd.DataFrame:
+        lines = pc.split_pattern_regex(
+            pc.fill_null(batch["text"], ""), r"\n+")
+        flat = pc.utf8_lower(pc.utf8_trim(pc.list_flatten(lines),
+                                          " \t\r"))
+        parents = pc.list_parent_indices(lines).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        kept = flat.filter(keep)
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)[
+            parents[keep.to_numpy(zero_copy_only=False)]]
+        d = (pd.DataFrame({"line": kept.to_numpy(zero_copy_only=False),
+                           "conv_id": conv})
+             .groupby(["line", "conv_id"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        d["n"] = d["n"].astype(np.int64)
+        d["_bucket"] = (hash_str_array(d["line"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pair = g.groupby(["line", "conv_id"], as_index=False)["n"].sum()
+        out = pair.groupby("line", as_index=False).agg(
+            n=("n", "sum"), n_convs=("conv_id", "size"))
+        out = out[out["n_convs"] >= 2]
+        out["n"] = out["n"].astype(np.int64)
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out
+
+    merged = (read_transcripts(paths, columns=["conv_id", "text"])
+              .map_batches(per_block, batch_format="pyarrow")
+              .groupby("_bucket").map_groups(per_bucket,
+                                             batch_format="pandas"))
+    return topk(merged, ["n", "line"], k, [False, True])[
+        ["line", "n", "n_convs"]]

@@ -346,6 +346,10 @@ def run_bench() -> dict:
             lambda s: _extract.conv_pii_leak_rate(s).count(), src),
         "conv_time_splits": timed(
             lambda s: _extract.conv_time_splits(s).count(), src),
+        "conv_link_domains": timed(
+            lambda s: len(_extract.conv_link_domains(s)), src),
+        "conv_stock_lines": timed(
+            lambda s: len(_extract.conv_stock_lines(s)), src),
     }
 
     ray.shutdown()

@@ -1269,3 +1269,66 @@ class TestEventsCusumChangepoint:
         assert out.loc["a", "mean_daily"] == 3.0
         assert out.loc["a", "cp_day"] == "2024-01-02"
         assert out.loc["a", "cp_cusum"] == -4.0   # -16/4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvLinkDomains:
+    def test_seeded_and_literal_domains(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_link_domains,
+        )
+        # conv-00000005: k = 185 + i. i=0 -> k=185 (k%5==0: seeded
+        # site35.example), i=1..4 not seeded; i=5 -> k=190 (site40).
+        rows = [
+            ("conv-00000005", 0, "see https://a.io/x and https://a.io/y"),
+            ("conv-00000005", 1, "no links"),
+            ("conv-00000005", 5, "plain"),
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string())})
+        d = tmp_path / "ld"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = conv_link_domains(str(d)).set_index("domain")
+        assert out.loc["a.io", "n"] == 2
+        assert out.loc["a.io", "n_convs"] == 1
+        assert out.loc["site35.example", "n"] == 1   # k=185 seeded
+        assert out.loc["site40.example", "n"] == 1   # k=190 seeded
+        assert len(out) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvStockLines:
+    def test_cross_conv_threshold(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_stock_lines,
+        )
+        # 'banner' appears in c1 (twice, one turn two lines) and c2;
+        # 'only-once-per-conv' appears twice but in ONE conv -> dropped.
+        rows = [
+            ("c1", 0, "Banner\n\nbody text one"),
+            ("c1", 1, "banner \nonly twice here\nonly twice here"),
+            ("c2", 0, "\tBANNER\nbody text two"),
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string())})
+        d = tmp_path / "sl"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = conv_stock_lines(str(d)).set_index("line")
+        assert out.loc["banner", "n"] == 3
+        assert out.loc["banner", "n_convs"] == 2
+        assert "only twice here" not in out.index   # single-conv line
+        assert len(out) == 1

@@ -483,6 +483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "corpus_snapshot_diff": documents.corpus_snapshot_diff,   # SQL-matched (two-snapshot hash-manifest diff, r5)
+        "fk_integrity_audit": relational.fk_integrity_audit,      # SQL-matched (referential-integrity audit, r5)
         "conv_link_domains": _q_conv_link_domains,                # SQL-matched (URL-domain blocklist inventory, r5)
         "conv_stock_lines": _q_conv_stock_lines,                  # SQL-matched (cross-conv boilerplate-line mining, r5)
         "doc_link_density": documents.doc_link_density,           # SQL-matched (URL/link-density boilerplate screen, r5)
@@ -1279,6 +1281,61 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # two-snapshot corpus diff (engine
+        # documents.corpus_snapshot_diff): v2 derived deterministically
+        # (drop %11==3, ' [rev2]' on %7==2, add %13==1 at +10M), md5
+        # content keys, full-outer status.
+        "corpus_snapshot_diff": """
+            WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h
+                        FROM documents),
+            v2base AS (SELECT doc_id,
+                         md5(CASE WHEN doc_id % 7 = 2
+                             THEN coalesce(text, '') || ' [rev2]'
+                             ELSE coalesce(text, '') END) AS h
+                       FROM documents WHERE doc_id % 11 <> 3),
+            v2add AS (SELECT doc_id + 10000000 AS doc_id,
+                         md5('new doc ' || CAST(doc_id AS VARCHAR)) AS h
+                      FROM documents WHERE doc_id % 13 = 1),
+            v2 AS (SELECT * FROM v2base UNION ALL SELECT * FROM v2add)
+            SELECT CAST(coalesce(v1.doc_id, v2.doc_id) AS BIGINT)
+                       AS doc_id,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.h <> v2.h THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        """,
+        # referential-integrity audit (engine
+        # relational.fk_integrity_audit): orphan child rows/keys and
+        # childless parent keys per FK relation.
+        "fk_integrity_audit": """
+            SELECT 'customer->orders' AS relation,
+              CAST((SELECT count(*) FROM orders o
+                    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+                    WHERE c.c_custkey IS NULL) AS BIGINT)
+                  AS n_child_rows_orphaned,
+              CAST((SELECT count(DISTINCT o_custkey) FROM orders o
+                    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+                    WHERE c.c_custkey IS NULL) AS BIGINT)
+                  AS n_child_keys_orphaned,
+              CAST((SELECT count(*) FROM customer c
+                    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+                    ON o.o_custkey = c.c_custkey
+                    WHERE o.o_custkey IS NULL) AS BIGINT)
+                  AS n_parent_keys_childless
+            UNION ALL
+            SELECT 'orders->lineitem',
+              CAST((SELECT count(*) FROM lineitem l
+                    LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+                    WHERE o.o_orderkey IS NULL) AS BIGINT),
+              CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem l
+                    LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+                    WHERE o.o_orderkey IS NULL) AS BIGINT),
+              CAST((SELECT count(*) FROM orders o
+                    LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+                    ON l.l_orderkey = o.o_orderkey
+                    WHERE l.l_orderkey IS NULL) AS BIGINT)
+        """,
         # URL-domain inventory (engine extract.conv_link_domains): the
         # PII-screen seed convention (serial*37+turn_idx, every 5th key
         # gets a site{{k%50}}.example URL); token split + domain strip.

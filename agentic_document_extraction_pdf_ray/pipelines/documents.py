@@ -3422,3 +3422,78 @@ def doc_readability(sf_dir: str) -> ray.data.Dataset:
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def corpus_snapshot_diff(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Two-snapshot corpus diff — the incremental-ingest audit that
+    classifies every document across two corpus versions as ``added`` /
+    ``removed`` / ``changed`` / ``same`` by content hash (reference
+    analogue: the version/provenance tracking of the reference's result
+    store, SURVEY §2.1 ResultStore, lifted to corpus granularity; the
+    keep-latest sibling is ``doc_upsert_latest``).
+
+    The second snapshot is derived deterministically from the first so
+    both engines compute it identically (the seeded-decoration
+    convention): v2 drops ``doc_id % 11 == 3``, appends ``' [rev2]'``
+    to the text of ``doc_id % 7 == 2``, and adds a fresh doc
+    ``doc_id + 10_000_000`` for every ``doc_id % 13 == 1``.
+
+    Scale shape: each snapshot collapses MAP-SIDE to ``(doc_id, md5)``
+    — text never crosses the wire; ONE doc-hash bucketed exchange
+    co-locates both versions of a key; per-bucket a vectorized outer
+    merge assigns the status. At 100 TB this is the canonical
+    hash-manifest diff: two narrow scans + one narrow exchange."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.hashing import bucket_int_array
+
+    def _md5(texts) -> list[str]:
+        return [hashlib.md5(t.encode()).hexdigest() for t in texts]
+
+    def v1_block(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.fill_null(batch["text"], "").to_pylist()
+        d = pd.DataFrame({"doc_id": ids.astype(np.int64),
+                          "h": _md5(txt), "_side": "a"})
+        d["_bucket"] = bucket_int_array(d["doc_id"].to_numpy(np.int64),
+                                        n_buckets)
+        return d
+
+    def v2_block(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = np.array(pc.fill_null(batch["text"], "").to_pylist(),
+                       dtype=object)
+        keep = ids % 11 != 3
+        ids_k, txt_k = ids[keep], txt[keep]
+        rev = ids_k % 7 == 2
+        txt_k = np.where(rev, txt_k + " [rev2]", txt_k)
+        add = ids % 13 == 1
+        out_ids = np.concatenate([ids_k, ids[add] + 10_000_000])
+        out_txt = np.concatenate([
+            txt_k, np.array(["new doc " + str(i) for i in ids[add]],
+                            dtype=object)])
+        d = pd.DataFrame({"doc_id": out_ids, "h": _md5(out_txt),
+                          "_side": "b"})
+        d["_bucket"] = bucket_int_array(d["doc_id"].to_numpy(np.int64),
+                                        n_buckets)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["_side"] == "a"][["doc_id", "h"]]
+        b = g[g["_side"] == "b"][["doc_id", "h"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        status = np.where(
+            m["h_a"].isna(), "added",
+            np.where(m["h_b"].isna(), "removed",
+                     np.where(m["h_a"] != m["h_b"], "changed", "same")))
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
+                             "status": status})
+
+    v1 = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        v1_block, batch_format="pyarrow")
+    v2 = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        v2_block, batch_format="pyarrow")
+    return (v1.union(v2).groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

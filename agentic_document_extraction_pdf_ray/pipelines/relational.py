@@ -1038,3 +1038,76 @@ def orders_total_reconcile(sf_dir: str,
         .map_batches(order_tag, batch_format="pandas"))
     return (li.union(od).groupby("_bucket")
             .map_groups(merge, batch_format="pandas"))
+
+
+def fk_integrity_audit(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Referential-integrity audit across the relational tables — the
+    foreign-key health report an ingest pipeline runs before anything
+    downstream trusts a join (reference analogue: the cross-field
+    consistency validators of ``/root/reference/src/agents/
+    validators.py``, run table-scale): for each FK relation
+    (``orders→lineitem``, ``customer→orders``), the count of child ROWS
+    whose key has no parent, distinct orphaned child KEYS, and parent
+    keys with no children.
+
+    Scale shape: each table collapses MAP-SIDE to per-block distinct
+    ``(key, side, n_rows)`` partials; ONE key-hash bucketed exchange
+    co-locates both sides of both relations (the relation tag keeps the
+    keyspaces apart inside the bucket); per-bucket an indicator-join
+    produces partial metric sums, and the final fold is a bounded
+    2-row groupby."""
+    from ..functions.hashing import bucket_int_array
+
+    def tagged(table: str, key: str, rel: str, side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            d = (pd.DataFrame({"k": batch[key].to_numpy(np.int64)})
+                 .groupby("k", as_index=False).size()
+                 .rename(columns={"size": "n"}))
+            d["n"] = d["n"].astype(np.int64)
+            d["_rel"] = rel
+            d["_side"] = side
+            d["_bucket"] = bucket_int_array(d["k"].to_numpy(np.int64),
+                                            n_buckets)
+            return d
+        return (ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                      columns=[key])
+                .map_batches(fn, batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rel, gr in g.groupby("_rel", sort=False):
+            keys = (gr.groupby(["k", "_side"], as_index=False)["n"].sum()
+                    .pivot(index="k", columns="_side", values="n"))
+            has_p = keys.get("p")
+            has_c = keys.get("c")
+            if has_p is None:
+                has_p = pd.Series(np.nan, index=keys.index)
+            if has_c is None:
+                has_c = pd.Series(np.nan, index=keys.index)
+            orphan = has_p.isna() & has_c.notna()
+            childless = has_c.isna() & has_p.notna()
+            rows.append({
+                "relation": rel,
+                "n_child_rows_orphaned": int(has_c[orphan].sum()),
+                "n_child_keys_orphaned": int(orphan.sum()),
+                "n_parent_keys_childless": int(childless.sum())})
+        return pd.DataFrame(rows, columns=[
+            "relation", "n_child_rows_orphaned", "n_child_keys_orphaned",
+            "n_parent_keys_childless"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("relation", as_index=False)[
+            ["n_child_rows_orphaned", "n_child_keys_orphaned",
+             "n_parent_keys_childless"]].sum()
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    streams = (
+        tagged("orders", "o_orderkey", "orders->lineitem", "p")
+        .union(tagged("lineitem", "l_orderkey", "orders->lineitem", "c"))
+        .union(tagged("customer", "c_custkey", "customer->orders", "p"))
+        .union(tagged("orders", "o_custkey", "customer->orders", "c")))
+    return (streams.groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .groupby("relation").map_groups(final, batch_format="pandas"))

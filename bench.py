@@ -350,6 +350,10 @@ def run_bench() -> dict:
             lambda s: len(_extract.conv_link_domains(s)), src),
         "conv_stock_lines": timed(
             lambda s: len(_extract.conv_stock_lines(s)), src),
+        "corpus_snapshot_diff": timed(
+            lambda d: documents.corpus_snapshot_diff(d).count(), sf_dir),
+        "fk_integrity_audit": timed(
+            lambda d: relational.fk_integrity_audit(d).count(), sf_dir),
     }
 
     ray.shutdown()

@@ -1332,3 +1332,60 @@ class TestConvStockLines:
         assert out.loc["banner", "n_convs"] == 2
         assert "only twice here" not in out.index   # single-conv line
         assert len(out) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorpusSnapshotDiff:
+    def test_designed_statuses(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            corpus_snapshot_diff,
+        )
+        # ids 0..14: removed = {3, 14}; changed = {2, 9}; added from
+        # {1} -> 10000001, {14 % 13 == 1} -> 10000014 (14 is ALSO
+        # removed from v2's base — add still applies).
+        sf = _write_doc_table(tmp_path, [f"text {i}" for i in range(15)])
+        out = (corpus_snapshot_diff(sf).to_pandas()
+               .set_index("doc_id")["status"])
+        assert out.loc[3] == "removed"
+        assert out.loc[14] == "removed"
+        assert out.loc[2] == "changed"
+        assert out.loc[9] == "changed"
+        assert out.loc[10000001] == "added"
+        assert out.loc[10000014] == "added"
+        assert out.loc[0] == "same"
+        assert (out == "same").sum() == 15 - 2 - 2
+        assert len(out) == 17
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFkIntegrityAudit:
+    def test_designed_orphans(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            fk_integrity_audit,
+        )
+        # customers 1..3; orders: o1->cust1, o2->cust9 (orphan row),
+        # o3->cust9 (same orphan key); customer 2,3 childless.
+        # lineitems: 2 rows for o1, 1 row for o77 (orphan); orders
+        # o2, o3 childless.
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([1, 2, 3], pa.int64())}),
+            f"{tmp_path}/customer.parquet")
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 9, 9], pa.int64())}),
+            f"{tmp_path}/orders.parquet")
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([1, 1, 77], pa.int64())}),
+            f"{tmp_path}/lineitem.parquet")
+        out = (fk_integrity_audit(str(tmp_path)).to_pandas()
+               .set_index("relation"))
+        co = out.loc["customer->orders"]
+        assert co["n_child_rows_orphaned"] == 2
+        assert co["n_child_keys_orphaned"] == 1
+        assert co["n_parent_keys_childless"] == 2
+        ol = out.loc["orders->lineitem"]
+        assert ol["n_child_rows_orphaned"] == 1
+        assert ol["n_child_keys_orphaned"] == 1
+        assert ol["n_parent_keys_childless"] == 2

@@ -234,6 +234,11 @@ def _q_conv_time_splits(sf_dir: str) -> Any:
     return conv_time_splits(_transcripts_for(sf_dir))
 
 
+def _q_conv_tool_latency(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_tool_latency
+    return conv_tool_latency(_transcripts_for(sf_dir))
+
+
 def _q_conv_link_domains(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_link_domains
     return conv_link_domains(_transcripts_for(sf_dir))
@@ -483,6 +488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_tool_latency": _q_conv_tool_latency,                # SQL-matched (per-tool downstream latency, r5)
+        "events_type_overlap": events.events_type_overlap,        # SQL-matched (audience-overlap Jaccard matrix, r5)
+        "orders_monthly_yoy": relational.orders_monthly_yoy,      # SQL-matched (monthly revenue YoY growth, r5)
         "corpus_snapshot_diff": documents.corpus_snapshot_diff,   # SQL-matched (two-snapshot hash-manifest diff, r5)
         "fk_integrity_audit": relational.fk_integrity_audit,      # SQL-matched (referential-integrity audit, r5)
         "conv_link_domains": _q_conv_link_domains,                # SQL-matched (URL-domain blocklist inventory, r5)
@@ -1281,6 +1289,60 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # per-tool downstream latency (engine extract.conv_tool_latency):
+        # tool turn -> next turn gap in exact µs, per-tool fold.
+        "conv_tool_latency": f"""
+            WITH w AS (SELECT conv_id, turn_idx, coalesce(tool, '') AS tool,
+                              ts, lead(ts) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS nts
+                       FROM {_T_SRC}),
+            p AS (SELECT tool,
+                         date_diff('microsecond', ts, nts) AS lat
+                  FROM w WHERE tool <> '' AND nts IS NOT NULL)
+            SELECT tool,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(lat) AS BIGINT) AS sum_us,
+                   CAST(max(lat) AS BIGINT) AS max_us,
+                   round(CAST(sum(lat) AS DOUBLE) / count(*), 6) AS mean_us
+            FROM p GROUP BY tool
+        """,
+        # audience-overlap Jaccard (engine events.events_type_overlap):
+        # distinct user sets per type, unordered pairs, zero-overlap
+        # pairs excluded by the join.
+        "events_type_overlap": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+            c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         CAST(count(*) AS BIGINT) AS nb
+                  FROM d a JOIN d b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b, nb AS n_both,
+                   ca.n AS n_a, cb.n AS n_b,
+                   round(CAST(nb AS DOUBLE) / (ca.n + cb.n - nb), 6)
+                       AS jaccard
+            FROM p
+            JOIN c ca ON ca.event_type = ta
+            JOIN c cb ON cb.event_type = tb
+        """,
+        # monthly revenue YoY (engine relational.orders_monthly_yoy):
+        # cents convention floor(x*100+0.5); inner join on (year-1, mon).
+        "orders_monthly_yoy": """
+            WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS cents
+                       FROM orders GROUP BY 1)
+            SELECT cur.month,
+                   cur.cents AS revenue_cents,
+                   prev.cents AS prev_year_cents,
+                   round(CAST(cur.cents - prev.cents AS DOUBLE)
+                         / prev.cents, 6) AS yoy_growth
+            FROM m cur
+            JOIN m prev ON prev.month =
+                 CAST(CAST(substr(cur.month, 1, 4) AS BIGINT) - 1
+                      AS VARCHAR) || substr(cur.month, 5)
+        """,
         # two-snapshot corpus diff (engine
         # documents.corpus_snapshot_diff): v2 derived deterministically
         # (drop %11==3, ' [rev2]' on %7==2, add %13==1 at +10M), md5

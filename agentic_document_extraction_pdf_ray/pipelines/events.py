@@ -1770,3 +1770,79 @@ def events_cusum_changepoint(sf_dir: str) -> ray.data.Dataset:
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("event_type").map_groups(per_type,
                                               batch_format="pandas"))
+
+
+def events_type_overlap(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
+    """Audience-overlap matrix: Jaccard similarity of the USER SETS of
+    every pair of event types — the cohort-overlap report behind
+    cross-feature adoption analyses (generalizes the single-pair
+    intersection of ``users_click_and_purchase`` to the full bounded
+    type domain).
+
+    Output per unordered pair (``type_a < type_b``, zero-overlap pairs
+    excluded): ``n_both``, ``n_a``, ``n_b`` (distinct users), and
+    ``jaccard = round(n_both / (n_a + n_b − n_both), 6)``.
+
+    Scale shape: blocks collapse MAP-SIDE to distinct ``(user, type)``
+    pairs; ONE user-hash bucket exchange co-locates each user's type
+    set; per-bucket a self-merge expands each user's ≤|types| set into
+    pairs and collapses to pair/type partial counts — the final fold is
+    a bounded-domain groupby (≤|types|² rows per bucket)."""
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import hash_str_array
+        d = batch[["user_id", "event_type"]].drop_duplicates()
+        d = d.assign(_bucket=(hash_str_array(
+            d["user_id"].to_numpy(object)) % np.uint64(n_buckets))
+            .astype(np.int64))
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "event_type"]].drop_duplicates()
+        singles = (d.groupby("event_type", as_index=False).size()
+                   .rename(columns={"event_type": "type_a",
+                                    "size": "n"}))
+        singles["type_b"] = ""
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = (m.groupby(["event_type_x", "event_type_y"],
+                           as_index=False).size()
+                 .rename(columns={"event_type_x": "type_a",
+                                  "event_type_y": "type_b",
+                                  "size": "n"}))
+        out = pd.concat([singles[["type_a", "type_b", "n"]],
+                         pairs[["type_a", "type_b", "n"]]],
+                        ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+        counts = (agg[agg["type_b"] == ""]
+                  .set_index("type_a")["n"].to_dict())
+        pairs = agg[agg["type_b"] != ""].copy()
+        if pairs.empty:
+            return pd.DataFrame({
+                "type_a": pd.Series(dtype=object),
+                "type_b": pd.Series(dtype=object),
+                "n_both": pd.Series(dtype=np.int64),
+                "n_a": pd.Series(dtype=np.int64),
+                "n_b": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=np.float64)})
+        na = pairs["type_a"].map(counts).to_numpy(np.int64)
+        nb = pairs["type_b"].map(counts).to_numpy(np.int64)
+        both = pairs["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "type_a": pairs["type_a"].to_numpy(object),
+            "type_b": pairs["type_b"].to_numpy(object),
+            "n_both": both,
+            "n_a": na,
+            "n_b": nb,
+            "jaccard": np.round(both / (na + nb - both), 6)})
+
+    ds = read_events(sf_dir, ["user_id", "event_type"])
+    return (ds.map_batches(distinct_pairs, batch_format="pandas")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas",
+                         batch_size=None))

@@ -1812,3 +1812,58 @@ def conv_stock_lines(paths: str | list[str], k: int = 20,
                                              batch_format="pandas"))
     return topk(merged, ["n", "line"], k, [False, True])[
         ["line", "n", "n_convs"]]
+
+
+def conv_tool_latency(paths: str | list[str],
+                      num_partitions: int = DEFAULT_PARTITIONS
+                      ) -> ray.data.Dataset:
+    """Per-tool downstream latency over agent transcripts: for every
+    tool-call turn, the exact-µs gap to the conversation's NEXT turn
+    (by ``turn_idx``) — how long each tool stalls the dialogue
+    (reference analogue: the per-stage timing metadata of
+    ``/root/reference/src/pipeline/state.py:380-547``, keyed by tool
+    instead of stage; tool-call sibling of
+    :func:`conv_response_latency`).
+
+    Output per tool: ``n`` (tool turns with a successor), ``sum_us``,
+    ``max_us`` (exact int64), ``mean_us`` (float64 ratio of exact ints,
+    round 6).
+
+    Scale shape: the narrow ``(conv_id, turn_idx, tool, ts)``
+    projection moves through ONE conv-hash bucket exchange (adjacency
+    needs the conversation in one place); inside the bucket one
+    mergesort + shifted compare, then each bucket collapses to ≤|tools|
+    partial rows — the final fold is a bounded-domain groupby."""
+    import pandas as pd
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "tool", "ts"]),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        tool = g["tool"].fillna("").to_numpy(object)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pair = (conv[1:] == conv[:-1]) & (tool[:-1] != "")
+        d = pd.DataFrame({"tool": tool[:-1][pair],
+                          "lat": ts_us[1:][pair] - ts_us[:-1][pair]})
+        return (d.groupby("tool", as_index=False)
+                .agg(n=("lat", "size"), sum_us=("lat", "sum"),
+                     max_us=("lat", "max")))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("tool", as_index=False).agg(
+            n=("n", "sum"), sum_us=("sum_us", "sum"),
+            max_us=("max_us", "max"))
+        return pd.DataFrame({
+            "tool": agg["tool"].to_numpy(object),
+            "n": agg["n"].to_numpy(np.int64),
+            "sum_us": agg["sum_us"].to_numpy(np.int64),
+            "max_us": agg["max_us"].to_numpy(np.int64),
+            "mean_us": np.round(agg["sum_us"].to_numpy(np.float64)
+                                / agg["n"].to_numpy(np.float64), 6)})
+
+    return (ds.groupby("pkey").map_groups(per_bucket,
+                                          batch_format="pandas")
+            .groupby("tool").map_groups(final, batch_format="pandas"))

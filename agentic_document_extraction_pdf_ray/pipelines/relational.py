@@ -1111,3 +1111,44 @@ def fk_integrity_audit(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     return (streams.groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas")
             .groupby("relation").map_groups(final, batch_format="pandas"))
+
+
+def orders_monthly_yoy(sf_dir: str) -> ray.data.Dataset:
+    """Monthly revenue with year-over-year growth — the seasonality /
+    trend report over the orders fact table: per calendar month, total
+    revenue in exact cents, the same month one year earlier, and
+    ``yoy_growth = round((cur − prev)/prev, 6)``. Months without a
+    prior-year counterpart are excluded (inner join keeps every column
+    non-null, so the hash compare is exact).
+
+    Scale shape: map-side partial cents sums collapse each block to the
+    bounded month domain; one small exchange, then a single
+    bounded-domain self-merge on (year−1, month)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "month": batch["o_orderdate"].dt.strftime("%Y-%m"),
+            "cents": _cents(batch["o_totalprice"]).to_numpy()})
+        return d.groupby("month", as_index=False)["cents"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("month", as_index=False)["cents"].sum()
+        m["cents"] = m["cents"].astype(np.int64)
+        y = m["month"].str.slice(0, 4).astype(np.int64)
+        prev_key = (y - 1).astype(str) + m["month"].str.slice(4)
+        cur = m.assign(prev_month=prev_key)
+        j = cur.merge(m.rename(columns={"month": "prev_month",
+                                        "cents": "prev_cents"}),
+                      on="prev_month", how="inner")
+        c = j["cents"].to_numpy(np.int64)
+        p = j["prev_cents"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "month": j["month"].to_numpy(object),
+            "revenue_cents": c,
+            "prev_year_cents": p,
+            "yoy_growth": np.round((c - p) / p, 6)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

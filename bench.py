@@ -354,6 +354,12 @@ def run_bench() -> dict:
             lambda d: documents.corpus_snapshot_diff(d).count(), sf_dir),
         "fk_integrity_audit": timed(
             lambda d: relational.fk_integrity_audit(d).count(), sf_dir),
+        "conv_tool_latency": timed(
+            lambda s: _extract.conv_tool_latency(s).count(), src),
+        "events_type_overlap": timed(
+            lambda d: events.events_type_overlap(d).count(), sf_dir),
+        "orders_monthly_yoy": timed(
+            lambda d: relational.orders_monthly_yoy(d).count(), sf_dir),
     }
 
     ray.shutdown()

@@ -1389,3 +1389,105 @@ class TestFkIntegrityAudit:
         assert ol["n_child_rows_orphaned"] == 1
         assert ol["n_child_keys_orphaned"] == 1
         assert ol["n_parent_keys_childless"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvToolLatency:
+    def test_designed_gaps(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_tool_latency,
+        )
+        t0 = datetime(2024, 1, 1)
+        # c1: search at t=0 (next at +10s), db at +10s (next at +40s),
+        # search at +40s is LAST turn -> no successor.
+        rows = [
+            ("c1", 0, "search", t0),
+            ("c1", 1, "db", t0 + timedelta(seconds=10)),
+            ("c1", 2, "search", t0 + timedelta(seconds=40)),
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["tool"] * len(rows), pa.string()),
+            "text": pa.array(["r"] * len(rows), pa.string()),
+            "tool": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us"))})
+        d = tmp_path / "tl"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_tool_latency(str(d)).to_pandas().set_index("tool"))
+        assert out.loc["search", "n"] == 1          # last search dropped
+        assert out.loc["search", "sum_us"] == 10_000_000
+        assert out.loc["db", "n"] == 1
+        assert out.loc["db", "max_us"] == 30_000_000
+        assert out.loc["db", "mean_us"] == 30_000_000.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsTypeOverlap:
+    def test_designed_jaccard(self, tmp_path):
+        from datetime import datetime
+
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_type_overlap,
+        )
+        # users: u1 {click, buy}, u2 {click, buy}, u3 {click},
+        # u4 {view}. click∩buy=2, click∪buy=3 -> 2/3; view overlaps none.
+        pairs = [("u1", "click"), ("u1", "buy"), ("u2", "click"),
+                 ("u2", "buy"), ("u3", "click"), ("u3", "click"),
+                 ("u4", "view")]
+        tbl = pa.table({
+            "event_id": pa.array(range(len(pairs)), pa.int64()),
+            "ts": pa.array([datetime(2024, 1, 1)] * len(pairs),
+                           pa.timestamp("us")),
+            "user_id": pa.array([p[0] for p in pairs], pa.string()),
+            "event_type": pa.array([p[1] for p in pairs], pa.string()),
+            "value": pa.array([1.0] * len(pairs), pa.float64()),
+            "props": pa.array(["{}"] * len(pairs), pa.string())})
+        pq.write_table(tbl, f"{tmp_path}/events.parquet")
+        out = (events_type_overlap(str(tmp_path)).to_pandas()
+               .set_index(["type_a", "type_b"]))
+        assert len(out) == 1                       # view pairs excluded
+        row = out.loc[("buy", "click")]
+        assert row["n_both"] == 2
+        assert row["n_a"] == 2 and row["n_b"] == 3
+        assert row["jaccard"] == round(2 / 3, 6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOrdersMonthlyYoy:
+    def test_designed_growth(self, tmp_path):
+        from datetime import datetime
+
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.relational import (
+            orders_monthly_yoy,
+        )
+        rows = [
+            (datetime(1995, 3, 1), 100.00),
+            (datetime(1995, 3, 15), 50.00),
+            (datetime(1996, 3, 2), 300.00),   # yoy vs 150.00 -> +1.0
+            (datetime(1996, 4, 2), 10.00),    # no 1995-04 -> excluded
+        ]
+        tbl = pa.table({
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "o_custkey": pa.array([1] * len(rows), pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[0] for r in rows],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1"] * len(rows), pa.string())})
+        pq.write_table(tbl, f"{tmp_path}/orders.parquet")
+        out = (orders_monthly_yoy(str(tmp_path)).to_pandas()
+               .set_index("month"))
+        assert len(out) == 1
+        assert out.loc["1996-03", "revenue_cents"] == 30000
+        assert out.loc["1996-03", "prev_year_cents"] == 15000
+        assert out.loc["1996-03", "yoy_growth"] == 1.0

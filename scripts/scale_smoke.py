@@ -24,6 +24,7 @@ Usage:
     python scripts/scale_smoke.py               # 10x scales + report
     python scripts/scale_smoke.py --x100        # 100x dup-density ops
     python scripts/scale_smoke.py --tile-only   # just build /tmp corpus
+    python scripts/scale_smoke.py --r5ops       # round-5 closing ops 10x
 """
 
 from __future__ import annotations
@@ -339,7 +340,91 @@ def report_lang_spread(sf_dir: str, n_ranges: int = 32) -> dict:
             "n_task_slices": int(len(cell))}
 
 
+def run_r5ops_family(sf_dir: str, transcripts_dir: str) -> dict[str, dict]:
+    """Round-5 closing-session operators at base vs 10× (VERDICT r4 #8
+    convention): the ops whose exchanges grow with corpus size —
+    line-grain stock mining, the hash-manifest diff, the pair-expanding
+    audience overlap — plus the conv-bucket screens over a 10× turn
+    stream."""
+    from agentic_document_extraction_pdf_ray.pipelines import (
+        documents, events, extract, relational,
+    )
+
+    res: dict[str, dict] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        import pandas as _pd
+        n = len(out) if isinstance(out, _pd.DataFrame) else out.count()
+        res[name] = {"rows": int(n), "wall_sec": round(time.time() - t0, 2)}
+        print(f"  {name}: {n} rows, {res[name]['wall_sec']}s", flush=True)
+
+    timed("doc_link_density", lambda: documents.doc_link_density(sf_dir))
+    timed("doc_readability", lambda: documents.doc_readability(sf_dir))
+    timed("corpus_snapshot_diff",
+          lambda: documents.corpus_snapshot_diff(sf_dir))
+    timed("events_type_overlap",
+          lambda: events.events_type_overlap(sf_dir))
+    timed("events_cusum_changepoint",
+          lambda: events.events_cusum_changepoint(sf_dir))
+    timed("fk_integrity_audit",
+          lambda: relational.fk_integrity_audit(sf_dir))
+    timed("orders_monthly_yoy",
+          lambda: relational.orders_monthly_yoy(sf_dir))
+    timed("conv_stock_lines",
+          lambda: extract.conv_stock_lines(transcripts_dir))
+    timed("conv_link_domains",
+          lambda: extract.conv_link_domains(transcripts_dir))
+    timed("conv_tool_transitions",
+          lambda: extract.conv_tool_transitions(transcripts_dir))
+    timed("conv_tool_latency",
+          lambda: extract.conv_tool_latency(transcripts_dir))
+    timed("conv_time_splits",
+          lambda: extract.conv_time_splits(transcripts_dir))
+    timed("conv_verbosity_ratio",
+          lambda: extract.conv_verbosity_ratio(transcripts_dir))
+    timed("conv_pii_leak_rate",
+          lambda: extract.conv_pii_leak_rate(transcripts_dir))
+    timed("conv_refusal_rate",
+          lambda: extract.conv_refusal_rate(transcripts_dir))
+    timed("conv_lang_mismatch",
+          lambda: extract.conv_lang_mismatch(transcripts_dir))
+    return res
+
+
 def main() -> None:
+    if "--r5ops" in sys.argv:
+        import ray
+
+        import agentic_document_extraction_pdf_ray  # noqa: F401
+        from agentic_document_extraction_pdf_ray.sources.transcripts import (
+            transcripts_path,
+        )
+        if not os.path.exists(f"{OUT}/documents.parquet"):
+            print(f"tiling {BASE} x{TILES} -> {OUT}", flush=True)
+            build_tiled(BASE, OUT)
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=32, include_dashboard=False,
+                     logging_level="ERROR")
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        t_base = transcripts_path(100_000, 42)
+        t_10x = transcripts_path(1_000_000, 42)
+        report = {"loadavg_start": round(os.getloadavg()[0], 1)}
+        print(f"== base ({BASE}; transcripts 100k)", flush=True)
+        report["base"] = run_r5ops_family(BASE, t_base)
+        print(f"== 10x ({OUT}; transcripts 1M)", flush=True)
+        report["x10"] = run_r5ops_family(OUT, t_10x)
+        report["loadavg_end"] = round(os.getloadavg()[0], 1)
+        for name, b in report["base"].items():
+            x = report["x10"][name]
+            ratio = x["wall_sec"] / max(b["wall_sec"], 0.01) / TILES
+            print(f"{name}: {b['wall_sec']}s -> {x['wall_sec']}s "
+                  f"(x10 wall / 10·base = {ratio:.2f})", flush=True)
+        print(json.dumps(report))
+        ray.shutdown()
+        return
     if "--x100" in sys.argv:
         import ray
 

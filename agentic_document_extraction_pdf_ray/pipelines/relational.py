@@ -1051,12 +1051,24 @@ def fk_integrity_audit(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
     keys with no children.
 
     Scale shape: each table collapses MAP-SIDE to per-block distinct
-    ``(key, side, n_rows)`` partials; ONE key-hash bucketed exchange
-    co-locates both sides of both relations (the relation tag keeps the
-    keyspaces apart inside the bucket); per-bucket an indicator-join
-    produces partial metric sums, and the final fold is a bounded
-    2-row groupby."""
+    ``(key, side, n_rows)`` partials over BLOCK-SIZED batches
+    (``batch_size=None`` — the 1024-row default would defeat the
+    collapse and ~4× the exchange, the recurring partial-combine trap);
+    ONE key-hash bucketed exchange co-locates both sides of both
+    relations (the relation tag keeps the keyspaces apart inside the
+    bucket); per-bucket two vectorized ``isin`` indicator folds produce
+    partial metric sums, and the final fold is a single-task sum over
+    ≤2·buckets tiny rows."""
     from ..functions.hashing import bucket_int_array
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # one read wave per stream: the default splits each single-column
+    # scan into 64 sub-blocks -> 256 near-empty tasks across the four
+    # streams, pure scheduling overhead (measured 6.3s -> 0.9s at sf0.1)
+    nb = max(8, cpus)
 
     def tagged(table: str, key: str, rel: str, side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1070,27 +1082,22 @@ def fk_integrity_audit(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
                                             n_buckets)
             return d
         return (ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
-                                      columns=[key])
-                .map_batches(fn, batch_format="pandas"))
+                                      columns=[key],
+                                      override_num_blocks=nb)
+                .map_batches(fn, batch_format="pandas", batch_size=None))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for rel, gr in g.groupby("_rel", sort=False):
-            keys = (gr.groupby(["k", "_side"], as_index=False)["n"].sum()
-                    .pivot(index="k", columns="_side", values="n"))
-            has_p = keys.get("p")
-            has_c = keys.get("c")
-            if has_p is None:
-                has_p = pd.Series(np.nan, index=keys.index)
-            if has_c is None:
-                has_c = pd.Series(np.nan, index=keys.index)
-            orphan = has_p.isna() & has_c.notna()
-            childless = has_c.isna() & has_p.notna()
+            p_keys = gr.loc[gr["_side"] == "p", "k"].unique()
+            c = (gr[gr["_side"] == "c"].groupby("k")["n"].sum())
+            orphan = ~c.index.isin(p_keys)
+            childless = int((~pd.Index(p_keys).isin(c.index)).sum())
             rows.append({
                 "relation": rel,
-                "n_child_rows_orphaned": int(has_c[orphan].sum()),
+                "n_child_rows_orphaned": int(c[orphan].sum()),
                 "n_child_keys_orphaned": int(orphan.sum()),
-                "n_parent_keys_childless": int(childless.sum())})
+                "n_parent_keys_childless": childless})
         return pd.DataFrame(rows, columns=[
             "relation", "n_child_rows_orphaned", "n_child_keys_orphaned",
             "n_parent_keys_childless"])
@@ -1110,7 +1117,8 @@ def fk_integrity_audit(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         .union(tagged("orders", "o_custkey", "customer->orders", "c")))
     return (streams.groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas")
-            .groupby("relation").map_groups(final, batch_format="pandas"))
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
 
 
 def orders_monthly_yoy(sf_dir: str) -> ray.data.Dataset:

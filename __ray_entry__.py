@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "events_attribution_last_touch": events.events_attribution_last_touch,  # SQL-matched (last-touch attribution, r5)
+        "events_dow_chisq": events.events_dow_chisq,              # SQL-matched (weekday chi-square seasonality, r5)
         "conv_tool_latency": _q_conv_tool_latency,                # SQL-matched (per-tool downstream latency, r5)
         "events_type_overlap": events.events_type_overlap,        # SQL-matched (audience-overlap Jaccard matrix, r5)
         "orders_monthly_yoy": relational.orders_monthly_yoy,      # SQL-matched (monthly revenue YoY growth, r5)
@@ -1289,6 +1291,51 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # last-touch attribution (engine
+        # events.events_attribution_last_touch): per-user IGNORE-NULLS
+        # forward fill of the last non-purchase type, (ts, event_id)
+        # tie order shared with the engine sort.
+        "events_attribution_last_touch": """
+            WITH s AS (SELECT user_id, event_type,
+                         last_value(CASE WHEN event_type <> 'purchase'
+                                    THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS attr
+                       FROM events)
+            SELECT coalesce(attr, 'none') AS attributed_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) / CAST(sum(count(*)) OVER ()
+                         AS DOUBLE), 6) AS share
+            FROM s WHERE event_type = 'purchase'
+            GROUP BY 1
+        """,
+        # weekday chi-square (engine events.events_dow_chisq): exact-int
+        # numerator sum((7*o - T)^2) over a densified 7-cell profile.
+        "events_dow_chisq": """
+            WITH d AS (SELECT event_type, strftime(ts, '%w') AS dow,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT DISTINCT event_type FROM events),
+            cells AS (SELECT t.event_type,
+                             CAST(g.d AS VARCHAR) AS dow
+                      FROM t CROSS JOIN generate_series(0, 6) g(d)),
+            full_ AS (SELECT c.event_type,
+                             coalesce(d.n, 0) AS n
+                      FROM cells c LEFT JOIN d
+                      ON d.event_type = c.event_type AND d.dow = c.dow),
+            a AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+                  FROM full_ GROUP BY 1),
+            b AS (SELECT f.event_type, a.total,
+                         CAST(sum((7 * f.n - a.total)
+                              * (7 * f.n - a.total)) AS BIGINT) AS num
+                  FROM full_ f JOIN a ON a.event_type = f.event_type
+                  GROUP BY f.event_type, a.total)
+            SELECT event_type, total,
+                   round(CAST(num AS DOUBLE) / (7.0 * total), 6) AS chi2
+            FROM b
+        """,
         # per-tool downstream latency (engine extract.conv_tool_latency):
         # tool turn -> next turn gap in exact µs, per-tool fold.
         "conv_tool_latency": f"""

@@ -1846,3 +1846,92 @@ def events_type_overlap(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             .repartition(1)
             .map_batches(final, batch_format="pandas",
                          batch_size=None))
+
+
+def events_attribution_last_touch(sf_dir: str,
+                                  n_buckets: int = 64) -> ray.data.Dataset:
+    """Last-touch conversion attribution: every ``purchase`` event is
+    credited to the user's most recent PRIOR non-purchase event type
+    (``none`` when no prior touch exists) — the standard marketing-
+    attribution rollup over the event stream (window-scan family,
+    SURVEY §2.5 windowed aggregates; funnel siblings:
+    ``events_funnel`` / ``events_funnel_latency``).
+
+    Output per attributed type: ``n`` purchases and ``share`` of all
+    purchases (round 6).
+
+    Scale shape: the narrow ``(user, ts, event_id, type)`` projection
+    moves through ONE user-hash bucket exchange; per bucket one
+    mergesort + a vectorized per-user forward-fill over the masked
+    type column (no per-user loop); each bucket collapses to ≤|types|+1
+    partial counts and the final fold is a single-task share
+    computation over the bounded domain."""
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import hash_str_array
+        d = batch[["user_id", "ts", "event_id", "event_type"]].copy()
+        d["_bucket"] = (hash_str_array(d["user_id"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        masked = g["event_type"].where(g["event_type"] != "purchase")
+        attr = masked.groupby(g["user_id"], sort=False).ffill()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        a = attr.to_numpy(object)[is_p]
+        d = pd.DataFrame({"attributed_type":
+                          np.where(pd.isna(a), "none", a)})
+        out = (d.groupby("attributed_type", as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("attributed_type", as_index=False)["n"].sum()
+        n = agg["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "attributed_type": agg["attributed_type"].to_numpy(object),
+            "n": n,
+            "share": np.round(n / n.sum(), 6)})
+
+    ds = read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    return (ds.map_batches(project, batch_format="pandas")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def events_dow_chisq(sf_dir: str) -> ray.data.Dataset:
+    """Day-of-week seasonality screen: per event type, the chi-square
+    goodness-of-fit statistic of the daily-of-week count profile
+    against uniform — the exact-integer formulation ``chi2 =
+    Σ_d (7·o_d − T)² / (7·T)`` over ALL seven weekday cells (absent
+    days count as 0), so the numerator is pure int64 and only the final
+    division is floating (round 6). Flags types with strong weekly
+    structure (bot traffic is flat; human traffic is not).
+
+    Scale shape: map-side partial (type, dow) counts collapse every
+    block to the bounded 7·|types| domain before ONE tiny exchange;
+    the per-type fold densifies the 7 cells and folds integers."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch.assign(dow=batch["ts"].dt.strftime("%w"))
+        return (d.groupby(["event_type", "dow"], as_index=False)
+                .agg(n=("event_id", "size")))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("dow")["n"].sum()
+        o = np.array([int(c.get(str(d), 0)) for d in range(7)],
+                     dtype=np.int64)
+        total = int(o.sum())
+        num = int(((7 * o - total) ** 2).sum())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "total": [total],
+            "chi2": [round(num / (7.0 * total), 6)]})
+
+    ds = read_events(sf_dir, ["event_id", "ts", "event_type"])
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(per_type,
+                                              batch_format="pandas"))

@@ -360,6 +360,11 @@ def run_bench() -> dict:
             lambda d: events.events_type_overlap(d).count(), sf_dir),
         "orders_monthly_yoy": timed(
             lambda d: relational.orders_monthly_yoy(d).count(), sf_dir),
+        "events_attribution_last_touch": timed(
+            lambda d: events.events_attribution_last_touch(d).count(),
+            sf_dir),
+        "events_dow_chisq": timed(
+            lambda d: events.events_dow_chisq(d).count(), sf_dir),
     }
 
     ray.shutdown()

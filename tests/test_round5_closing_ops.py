@@ -1491,3 +1491,76 @@ class TestOrdersMonthlyYoy:
         assert out.loc["1996-03", "revenue_cents"] == 30000
         assert out.loc["1996-03", "prev_year_cents"] == 15000
         assert out.loc["1996-03", "yoy_growth"] == 1.0
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value)"""
+    import pyarrow as pa
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.string()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    pq.write_table(tbl, f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsAttributionLastTouch:
+    def test_designed_attribution(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_attribution_last_touch,
+        )
+        t0 = datetime(2024, 1, 1)
+        s = lambda k: t0 + timedelta(seconds=k)  # noqa: E731
+        rows = [
+            # u1: click -> purchase (click credited); then purchase
+            # again with NO new touch in between -> still click
+            (0, s(0), "u1", "click", 1.0),
+            (1, s(1), "u1", "purchase", 1.0),
+            (2, s(2), "u1", "purchase", 1.0),
+            # u2: purchase with no prior touch -> none
+            (3, s(0), "u2", "purchase", 1.0),
+            # u3: view then signup then purchase -> signup (LAST touch)
+            (4, s(0), "u3", "view", 1.0),
+            (5, s(1), "u3", "signup", 1.0),
+            (6, s(2), "u3", "purchase", 1.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = (events_attribution_last_touch(sf).to_pandas()
+               .set_index("attributed_type"))
+        assert out.loc["click", "n"] == 2
+        assert out.loc["none", "n"] == 1
+        assert out.loc["signup", "n"] == 1
+        assert out.loc["click", "share"] == 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsDowChisq:
+    def test_uniform_vs_spiked(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_dow_chisq,
+        )
+        t0 = datetime(2024, 1, 1)  # a Monday
+        rows = []
+        eid = 0
+        # 'flat': one event each day of one week -> chi2 = 0
+        for d in range(7):
+            rows.append((eid, t0 + timedelta(days=d), "u", "flat", 1.0))
+            eid += 1
+        # 'spike': 7 events all on one day -> o=(7,0,...); T=7;
+        # num = (49-7)^2 + 6*49 = 1764+294 = 2058; chi2 = 2058/49 = 42
+        for _ in range(7):
+            rows.append((eid, t0, "u", "spike", 1.0))
+            eid += 1
+        sf = _write_events(tmp_path, rows)
+        out = (events_dow_chisq(sf).to_pandas().set_index("event_type"))
+        assert out.loc["flat", "chi2"] == 0.0
+        assert out.loc["spike", "total"] == 7
+        assert out.loc["spike", "chi2"] == 42.0

@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "events_churn_labels": events.events_churn_labels,        # SQL-matched (churn label builder, r5)
         "events_attribution_last_touch": events.events_attribution_last_touch,  # SQL-matched (last-touch attribution, r5)
         "events_dow_chisq": events.events_dow_chisq,              # SQL-matched (weekday chi-square seasonality, r5)
         "conv_tool_latency": _q_conv_tool_latency,                # SQL-matched (per-tool downstream latency, r5)
@@ -1291,6 +1292,21 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # churn labels (engine events.events_churn_labels): watermark =
+        # corpus max ts, idle in exact µs, cut 28 days.
+        "events_churn_labels": """
+            WITH mx AS (SELECT max(ts) AS m FROM events),
+            u AS (SELECT user_id, max(ts) AS last_ts,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1)
+            SELECT user_id, n_events,
+                   CAST(date_diff('microsecond', last_ts,
+                        (SELECT m FROM mx)) AS BIGINT) AS idle_us,
+                   date_diff('microsecond', last_ts,
+                        (SELECT m FROM mx))
+                       > CAST(28 AS BIGINT) * 86400 * 1000000 AS churned
+            FROM u
+        """,
         # last-touch attribution (engine
         # events.events_attribution_last_touch): per-user IGNORE-NULLS
         # forward fill of the last non-purchase type, (ts, event_id)

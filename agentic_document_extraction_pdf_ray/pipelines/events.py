@@ -1935,3 +1935,56 @@ def events_dow_chisq(sf_dir: str) -> ray.data.Dataset:
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("event_type").map_groups(per_type,
                                               batch_format="pandas"))
+
+
+def events_churn_labels(sf_dir: str, churn_days: int = 28,
+                        n_buckets: int = 64) -> ray.data.Dataset:
+    """Churn-label builder: per user, event count, idle time from the
+    user's last event to the corpus watermark (max ts), and the
+    ``churned`` flag (idle > ``churn_days``) — the label-engineering
+    step in front of any churn model (retention sibling:
+    ``events_retention``; all quantities exact int64 µs).
+
+    Scale shape: pass 1 is a tiny partial-max fold for the watermark
+    (one scalar to the driver, broadcast back in the task closure —
+    never a join); pass 2 collapses each block MAP-SIDE to per-user
+    ``(last_us, n)`` partials over block-sized batches, then ONE
+    user-hash bucket exchange and a vectorized per-bucket fold."""
+    def wm_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"m": [batch["ts"].max()]})
+
+    wm = (read_events(sf_dir, ["ts"])
+          .map_batches(wm_partial, batch_format="pandas",
+                       batch_size=None).to_pandas()["m"].max())
+    wm_us = int(np.int64(pd.Timestamp(wm).value // 1000))
+    cut_us = int(churn_days) * 86_400 * 1_000_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import hash_str_array
+        d = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(object),
+            "last_us": batch["ts"].to_numpy()
+            .astype("datetime64[us]").astype(np.int64)})
+        g = d.groupby("user_id", as_index=False).agg(
+            last_us=("last_us", "max"))
+        g["n_events"] = d.groupby("user_id", sort=False).size() \
+            .reindex(g["user_id"]).to_numpy(np.int64)
+        g["_bucket"] = (hash_str_array(g["user_id"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False).agg(
+            last_us=("last_us", "max"), n_events=("n_events", "sum"))
+        idle = wm_us - agg["last_us"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(object),
+            "n_events": agg["n_events"].to_numpy(np.int64),
+            "idle_us": idle,
+            "churned": idle > cut_us})
+
+    return (read_events(sf_dir, ["user_id", "ts"])
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=None)
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))

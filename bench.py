@@ -365,6 +365,8 @@ def run_bench() -> dict:
             sf_dir),
         "events_dow_chisq": timed(
             lambda d: events.events_dow_chisq(d).count(), sf_dir),
+        "events_churn_labels": timed(
+            lambda d: events.events_churn_labels(d).count(), sf_dir),
     }
 
     ray.shutdown()

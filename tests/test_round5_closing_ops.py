@@ -1564,3 +1564,69 @@ class TestEventsDowChisq:
         assert out.loc["flat", "chi2"] == 0.0
         assert out.loc["spike", "total"] == 7
         assert out.loc["spike", "chi2"] == 42.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonlRoundTrip:
+    def test_exact_roundtrip(self, tmp_path):
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.sources.jsonl import (
+            read_transcripts_jsonl, write_transcripts_jsonl,
+        )
+        from agentic_document_extraction_pdf_ray.sources.transcripts import (
+            transcripts_path,
+        )
+        src = transcripts_path(2000, 11)
+        out = str(tmp_path / "jl")
+        ds = ray.data.read_parquet(src)
+        write_transcripts_jsonl(ds, out)
+        back = read_transcripts_jsonl(out)
+        a = (ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+             .reset_index(drop=True))
+        b = (back.to_pandas().sort_values(["conv_id", "turn_idx"])
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+    def test_pipeline_runs_on_jsonl_turns(self, tmp_path):
+        import ray.data
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            extract_turns,
+        )
+        from agentic_document_extraction_pdf_ray.sources.jsonl import (
+            read_transcripts_jsonl, write_transcripts_jsonl,
+        )
+        from agentic_document_extraction_pdf_ray.sources.transcripts import (
+            transcripts_path,
+        )
+        src = transcripts_path(2000, 11)
+        out = str(tmp_path / "jl2")
+        write_transcripts_jsonl(ray.data.read_parquet(src), out)
+        n = extract_turns(read_transcripts_jsonl(out)).count()
+        assert n == 2000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsChurnLabels:
+    def test_designed_labels(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_churn_labels,
+        )
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            # watermark is u2's event at +40d. u1's last is day 0
+            # -> idle 40d > 28d -> churned. u2 idle 0 -> active.
+            (0, t0, "u1", "click", 1.0),
+            (1, t0 + timedelta(days=1), "u1", "view", 1.0),
+            (2, t0 + timedelta(days=41), "u2", "click", 1.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        out = (events_churn_labels(sf).to_pandas().set_index("user_id"))
+        assert out.loc["u1", "n_events"] == 2
+        assert out.loc["u1", "idle_us"] == 40 * 86400 * 1_000_000
+        assert bool(out.loc["u1", "churned"]) is True
+        assert out.loc["u2", "idle_us"] == 0
+        assert bool(out.loc["u2", "churned"]) is False

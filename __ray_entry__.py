@@ -234,6 +234,11 @@ def _q_conv_time_splits(sf_dir: str) -> Any:
     return conv_time_splits(_transcripts_for(sf_dir))
 
 
+def _q_conv_curation_report(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_curation_report
+    return conv_curation_report(_transcripts_for(sf_dir))
+
+
 def _q_conv_tool_latency(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_tool_latency
     return conv_tool_latency(_transcripts_for(sf_dir))
@@ -488,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "conv_curation_report": _q_conv_curation_report,          # SQL-matched (FUSED five-screen single-pass report, r5)
         "events_churn_labels": events.events_churn_labels,        # SQL-matched (churn label builder, r5)
         "events_attribution_last_touch": events.events_attribution_last_touch,  # SQL-matched (last-touch attribution, r5)
         "events_dow_chisq": events.events_dow_chisq,              # SQL-matched (weekday chi-square seasonality, r5)
@@ -1143,7 +1149,7 @@ def oracle_sql() -> dict[str, str]:
     from agentic_document_extraction_pdf_ray.pipelines.documents import (
         WINNOW_K as _WK,
     )
-    return {
+    sql = {
         # PII detect+redact (reference src/utils/phi_redaction.py classes;
         # engine pipelines/documents.py:doc_pii_scrub). Same RE2 patterns
         # both sides; the deterministic doc_id-derived seed plants
@@ -4648,3 +4654,20 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <= TIMESTAMP '1996-12-31'
         """,
     }
+    # fused curation report (engine extract.conv_curation_report): the
+    # join of the five per-conversation screen oracles — same columns,
+    # same rounding; composed from the entries above so the two sides
+    # can never drift.
+    sql["conv_curation_report"] = f"""
+        SELECT v.conv_id, t.n_turns, v.n_user, v.n_assistant,
+               v.user_chars, v.assistant_chars, v.verbosity_ratio,
+               r.n_refusal, r.refusal_rate, p.n_pii, p.pii_rate,
+               l.user_lang, l.n_mismatch, l.mismatch_frac,
+               t.n_segments, t.max_gap_us
+        FROM ({sql["conv_verbosity_ratio"]}) v
+        JOIN ({sql["conv_refusal_rate"]}) r ON r.conv_id = v.conv_id
+        JOIN ({sql["conv_pii_leak_rate"]}) p ON p.conv_id = v.conv_id
+        JOIN ({sql["conv_lang_mismatch"]}) l ON l.conv_id = v.conv_id
+        JOIN ({sql["conv_time_splits"]}) t ON t.conv_id = v.conv_id
+    """
+    return sql

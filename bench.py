@@ -367,6 +367,8 @@ def run_bench() -> dict:
             lambda d: events.events_dow_chisq(d).count(), sf_dir),
         "events_churn_labels": timed(
             lambda d: events.events_churn_labels(d).count(), sf_dir),
+        "conv_curation_report": timed(
+            lambda s: _extract.conv_curation_report(s).count(), src),
     }
 
     ray.shutdown()

@@ -1630,3 +1630,31 @@ class TestEventsChurnLabels:
         assert bool(out.loc["u1", "churned"]) is True
         assert out.loc["u2", "idle_us"] == 0
         assert bool(out.loc["u2", "churned"]) is False
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvCurationReport:
+    def test_equals_individual_screens(self):
+        import pandas as _pd
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_curation_report, conv_lang_mismatch, conv_pii_leak_rate,
+            conv_refusal_rate, conv_time_splits, conv_verbosity_ratio,
+        )
+        from agentic_document_extraction_pdf_ray.sources.transcripts import (
+            transcripts_path,
+        )
+        src = transcripts_path(5000, 7)
+        fused = (conv_curation_report(src).to_pandas()
+                 .sort_values("conv_id").reset_index(drop=True))
+        v = conv_verbosity_ratio(src).to_pandas()
+        r = conv_refusal_rate(src).to_pandas()
+        p = conv_pii_leak_rate(src).to_pandas()
+        lm = conv_lang_mismatch(src).to_pandas()
+        t = conv_time_splits(src).to_pandas()
+        joined = (v.merge(r.drop(columns=["n_assistant"]), on="conv_id")
+                  .merge(p.drop(columns=["n_assistant"]), on="conv_id")
+                  .merge(lm.drop(columns=["n_assistant"]), on="conv_id")
+                  .merge(t, on="conv_id")
+                  .sort_values("conv_id").reset_index(drop=True))
+        _pd.testing.assert_frame_equal(fused[joined.columns], joined)

@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
         "conv_curation_report": _q_conv_curation_report,          # SQL-matched (FUSED five-screen single-pass report, r5)
+        "doc_curation_report": documents.doc_curation_report,     # SQL-matched (FUSED six-screen doc report, one scan, r5)
         "events_churn_labels": events.events_churn_labels,        # SQL-matched (churn label builder, r5)
         "events_attribution_last_touch": events.events_attribution_last_touch,  # SQL-matched (last-touch attribution, r5)
         "events_dow_chisq": events.events_dow_chisq,              # SQL-matched (weekday chi-square seasonality, r5)
@@ -4658,6 +4659,26 @@ def oracle_sql() -> dict[str, str]:
     # join of the five per-conversation screen oracles — same columns,
     # same rounding; composed from the entries above so the two sides
     # can never drift.
+    # fused doc curation report (engine documents.doc_curation_report):
+    # the join of six per-row screen oracles; keep AS gopher_keep,
+    # readability's duplicate n_words dropped (same token convention).
+    sql["doc_curation_report"] = f"""
+        SELECT q.doc_id, q.n_chars, q.n_tokens, q.alpha_ratio,
+               q.digit_ratio, q.quality_x100,
+               g.n_words, g.mean_word_len, g.n_lines, g.frac_bullet,
+               g.frac_ellipsis, g.symbol_ratio, g.n_stopwords,
+               g.keep AS gopher_keep,
+               r.n_sentences, r.n_syllables, r.flesch,
+               ld.n_urls, ld.url_chars, ld.link_density, ld.link_heavy,
+               p.n_emails, p.n_ssns, p.n_phones, p.n_ipv4,
+               li.predicted_lang
+        FROM ({sql["doc_quality"]}) q
+        JOIN ({sql["doc_gopher_flags"]}) g ON g.doc_id = q.doc_id
+        JOIN ({sql["doc_readability"]}) r ON r.doc_id = q.doc_id
+        JOIN ({sql["doc_link_density"]}) ld ON ld.doc_id = q.doc_id
+        JOIN ({sql["doc_pii_scrub"]}) p ON p.doc_id = q.doc_id
+        JOIN ({sql["doc_lang_id"]}) li ON li.doc_id = q.doc_id
+    """
     sql["conv_curation_report"] = f"""
         SELECT v.conv_id, t.n_turns, v.n_user, v.n_assistant,
                v.user_chars, v.assistant_chars, v.verbosity_ratio,

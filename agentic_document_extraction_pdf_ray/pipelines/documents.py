@@ -700,72 +700,77 @@ def doc_gopher_flags(sf_dir: str) -> ray.data.Dataset:
     non-empty lines; token stats count only non-empty tokens of the
     whitespace-normalized text.
     """
-    def fn(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(batch["text"], "")
-        clean = _norm_ws(text)
-        lower = pc.utf8_lower(clean)
-        n = len(batch)
+    return read_documents(sf_dir).map_batches(gopher_flags_batch,
+                                              batch_format="pyarrow")
 
-        toks = pc.split_pattern(clean, " ")
-        tpar = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        tlen = pc.utf8_length(pc.list_flatten(toks)).to_numpy(
+
+def gopher_flags_batch(batch: pa.Table) -> pa.Table:
+    """The SHARED per-batch Gopher kernel (see :func:`doc_gopher_flags`;
+    also composed into :func:`doc_curation_report`)."""
+    text = pc.fill_null(batch["text"], "")
+    clean = _norm_ws(text)
+    lower = pc.utf8_lower(clean)
+    n = len(batch)
+
+    toks = pc.split_pattern(clean, " ")
+    tpar = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    tlen = pc.utf8_length(pc.list_flatten(toks)).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    tmask = tlen > 0
+    n_words = np.bincount(tpar[tmask], minlength=n).astype(np.int64)
+    sum_len = np.bincount(tpar[tmask], weights=tlen[tmask],
+                          minlength=n).astype(np.int64)
+    mwl = sum_len / np.maximum(n_words, 1)
+
+    lines = pc.split_pattern(text, "\n")
+    lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    lflat = pc.utf8_trim(pc.list_flatten(lines), " \t\r")
+    lmask = pc.not_equal(lflat, "").to_numpy(zero_copy_only=False)
+    bullet = pc.or_(pc.or_(pc.starts_with(lflat, "- "),
+                           pc.starts_with(lflat, "* ")),
+                    pc.starts_with(lflat, "• ")).to_numpy(
+        zero_copy_only=False)
+    ell = pc.or_(pc.ends_with(lflat, "..."),
+                 pc.ends_with(lflat, "…")).to_numpy(zero_copy_only=False)
+    n_lines = np.bincount(lpar[lmask], minlength=n).astype(np.int64)
+    n_bullet = np.bincount(lpar[lmask & bullet],
+                           minlength=n).astype(np.int64)
+    n_ellipsis = np.bincount(lpar[lmask & ell],
+                             minlength=n).astype(np.int64)
+    ldenom = np.maximum(n_lines, 1)
+    frac_bullet = n_bullet / ldenom
+    frac_ellipsis = n_ellipsis / ldenom
+
+    n_symbols = (pc.count_substring(clean, "#").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+        + pc.count_substring(clean, "…").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    symbol_ratio = n_symbols / np.maximum(n_words, 1)
+
+    n_stop = np.zeros(n, np.int64)
+    for w in GOPHER_STOPWORDS:
+        n_stop += pc.match_substring_regex(
+            lower, f"(^| ){w}( |$)").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        tmask = tlen > 0
-        n_words = np.bincount(tpar[tmask], minlength=n).astype(np.int64)
-        sum_len = np.bincount(tpar[tmask], weights=tlen[tmask],
-                              minlength=n).astype(np.int64)
-        mwl = sum_len / np.maximum(n_words, 1)
 
-        lines = pc.split_pattern(text, "\n")
-        lpar = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
-        lflat = pc.utf8_trim(pc.list_flatten(lines), " \t\r")
-        lmask = pc.not_equal(lflat, "").to_numpy(zero_copy_only=False)
-        bullet = pc.or_(pc.or_(pc.starts_with(lflat, "- "),
-                               pc.starts_with(lflat, "* ")),
-                        pc.starts_with(lflat, "• ")).to_numpy(
-            zero_copy_only=False)
-        ell = pc.or_(pc.ends_with(lflat, "..."),
-                     pc.ends_with(lflat, "…")).to_numpy(zero_copy_only=False)
-        n_lines = np.bincount(lpar[lmask], minlength=n).astype(np.int64)
-        n_bullet = np.bincount(lpar[lmask & bullet],
-                               minlength=n).astype(np.int64)
-        n_ellipsis = np.bincount(lpar[lmask & ell],
-                                 minlength=n).astype(np.int64)
-        ldenom = np.maximum(n_lines, 1)
-        frac_bullet = n_bullet / ldenom
-        frac_ellipsis = n_ellipsis / ldenom
-
-        n_symbols = (pc.count_substring(clean, "#").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-            + pc.count_substring(clean, "…").to_numpy(
-                zero_copy_only=False).astype(np.int64))
-        symbol_ratio = n_symbols / np.maximum(n_words, 1)
-
-        n_stop = np.zeros(n, np.int64)
-        for w in GOPHER_STOPWORDS:
-            n_stop += pc.match_substring_regex(
-                lower, f"(^| ){w}( |$)").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-
-        keep = ((n_words >= GOPHER_MIN_WORDS)
-                & (n_words <= GOPHER_MAX_WORDS)
-                & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
-                & (frac_bullet <= GOPHER_MAX_BULLET)
-                & (frac_ellipsis <= GOPHER_MAX_ELLIPSIS)
-                & (symbol_ratio <= GOPHER_MAX_SYMBOL)
-                & (n_stop >= GOPHER_MIN_STOPWORDS))
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "n_words": pa.array(n_words, pa.int64()),
-            "mean_word_len": pa.array(mwl, pa.float64()),
-            "n_lines": pa.array(n_lines, pa.int64()),
-            "frac_bullet": pa.array(frac_bullet, pa.float64()),
-            "frac_ellipsis": pa.array(frac_ellipsis, pa.float64()),
-            "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
-            "n_stopwords": pa.array(n_stop, pa.int64()),
-            "keep": pa.array(keep, pa.bool_()),
-        })
-    return read_documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+            & (frac_bullet <= GOPHER_MAX_BULLET)
+            & (frac_ellipsis <= GOPHER_MAX_ELLIPSIS)
+            & (symbol_ratio <= GOPHER_MAX_SYMBOL)
+            & (n_stop >= GOPHER_MIN_STOPWORDS))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words, pa.int64()),
+        "mean_word_len": pa.array(mwl, pa.float64()),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "frac_bullet": pa.array(frac_bullet, pa.float64()),
+        "frac_ellipsis": pa.array(frac_ellipsis, pa.float64()),
+        "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+        "n_stopwords": pa.array(n_stop, pa.int64()),
+        "keep": pa.array(keep, pa.bool_()),
+    })
 
 
 def doc_repetition_stats(sf_dir: str) -> ray.data.Dataset:
@@ -3361,28 +3366,30 @@ def doc_link_density(sf_dir: str) -> ray.data.Dataset:
     and URL-stripped text, so every column is bit-identical to the
     DuckDB oracle (both engines compile RE2 and count codepoints).
     """
-
-    def fn(batch: pa.Table) -> pa.Table:
-        txt = pc.fill_null(batch["text"], "")
-        n_urls = pc.cast(pc.count_substring_regex(txt, URL_PATTERN),
-                         pa.int64())
-        total = pc.cast(pc.utf8_length(txt), pa.int64())
-        stripped_len = pc.cast(pc.utf8_length(
-            pc.replace_substring_regex(txt, URL_PATTERN, "")), pa.int64())
-        url_chars = pc.subtract(total, stripped_len).to_numpy(
-            zero_copy_only=False)
-        tot = total.to_numpy(zero_copy_only=False)
-        density = np.round(url_chars / np.maximum(tot, 1), 6)
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "n_urls": n_urls,
-            "url_chars": pa.array(url_chars, pa.int64()),
-            "total_chars": pa.array(tot, pa.int64()),
-            "link_density": pa.array(density, pa.float64()),
-            "link_heavy": pa.array(density > LINK_HEAVY_DENSITY)})
-
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pyarrow")
+        link_density_batch, batch_format="pyarrow")
+
+
+def link_density_batch(batch: pa.Table) -> pa.Table:
+    """The SHARED per-batch link-density kernel (see
+    :func:`doc_link_density`; composed into :func:`doc_curation_report`)."""
+    txt = pc.fill_null(batch["text"], "")
+    n_urls = pc.cast(pc.count_substring_regex(txt, URL_PATTERN),
+                     pa.int64())
+    total = pc.cast(pc.utf8_length(txt), pa.int64())
+    stripped_len = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(txt, URL_PATTERN, "")), pa.int64())
+    url_chars = pc.subtract(total, stripped_len).to_numpy(
+        zero_copy_only=False)
+    tot = total.to_numpy(zero_copy_only=False)
+    density = np.round(url_chars / np.maximum(tot, 1), 6)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_urls": n_urls,
+        "url_chars": pa.array(url_chars, pa.int64()),
+        "total_chars": pa.array(tot, pa.int64()),
+        "link_density": pa.array(density, pa.float64()),
+        "link_heavy": pa.array(density > LINK_HEAVY_DENSITY)})
 
 
 def doc_readability(sf_dir: str) -> ray.data.Dataset:
@@ -3398,30 +3405,32 @@ def doc_readability(sf_dir: str) -> ray.data.Dataset:
     84.6·(y/max(w,1)), 6)``. All counts are exact ints from RE2 kernels
     shared verbatim with the oracle; the score is one fixed-order
     float64 expression on both engines. Purely per-row, no shuffle."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        clean = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
-        nonempty = pc.not_equal(clean, "").to_numpy(zero_copy_only=False)
-        spaces = pc.count_substring(clean, " ").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        words = np.where(nonempty, spaces + 1, 0)
-        sents = pc.count_substring_regex(clean, r"[.!?]+").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        syll = pc.count_substring_regex(clean, r"[aeiouy]+").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flesch = np.round(
-            206.835
-            - 1.015 * (words / np.maximum(sents, 1))
-            - 84.6 * (syll / np.maximum(words, 1)), 6)
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "n_words": pa.array(words, pa.int64()),
-            "n_sentences": pa.array(sents, pa.int64()),
-            "n_syllables": pa.array(syll, pa.int64()),
-            "flesch": pa.array(flesch, pa.float64())})
-
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pyarrow")
+        readability_batch, batch_format="pyarrow")
+
+
+def readability_batch(batch: pa.Table) -> pa.Table:
+    """The SHARED per-batch Flesch kernel (see :func:`doc_readability`;
+    composed into :func:`doc_curation_report`)."""
+    clean = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
+    nonempty = pc.not_equal(clean, "").to_numpy(zero_copy_only=False)
+    spaces = pc.count_substring(clean, " ").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    words = np.where(nonempty, spaces + 1, 0)
+    sents = pc.count_substring_regex(clean, r"[.!?]+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    syll = pc.count_substring_regex(clean, r"[aeiouy]+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flesch = np.round(
+        206.835
+        - 1.015 * (words / np.maximum(sents, 1))
+        - 84.6 * (syll / np.maximum(words, 1)), 6)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(words, pa.int64()),
+        "n_sentences": pa.array(sents, pa.int64()),
+        "n_syllables": pa.array(syll, pa.int64()),
+        "flesch": pa.array(flesch, pa.float64())})
 
 
 def corpus_snapshot_diff(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
@@ -3497,3 +3506,72 @@ def corpus_snapshot_diff(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
         v2_block, batch_format="pyarrow")
     return (v1.union(v2).groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def doc_curation_report(sf_dir: str) -> ray.data.Dataset:
+    """FUSED single-pass document curation report: the full per-row
+    screen battery — quality score (:func:`doc_quality`), Gopher flags
+    (:func:`doc_gopher_flags`), Flesch readability
+    (:func:`doc_readability`), link density (:func:`doc_link_density`),
+    PII counts (:func:`doc_pii_scrub`) and language ID
+    (:func:`doc_lang_id`) — in ONE corpus scan with NO exchange,
+    column-for-column equal to the individual operators (it CALLS their
+    shared kernels; ``keep`` is exposed as ``gopher_keep``). The doc
+    twin of :func:`..pipelines.extract.conv_curation_report`: six
+    separate screens cost six corpus reads; fused they cost one.
+
+    Purely per-row — at 100 TB this is the canonical embarrassingly
+    parallel curation pass, bounded by read + regex throughput."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        clean = _norm_ws(batch["text"])
+        (n_chars, n_tokens, alpha_ratio, digit_ratio,
+         score_x100) = quality_arrays(clean)
+        gopher = gopher_flags_batch(batch)
+        readab = readability_batch(batch)
+        link = link_density_batch(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        seeded = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""),
+            pa.array(pii_seed_suffix(ids), pa.string()), "")
+        pii_counts, _red = pii_scrub_batch(seeded)
+        _, _, _, _, pred = lang_id_arrays(batch["text"].to_pylist())
+        cols = {
+            "doc_id": batch["doc_id"],
+            # quality
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+            "digit_ratio": pa.array(digit_ratio, pa.float64()),
+            "quality_x100": pa.array(score_x100, pa.int64()),
+            # gopher (keep renamed; n_words shared w/ readability —
+            # same whitespace-token convention, gopher's kept)
+            "n_words": gopher["n_words"],
+            "mean_word_len": gopher["mean_word_len"],
+            "n_lines": gopher["n_lines"],
+            "frac_bullet": gopher["frac_bullet"],
+            "frac_ellipsis": gopher["frac_ellipsis"],
+            "symbol_ratio": gopher["symbol_ratio"],
+            "n_stopwords": gopher["n_stopwords"],
+            "gopher_keep": gopher["keep"],
+            # readability
+            "n_sentences": readab["n_sentences"],
+            "n_syllables": readab["n_syllables"],
+            "flesch": readab["flesch"],
+            # link density
+            "n_urls": link["n_urls"],
+            "url_chars": link["url_chars"],
+            "link_density": link["link_density"],
+            "link_heavy": link["link_heavy"],
+            # pii (doc_pii_scrub seed convention)
+            "n_emails": pii_counts["n_emails"],
+            "n_ssns": pii_counts["n_ssns"],
+            "n_phones": pii_counts["n_phones"],
+            "n_ipv4": pii_counts["n_ipv4"],
+            # language
+            "predicted_lang": pa.array(pred.tolist(), pa.string()),
+        }
+        return pa.table(cols)
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

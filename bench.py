@@ -369,6 +369,8 @@ def run_bench() -> dict:
             lambda d: events.events_churn_labels(d).count(), sf_dir),
         "conv_curation_report": timed(
             lambda s: _extract.conv_curation_report(s).count(), src),
+        "doc_curation_report": timed(
+            lambda d: documents.doc_curation_report(d).count(), sf_dir),
     }
 
     ray.shutdown()

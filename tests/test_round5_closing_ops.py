@@ -1658,3 +1658,29 @@ class TestConvCurationReport:
                   .merge(t, on="conv_id")
                   .sort_values("conv_id").reset_index(drop=True))
         _pd.testing.assert_frame_equal(fused[joined.columns], joined)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocCurationReport:
+    def test_equals_individual_screens(self):
+        import pandas as _pd
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            doc_curation_report, doc_gopher_flags, doc_lang_id,
+            doc_link_density, doc_pii_scrub, doc_quality, doc_readability,
+        )
+        sf = SF
+        fused = (doc_curation_report(sf).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        q = doc_quality(sf).to_pandas()
+        g = (doc_gopher_flags(sf).to_pandas()
+             .rename(columns={"keep": "gopher_keep"}))
+        r = doc_readability(sf).to_pandas().drop(columns=["n_words"])
+        ld = doc_link_density(sf).to_pandas().drop(columns=["total_chars"])
+        p = doc_pii_scrub(sf).to_pandas().drop(columns=["redacted_len"])
+        li = doc_lang_id(sf).to_pandas()[["doc_id", "predicted_lang"]]
+        joined = (q.merge(g, on="doc_id").merge(r, on="doc_id")
+                  .merge(ld, on="doc_id").merge(p, on="doc_id")
+                  .merge(li, on="doc_id")
+                  .sort_values("doc_id").reset_index(drop=True))
+        _pd.testing.assert_frame_equal(fused[joined.columns], joined)

@@ -495,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oldest-graded anchors.
         "conv_curation_report": _q_conv_curation_report,          # SQL-matched (FUSED five-screen single-pass report, r5)
         "doc_curation_report": documents.doc_curation_report,     # SQL-matched (FUSED six-screen doc report, one scan, r5)
+        "doc_screen_corr": documents.doc_screen_corr,             # SQL-matched (exact-moment screen correlation matrix, r5)
         "events_churn_labels": events.events_churn_labels,        # SQL-matched (churn label builder, r5)
         "events_attribution_last_touch": events.events_attribution_last_touch,  # SQL-matched (last-touch attribution, r5)
         "events_dow_chisq": events.events_dow_chisq,              # SQL-matched (weekday chi-square seasonality, r5)
@@ -4659,6 +4660,12 @@ def oracle_sql() -> dict[str, str]:
     # join of the five per-conversation screen oracles — same columns,
     # same rounding; composed from the entries above so the two sides
     # can never drift.
+    # screen-correlation matrix (engine documents.doc_screen_corr):
+    # exact-int moments over the fused report, one fixed-order double
+    # r per pair; generated from the same column list as the engine.
+    from agentic_document_extraction_pdf_ray.pipelines.documents import (
+        SCREEN_CORR_COLS as _SCC,
+    )
     # fused doc curation report (engine documents.doc_curation_report):
     # the join of six per-row screen oracles; keep AS gopher_keep,
     # readability's duplicate n_words dropped (same token convention).
@@ -4679,6 +4686,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({sql["doc_pii_scrub"]}) p ON p.doc_id = q.doc_id
         JOIN ({sql["doc_lang_id"]}) li ON li.doc_id = q.doc_id
     """
+    _sums = ", ".join(f"CAST(sum({c}) AS BIGINT) AS s_{c}" for c in _SCC)
+    _prods = ", ".join(
+        f"CAST(sum({a} * {b}) AS BIGINT) AS p_{a}__{b}"
+        for i, a in enumerate(_SCC) for b in _SCC[i:])
+    _pair_rows = []
+    for _i, _a in enumerate(_SCC):
+        for _b in _SCC[_i + 1:]:
+            _den = (f"sqrt(CAST(n * p_{_a}__{_a} - s_{_a} * s_{_a} "
+                    f"AS DOUBLE) * CAST(n * p_{_b}__{_b} - s_{_b} * s_{_b}"
+                    f" AS DOUBLE))")
+            _pair_rows.append(
+                f"SELECT '{_a}' AS col_a, '{_b}' AS col_b, "
+                f"CASE WHEN {_den} = 0 THEN 0.0 ELSE "
+                f"round(CAST(n * p_{_a}__{_b} - s_{_a} * s_{_b} AS DOUBLE)"
+                f" / {_den}, 6) END AS r FROM m")
+    sql["doc_screen_corr"] = (
+        f"WITH f AS ({sql['doc_curation_report']}), "
+        f"m AS (SELECT CAST(count(*) AS BIGINT) AS n, {_sums}, {_prods} "
+        f"FROM f) " + " UNION ALL ".join(_pair_rows))
     sql["conv_curation_report"] = f"""
         SELECT v.conv_id, t.n_turns, v.n_user, v.n_assistant,
                v.user_chars, v.assistant_chars, v.verbosity_ratio,

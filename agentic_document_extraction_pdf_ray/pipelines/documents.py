@@ -3575,3 +3575,63 @@ def doc_curation_report(sf_dir: str) -> ray.data.Dataset:
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+SCREEN_CORR_COLS = ("n_chars", "n_tokens", "n_words", "quality_x100",
+                    "n_sentences", "n_syllables", "n_urls",
+                    "n_stopwords", "n_lines")
+
+
+def doc_screen_corr(sf_dir: str) -> ray.data.Dataset:
+    """Screen-redundancy analysis: the Pearson correlation matrix over
+    the integer columns of the fused curation report
+    (:func:`doc_curation_report`) — which quality signals are measuring
+    the same thing (a curation suite drops near-duplicate screens; the
+    relational sibling is ``lineitem_corr``). Composes ON TOP of the
+    fused report: one corpus scan feeds both the report and this
+    summary.
+
+    Exact-integer formulation: the map side folds int64 moment partials
+    (n, Σx_i, Σx_i·x_j — all exact), so the only floating-point work is
+    the final ``r = (n·P_ij − S_i·S_j) / sqrt((n·P_ii − S_i²)·(n·P_jj −
+    S_j²))`` per pair (one fixed-order double expression, round 6; a
+    zero-variance side yields r = 0 by convention on both engines).
+
+    Output: one row per unordered pair (``col_a < col_b``
+    lexicographically within the fixed column order)."""
+    import pandas as pd
+
+    cols = SCREEN_CORR_COLS
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = {c: batch[c].to_numpy(np.int64) for c in cols}
+        row = {"n": np.int64(len(batch))}
+        for i, a in enumerate(cols):
+            row[f"s_{a}"] = x[a].sum()
+            for b in cols[i:]:
+                row[f"p_{a}__{b}"] = (x[a] * x[b]).sum()
+        return pd.DataFrame([row])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.sum()
+        n = int(tot["n"])
+        out = []
+        for i, a in enumerate(cols):
+            for b in cols[i + 1:]:
+                sa, sb = int(tot[f"s_{a}"]), int(tot[f"s_{b}"])
+                pab = int(tot[f"p_{a}__{b}"])
+                paa = int(tot[f"p_{a}__{a}"])
+                pbb = int(tot[f"p_{b}__{b}"])
+                da = float(n * paa - sa * sa)
+                db = float(n * pbb - sb * sb)
+                denom = np.sqrt(da * db)
+                r = 0.0 if denom == 0.0 else round(
+                    float(n * pab - sa * sb) / denom, 6)
+                out.append({"col_a": a, "col_b": b, "r": r})
+        return pd.DataFrame(out)
+
+    return (doc_curation_report(sf_dir)
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=None)
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

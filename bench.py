@@ -371,6 +371,8 @@ def run_bench() -> dict:
             lambda s: _extract.conv_curation_report(s).count(), src),
         "doc_curation_report": timed(
             lambda d: documents.doc_curation_report(d).count(), sf_dir),
+        "doc_screen_corr": timed(
+            lambda d: documents.doc_screen_corr(d).count(), sf_dir),
     }
 
     ray.shutdown()

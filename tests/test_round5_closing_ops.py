@@ -1684,3 +1684,32 @@ class TestDocCurationReport:
                   .merge(li, on="doc_id")
                   .sort_values("doc_id").reset_index(drop=True))
         _pd.testing.assert_frame_equal(fused[joined.columns], joined)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocScreenCorr:
+    def test_matches_numpy_corrcoef(self):
+        import numpy as _np
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            SCREEN_CORR_COLS, doc_curation_report, doc_screen_corr,
+        )
+        rep = doc_curation_report(SF).to_pandas()
+        out = (doc_screen_corr(SF).to_pandas()
+               .set_index(["col_a", "col_b"]))
+        assert len(out) == len(SCREEN_CORR_COLS) * (
+            len(SCREEN_CORR_COLS) - 1) // 2
+        # spot-check pairs against numpy's corrcoef
+        for a, b in (("n_chars", "n_tokens"), ("n_tokens", "n_words"),
+                     ("n_chars", "n_syllables")):
+            want = _np.corrcoef(rep[a].to_numpy(float),
+                                rep[b].to_numpy(float))[0, 1]
+            got = out.loc[(a, b), "r"] if (a, b) in out.index \
+                else out.loc[(b, a), "r"]
+            assert abs(got - want) < 6e-7   # engine rounds r to 6 dp
+        # zero-variance convention: sf0.001 docs carry no URLs, so
+        # every n_urls pair reports r = 0 (numpy would give nan)
+        if rep["n_urls"].nunique() == 1:
+            assert out.loc[("n_urls", "n_stopwords"), "r"] == 0.0
+        # strongly-coupled token counts correlate near 1
+        assert out.loc[("n_tokens", "n_words"), "r"] > 0.99

@@ -234,6 +234,11 @@ def _q_conv_time_splits(sf_dir: str) -> Any:
     return conv_time_splits(_transcripts_for(sf_dir))
 
 
+def _q_conv_role_trigrams(sf_dir: str) -> Any:
+    from agentic_document_extraction_pdf_ray.pipelines.extract import conv_role_trigrams
+    return conv_role_trigrams(_transcripts_for(sf_dir))
+
+
 def _q_conv_curation_report(sf_dir: str) -> Any:
     from agentic_document_extraction_pdf_ray.pipelines.extract import conv_curation_report
     return conv_curation_report(_transcripts_for(sf_dir))
@@ -496,6 +501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_curation_report": _q_conv_curation_report,          # SQL-matched (FUSED five-screen single-pass report, r5)
         "doc_curation_report": documents.doc_curation_report,     # SQL-matched (FUSED six-screen doc report, one scan, r5)
         "doc_screen_corr": documents.doc_screen_corr,             # SQL-matched (exact-moment screen correlation matrix, r5)
+        "events_user_type_entropy": events.events_user_type_entropy,  # SQL-matched (type-mix entropy bot screen, r5)
+        "events_benford": events.events_benford,                  # SQL-matched (Benford first-digit audit, r5)
+        "conv_role_trigrams": _q_conv_role_trigrams,              # SQL-matched (role-trigram structure profile, r5)
         "events_churn_labels": events.events_churn_labels,        # SQL-matched (churn label builder, r5)
         "events_attribution_last_touch": events.events_attribution_last_touch,  # SQL-matched (last-touch attribution, r5)
         "events_dow_chisq": events.events_dow_chisq,              # SQL-matched (weekday chi-square seasonality, r5)
@@ -1300,6 +1308,82 @@ def oracle_sql() -> dict[str, str]:
         # extract.conv_context_growth): exact int64 token counts
         # (doc_token_stats split convention incl. the ['']-artifact for
         # empty text), window cumsum by turn_idx, budget cut 512.
+        # type-mix entropy (engine events.events_user_type_entropy):
+        # fixed EVENT_TYPES pivot, left-assoc g(click)+...+g(view),
+        # entropy = ln(N) - s/N round 6.
+        "events_user_type_entropy": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            p AS (SELECT user_id,
+                    coalesce(max(CASE WHEN event_type = 'click'
+                                 THEN n END), 0) AS n_click,
+                    coalesce(max(CASE WHEN event_type = 'error'
+                                 THEN n END), 0) AS n_error,
+                    coalesce(max(CASE WHEN event_type = 'purchase'
+                                 THEN n END), 0) AS n_purchase,
+                    coalesce(max(CASE WHEN event_type = 'signup'
+                                 THEN n END), 0) AS n_signup,
+                    coalesce(max(CASE WHEN event_type = 'view'
+                                 THEN n END), 0) AS n_view
+                  FROM c GROUP BY user_id),
+            e AS (SELECT user_id,
+                    n_click + n_error + n_purchase + n_signup + n_view
+                        AS total,
+                    (CASE WHEN n_click > 0 THEN CAST(n_click AS DOUBLE)
+                          * ln(CAST(n_click AS DOUBLE)) ELSE 0 END
+                     + CASE WHEN n_error > 0 THEN CAST(n_error AS DOUBLE)
+                          * ln(CAST(n_error AS DOUBLE)) ELSE 0 END
+                     + CASE WHEN n_purchase > 0
+                          THEN CAST(n_purchase AS DOUBLE)
+                          * ln(CAST(n_purchase AS DOUBLE)) ELSE 0 END
+                     + CASE WHEN n_signup > 0
+                          THEN CAST(n_signup AS DOUBLE)
+                          * ln(CAST(n_signup AS DOUBLE)) ELSE 0 END
+                     + CASE WHEN n_view > 0 THEN CAST(n_view AS DOUBLE)
+                          * ln(CAST(n_view AS DOUBLE)) ELSE 0 END) AS s
+                  FROM p)
+            SELECT user_id, CAST(total AS BIGINT) AS n_events,
+                   round(ln(CAST(total AS DOUBLE)) - s / total, 6)
+                       AS entropy
+            FROM e
+        """,
+        # Benford first-digit audit (engine events.events_benford):
+        # exact integer cents, zero excluded, per-type fractions.
+        "events_benford": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            k AS (SELECT event_type,
+                         substr(CAST(cents AS VARCHAR), 1, 1) AS digit
+                  FROM c WHERE cents > 0),
+            g AS (SELECT event_type, digit,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM k GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                  FROM g GROUP BY 1)
+            SELECT g.event_type, g.digit, g.n,
+                   round(CAST(g.n AS DOUBLE) / t.tot, 6) AS frac
+            FROM g JOIN t ON t.event_type = g.event_type
+        """,
+        # role-trigram structure profile (engine
+        # extract.conv_role_trigrams): two leads per conv order.
+        "conv_role_trigrams": f"""
+            WITH w AS (SELECT conv_id, role,
+                         lead(role, 1) OVER (PARTITION BY conv_id
+                              ORDER BY turn_idx) AS r2,
+                         lead(role, 2) OVER (PARTITION BY conv_id
+                              ORDER BY turn_idx) AS r3
+                       FROM {_T_SRC}),
+            g AS (SELECT role AS r1, r2, r3,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM w WHERE r3 IS NOT NULL GROUP BY 1, 2, 3)
+            SELECT r1, r2, r3, n,
+                   round(CAST(n AS DOUBLE)
+                         / (SELECT sum(n) FROM g), 6) AS frac
+            FROM g
+        """,
         # churn labels (engine events.events_churn_labels): watermark =
         # corpus max ts, idle in exact µs, cut 28 days.
         "events_churn_labels": """

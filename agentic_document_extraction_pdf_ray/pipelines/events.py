@@ -1988,3 +1988,101 @@ def events_churn_labels(sf_dir: str, churn_days: int = 28,
                          batch_size=None)
             .groupby("_bucket").map_groups(per_bucket,
                                            batch_format="pandas"))
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_user_type_entropy(sf_dir: str,
+                             n_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user event-type-mix entropy: Shannon entropy of the user's
+    event-type distribution — the single-behavior bot screen (a user
+    who only ever clicks has entropy 0; diverse organic users don't),
+    complementing the timing-based :func:`events_bot_users` /
+    ``events_user_fano``.
+
+    Determinism without a float-sum hazard: the type domain is the
+    FIXED tuple :data:`EVENT_TYPES`, so ``entropy = ln(N) − (g(n_1) +
+    … + g(n_5))/N`` with ``g(n) = n·ln(n)`` is one fixed-order float64
+    expression on both engines (the oracle pivots the five counts into
+    columns and writes the same expression; round 6).
+
+    Scale shape: map-side partial (user, type) counts over block-sized
+    batches; ONE user-hash bucket exchange; per-bucket a pivot to the
+    bounded 5-column layout and the vectorized entropy expression."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import hash_str_array
+        d = (batch.groupby(["user_id", "event_type"], as_index=False)
+             .agg(n=("event_id", "size")))
+        d["n"] = d["n"].astype(np.int64)
+        d["_bucket"] = (hash_str_array(d["user_id"].to_numpy(object))
+                        % np.uint64(n_buckets)).astype(np.int64)
+        return d
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"], as_index=False)[
+            "n"].sum()
+        w = agg.pivot(index="user_id", columns="event_type",
+                      values="n")
+        cols = {}
+        for t in EVENT_TYPES:
+            cols[t] = (w[t].fillna(0).to_numpy(np.int64)
+                       if t in w.columns
+                       else np.zeros(len(w), np.int64))
+        total = sum(cols.values())
+        tf = total.astype(np.float64)
+
+        def gterm(n):
+            nf = n.astype(np.float64)
+            return np.where(n > 0, nf * np.log(np.maximum(nf, 1.0)), 0.0)
+
+        s = gterm(cols[EVENT_TYPES[0]])
+        for t in EVENT_TYPES[1:]:
+            s = s + gterm(cols[t])
+        ent = np.round(np.log(tf) - s / tf, 6)
+        return pd.DataFrame({
+            "user_id": w.index.to_numpy(object),
+            "n_events": total,
+            "entropy": ent})
+
+    ds = read_events(sf_dir, ["event_id", "user_id", "event_type"])
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None)
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas"))
+
+
+def events_benford(sf_dir: str) -> ray.data.Dataset:
+    """Benford first-digit screen over the value column: per event
+    type, the distribution of the first digit of the exact integer
+    cents (``floor(value·100 + 0.5)``, zero-cent events excluded) —
+    the classic fabricated-numbers audit. All counts exact ints,
+    ``frac`` a float64 ratio (round 6), no float accumulation.
+
+    Scale shape: map-side partial (type, digit) counts collapse every
+    block to the bounded 9·|types| domain before ONE tiny exchange."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["value"].to_numpy(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+        keep = cents > 0
+        d = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(object)[keep],
+            "digit": pd.Series(cents[keep]).astype(str).str[0]
+            .to_numpy(object)})
+        return (d.groupby(["event_type", "digit"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("digit", as_index=False)["n"].sum()
+        tot = int(agg["n"].sum())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]] * len(agg),
+            "digit": agg["digit"].to_numpy(object),
+            "n": agg["n"].to_numpy(np.int64),
+            "frac": np.round(agg["n"].to_numpy(np.int64) / tot, 6)})
+
+    ds = read_events(sf_dir, ["event_type", "value"])
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None)
+            .groupby("event_type").map_groups(per_type,
+                                              batch_format="pandas"))

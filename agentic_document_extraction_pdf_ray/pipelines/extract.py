@@ -2021,3 +2021,59 @@ def conv_curation_report(paths: str | list[str],
             .map_batches(per_block, batch_format="pyarrow")
             .groupby("pkey").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def conv_role_trigrams(paths: str | list[str],
+                       num_partitions: int = DEFAULT_PARTITIONS
+                       ) -> ray.data.Dataset:
+    """Conversation-structure mining: corpus-wide counts of every
+    consecutive role trigram (``user→assistant→user`` …) — the
+    structural profile an SFT pipeline checks before assuming the
+    chat template fits (alternation sibling:
+    :func:`conv_role_alternation`, which flags; this one measures).
+
+    Output: ``(r1, r2, r3, n, frac)`` over the bounded role domain,
+    ``frac`` of all trigrams (round 6).
+
+    Scale shape: the narrow ``(conv_id, turn_idx, role)`` projection
+    through ONE conv-hash bucket exchange; per-bucket a mergesort +
+    two shifted compares collapse to ≤|roles|³ partial counts; the
+    final fold is a single-task share computation over the bounded
+    domain."""
+    import pandas as pd
+
+    ds = _with_pkey(read_transcripts(
+        paths, columns=["conv_id", "turn_idx", "role"]),
+        num_partitions)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        role = g["role"].to_numpy(object)
+        if len(g) < 3:
+            return pd.DataFrame({"r1": pd.Series(dtype=object),
+                                 "r2": pd.Series(dtype=object),
+                                 "r3": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        same = (conv[2:] == conv[1:-1]) & (conv[1:-1] == conv[:-2])
+        d = pd.DataFrame({"r1": role[:-2][same], "r2": role[1:-1][same],
+                          "r3": role[2:][same]})
+        out = (d.groupby(["r1", "r2", "r3"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["r1", "r2", "r3"], as_index=False)["n"].sum()
+        n = agg["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "r1": agg["r1"].to_numpy(object),
+            "r2": agg["r2"].to_numpy(object),
+            "r3": agg["r3"].to_numpy(object),
+            "n": n,
+            "frac": np.round(n / n.sum(), 6)})
+
+    return (ds.groupby("pkey").map_groups(per_bucket,
+                                          batch_format="pandas")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

@@ -373,6 +373,12 @@ def run_bench() -> dict:
             lambda d: documents.doc_curation_report(d).count(), sf_dir),
         "doc_screen_corr": timed(
             lambda d: documents.doc_screen_corr(d).count(), sf_dir),
+        "events_user_type_entropy": timed(
+            lambda d: events.events_user_type_entropy(d).count(), sf_dir),
+        "events_benford": timed(
+            lambda d: events.events_benford(d).count(), sf_dir),
+        "conv_role_trigrams": timed(
+            lambda s: _extract.conv_role_trigrams(s).count(), src),
     }
 
     ray.shutdown()

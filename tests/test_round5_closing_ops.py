@@ -1713,3 +1713,75 @@ class TestDocScreenCorr:
             assert out.loc[("n_urls", "n_stopwords"), "r"] == 0.0
         # strongly-coupled token counts correlate near 1
         assert out.loc[("n_tokens", "n_words"), "r"] > 0.99
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsUserTypeEntropy:
+    def test_designed_entropies(self, tmp_path):
+        import math
+        from datetime import datetime
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_user_type_entropy,
+        )
+        t = datetime(2024, 1, 1)
+        rows = ([(i, t, "mono", "click", 1.0) for i in range(4)]
+                + [(10, t, "duo", "click", 1.0),
+                   (11, t, "duo", "view", 1.0)])
+        sf = _write_events(tmp_path, rows)
+        out = (events_user_type_entropy(sf).to_pandas()
+               .set_index("user_id"))
+        assert out.loc["mono", "entropy"] == 0.0
+        assert out.loc["duo", "entropy"] == round(math.log(2), 6)
+        assert out.loc["mono", "n_events"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventsBenford:
+    def test_designed_digits(self, tmp_path):
+        from datetime import datetime
+
+        from agentic_document_extraction_pdf_ray.pipelines.events import (
+            events_benford,
+        )
+        t = datetime(2024, 1, 1)
+        # cents: 123 (d=1), 190 (d=1), 25000 (d=2), 0 (excluded)
+        rows = [(0, t, "u", "a", 1.23), (1, t, "u", "a", 1.90),
+                (2, t, "u", "a", 250.00), (3, t, "u", "a", 0.0)]
+        sf = _write_events(tmp_path, rows)
+        out = (events_benford(sf).to_pandas()
+               .set_index(["event_type", "digit"]))
+        assert out.loc[("a", "1"), "n"] == 2
+        assert out.loc[("a", "2"), "n"] == 1
+        assert out.loc[("a", "1"), "frac"] == round(2 / 3, 6)
+        assert len(out) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConvRoleTrigrams:
+    def test_designed_trigrams(self, tmp_path):
+        import pyarrow as pa
+
+        from agentic_document_extraction_pdf_ray.pipelines.extract import (
+            conv_role_trigrams,
+        )
+        rows = [
+            ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+            ("c1", 3, "assistant"),
+            ("c2", 0, "system"), ("c2", 1, "user"),  # len<3: no trigram
+        ]
+        tbl = pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "tool": pa.array([""] * len(rows), pa.string())})
+        d = tmp_path / "rt"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        out = (conv_role_trigrams(str(d)).to_pandas()
+               .set_index(["r1", "r2", "r3"]))
+        assert out.loc[("user", "assistant", "user"), "n"] == 1
+        assert out.loc[("assistant", "user", "assistant"), "n"] == 1
+        assert len(out) == 2
+        assert out["frac"].sum() == 1.0

@@ -1573,7 +1573,7 @@ def oracle_sql() -> dict[str, str]:
             d AS (SELECT conv_id,
                          regexp_extract(tok, '^https?://([^/]+)', 1)
                              AS domain
-                  FROM u WHERE regexp_matches(tok, '^https?://')),
+                  FROM u WHERE regexp_matches(tok, '^https?://[^/]')),
             g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n,
                          CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
                   FROM d GROUP BY domain)

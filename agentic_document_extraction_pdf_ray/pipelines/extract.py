@@ -1725,7 +1725,10 @@ def conv_link_domains(paths: str | list[str], k: int = 20,
         flat = pc.list_flatten(toks)
         parents = pc.list_parent_indices(toks).to_numpy(
             zero_copy_only=False)
-        is_url = pc.match_substring_regex(flat, r"^https?://")
+        # require >=1 domain char: a bare 'https://' token would
+        # otherwise pass through the replace unchanged while the
+        # oracle's regexp_extract yields '' (parity hazard)
+        is_url = pc.match_substring_regex(flat, r"^https?://[^/]")
         urls = flat.filter(is_url)
         conv_t = conv[parents[is_url.to_numpy(zero_copy_only=False)]]
         dom = pc.replace_substring_regex(

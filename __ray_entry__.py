@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_curation_report": _q_conv_curation_report,          # SQL-matched (FUSED five-screen single-pass report, r5)
         "doc_curation_report": documents.doc_curation_report,     # SQL-matched (FUSED six-screen doc report, one scan, r5)
         "doc_screen_corr": documents.doc_screen_corr,             # SQL-matched (exact-moment screen correlation matrix, r5)
+        "doc_screen_profile": documents.doc_screen_profile,       # SQL-matched (DESCRIBE-style exact profiler, r5)
         "events_user_type_entropy": events.events_user_type_entropy,  # SQL-matched (type-mix entropy bot screen, r5)
         "events_benford": events.events_benford,                  # SQL-matched (Benford first-digit audit, r5)
         "conv_role_trigrams": _q_conv_role_trigrams,              # SQL-matched (role-trigram structure profile, r5)
@@ -4769,6 +4770,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({sql["doc_link_density"]}) ld ON ld.doc_id = q.doc_id
         JOIN ({sql["doc_pii_scrub"]}) p ON p.doc_id = q.doc_id
         JOIN ({sql["doc_lang_id"]}) li ON li.doc_id = q.doc_id
+    """
+    # DESCRIBE-style profiler (engine documents.doc_screen_profile):
+    # integer cum-count quartiles ((N+3)//4, (N+1)//2, (3N+3)//4) over
+    # the fused report, generated from the same column list.
+    _unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, {c} AS v FROM f" for c in _SCC)
+    sql["doc_screen_profile"] = f"""
+        WITH f AS ({sql["doc_curation_report"]}),
+        u AS ({_unions}),
+        g AS (SELECT col, v, CAST(count(*) AS BIGINT) AS n
+              FROM u GROUP BY 1, 2),
+        c AS (SELECT col, v, n,
+                CAST(sum(n) OVER (PARTITION BY col ORDER BY v)
+                     AS BIGINT) AS cum,
+                CAST(sum(n) OVER (PARTITION BY col) AS BIGINT) AS tot
+              FROM g)
+        SELECT col,
+               CAST(max(tot) AS BIGINT) AS n,
+               CAST(min(v) AS BIGINT) AS min_v,
+               CAST(max(v) AS BIGINT) AS max_v,
+               CAST(sum(v * n) AS BIGINT) AS sum_v,
+               round(CAST(sum(v * n) AS DOUBLE) / max(tot), 6) AS mean_v,
+               CAST(min(CASE WHEN cum >= (tot + 3) // 4 THEN v END)
+                    AS BIGINT) AS p25,
+               CAST(min(CASE WHEN cum >= (tot + 1) // 2 THEN v END)
+                    AS BIGINT) AS p50,
+               CAST(min(CASE WHEN cum >= (3 * tot + 3) // 4 THEN v END)
+                    AS BIGINT) AS p75
+        FROM c GROUP BY col
     """
     _sums = ", ".join(f"CAST(sum({c}) AS BIGINT) AS s_{c}" for c in _SCC)
     _prods = ", ".join(

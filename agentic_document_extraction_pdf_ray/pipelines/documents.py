@@ -3635,3 +3635,60 @@ def doc_screen_corr(sf_dir: str) -> ray.data.Dataset:
                          batch_size=None)
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+def doc_screen_profile(sf_dir: str) -> ray.data.Dataset:
+    """DESCRIBE-style exact profiler over the fused curation report's
+    integer screens (:data:`SCREEN_CORR_COLS`): per column ``n, min,
+    max, sum, mean`` and exact quartiles — the data-profiling summary
+    every engine ships (and a curation suite reads before picking
+    thresholds). Composes on the fused report: one corpus scan feeds
+    report, correlation matrix and profile.
+
+    Exactness: quartiles use the repo's integer cum-count convention
+    (``t_p`` = smallest value whose running count ≥ ``ceil(p·N/4)``
+    with integer ceilings ``(N+3)//4, (N+1)//2, (3N+3)//4``) — no
+    float interpolation, so every column is hash-comparable; ``mean``
+    is the one float64 ratio (round 6).
+
+    Scale shape: per-block per-column VALUE COUNTS collapse the scan to
+    the (column, distinct-value) domain before ONE small exchange; the
+    per-column fold is a vectorized sort + cumsum."""
+    import pandas as pd
+
+    cols = SCREEN_CORR_COLS
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            vc = batch[c].value_counts()
+            frames.append(pd.DataFrame({
+                "col": c,
+                "v": vc.index.to_numpy(np.int64),
+                "n": vc.to_numpy(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    def per_col(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("v", as_index=False)["n"].sum()
+               .sort_values("v", kind="mergesort"))
+        v = agg["v"].to_numpy(np.int64)
+        n = agg["n"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        ranks = ((total + 3) // 4, (total + 1) // 2,
+                 (3 * total + 3) // 4)
+        q = [int(v[np.searchsorted(cum, r)]) for r in ranks]
+        s = int((v * n).sum())
+        return pd.DataFrame({
+            "col": [g["col"].iloc[0]],
+            "n": [total],
+            "min_v": [int(v[0])],
+            "max_v": [int(v[-1])],
+            "sum_v": [s],
+            "mean_v": [round(s / total, 6)],
+            "p25": [q[0]], "p50": [q[1]], "p75": [q[2]]})
+
+    return (doc_curation_report(sf_dir)
+            .map_batches(partial, batch_format="pandas",
+                         batch_size=None)
+            .groupby("col").map_groups(per_col, batch_format="pandas"))

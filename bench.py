@@ -379,6 +379,8 @@ def run_bench() -> dict:
             lambda d: events.events_benford(d).count(), sf_dir),
         "conv_role_trigrams": timed(
             lambda s: _extract.conv_role_trigrams(s).count(), src),
+        "doc_screen_profile": timed(
+            lambda d: documents.doc_screen_profile(d).count(), sf_dir),
     }
 
     ray.shutdown()

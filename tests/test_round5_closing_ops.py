@@ -1785,3 +1785,27 @@ class TestConvRoleTrigrams:
         assert out.loc[("assistant", "user", "assistant"), "n"] == 1
         assert len(out) == 2
         assert out["frac"].sum() == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDocScreenProfile:
+    def test_matches_pandas_describe(self):
+        import numpy as _np
+
+        from agentic_document_extraction_pdf_ray.pipelines.documents import (
+            SCREEN_CORR_COLS, doc_curation_report, doc_screen_profile,
+        )
+        rep = doc_curation_report(SF).to_pandas()
+        out = doc_screen_profile(SF).to_pandas().set_index("col")
+        assert set(out.index) == set(SCREEN_CORR_COLS)
+        for c in ("n_chars", "n_tokens", "quality_x100"):
+            x = _np.sort(rep[c].to_numpy(_np.int64))
+            n = len(x)
+            assert out.loc[c, "n"] == n
+            assert out.loc[c, "min_v"] == x[0]
+            assert out.loc[c, "max_v"] == x[-1]
+            assert out.loc[c, "sum_v"] == x.sum()
+            # cum-count convention: value at 1-based rank ceil(pN/4)
+            assert out.loc[c, "p25"] == x[(n + 3) // 4 - 1]
+            assert out.loc[c, "p50"] == x[(n + 1) // 2 - 1]
+            assert out.loc[c, "p75"] == x[(3 * n + 3) // 4 - 1]

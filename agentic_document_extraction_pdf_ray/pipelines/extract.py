@@ -1737,6 +1737,11 @@ def conv_link_domains(paths: str | list[str], k: int = 20,
                            "conv_id": conv_t})
              .groupby(["domain", "conv_id"], as_index=False)
              .size().rename(columns={"size": "n"}))
+        if d.empty:        # empty groupby.size() drops the size column
+            return pd.DataFrame({"domain": pd.Series(dtype=object),
+                                 "conv_id": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "_bucket": pd.Series(dtype=np.int64)})
         d["n"] = d["n"].astype(np.int64)
         d["_bucket"] = (hash_str_array(d["domain"].to_numpy(object))
                         % np.uint64(n_buckets)).astype(np.int64)
@@ -1755,8 +1760,12 @@ def conv_link_domains(paths: str | list[str], k: int = 20,
               .map_batches(per_block, batch_format="pyarrow")
               .groupby("_bucket").map_groups(per_bucket,
                                              batch_format="pandas"))
-    return topk(merged, ["n", "domain"], k, [False, True])[
-        ["domain", "n", "n_convs"]]
+    out = topk(merged, ["n", "domain"], k, [False, True])
+    if out.empty:
+        return pd.DataFrame({"domain": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64),
+                             "n_convs": pd.Series(dtype=np.int64)})
+    return out[["domain", "n", "n_convs"]]
 
 
 def conv_stock_lines(paths: str | list[str], k: int = 20,
@@ -1795,6 +1804,11 @@ def conv_stock_lines(paths: str | list[str], k: int = 20,
                            "conv_id": conv})
              .groupby(["line", "conv_id"], as_index=False)
              .size().rename(columns={"size": "n"}))
+        if d.empty:        # empty groupby.size() drops the size column
+            return pd.DataFrame({"line": pd.Series(dtype=object),
+                                 "conv_id": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "_bucket": pd.Series(dtype=np.int64)})
         d["n"] = d["n"].astype(np.int64)
         d["_bucket"] = (hash_str_array(d["line"].to_numpy(object))
                         % np.uint64(n_buckets)).astype(np.int64)
@@ -1813,8 +1827,12 @@ def conv_stock_lines(paths: str | list[str], k: int = 20,
               .map_batches(per_block, batch_format="pyarrow")
               .groupby("_bucket").map_groups(per_bucket,
                                              batch_format="pandas"))
-    return topk(merged, ["n", "line"], k, [False, True])[
-        ["line", "n", "n_convs"]]
+    out = topk(merged, ["n", "line"], k, [False, True])
+    if out.empty:
+        return pd.DataFrame({"line": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64),
+                             "n_convs": pd.Series(dtype=np.int64)})
+    return out[["line", "n", "n_convs"]]
 
 
 def conv_tool_latency(paths: str | list[str],

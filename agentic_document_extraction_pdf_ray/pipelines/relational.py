@@ -62,6 +62,8 @@ def topk(ds: ray.data.Dataset, by: list[str], k: int,
 
     parts = ds.map_batches(partial, batch_format="pandas").take_all()
     merged = pd.DataFrame(parts)
+    if merged.empty:              # zero-row input: no columns survive
+        return pd.DataFrame(columns=by)
     return (merged.sort_values(by, ascending=ascending)
             .head(k).reset_index(drop=True))
 

@@ -1809,3 +1809,58 @@ class TestDocScreenProfile:
             assert out.loc[c, "p25"] == x[(n + 3) // 4 - 1]
             assert out.loc[c, "p50"] == x[(n + 1) // 2 - 1]
             assert out.loc[c, "p75"] == x[(3 * n + 3) // 4 - 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptyInputRobustness:
+    """Every closing-session operator must return an EMPTY result (not
+    crash) on a zero-row corpus — the behavior a production run needs
+    when a partition filter matches nothing."""
+
+    def _empty_transcripts(self, tmp_path):
+        import pyarrow as pa
+        tbl = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us"))})
+        d = tmp_path / "empty_t"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "part-0.parquet"))
+        return str(d)
+
+    def test_conv_ops_on_empty(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines import extract as E
+        src = self._empty_transcripts(tmp_path)
+        for fn in (E.conv_refusal_rate, E.conv_lang_mismatch,
+                   E.conv_verbosity_ratio, E.conv_pii_leak_rate,
+                   E.conv_time_splits, E.conv_tool_transitions,
+                   E.conv_tool_latency, E.conv_curation_report,
+                   E.conv_role_trigrams):
+            out = fn(src)
+            n = out.count() if hasattr(out, "count") else len(out)
+            assert n == 0, fn.__name__
+        for fn in (E.conv_stock_lines, E.conv_link_domains):
+            assert len(fn(src)) == 0, fn.__name__
+
+    def test_doc_ops_on_empty(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines import (
+            documents as D,
+        )
+        sf = _write_doc_table(tmp_path, [])
+        for fn in (D.doc_link_density, D.doc_readability,
+                   D.doc_curation_report, D.corpus_snapshot_diff):
+            assert fn(sf).count() == 0, fn.__name__
+
+    def test_events_ops_on_empty(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines import (
+            events as EV,
+        )
+        sf = _write_events(tmp_path, [])
+        for fn in (EV.events_type_overlap, EV.events_cusum_changepoint,
+                   EV.events_dow_chisq, EV.events_benford,
+                   EV.events_user_type_entropy,
+                   EV.events_attribution_last_touch):
+            assert fn(sf).count() == 0, fn.__name__

@@ -498,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 5 leads the window so it gets a fresh driver row
         # (VERDICT r4 ask #7), followed by the round-4 entries and the
         # oldest-graded anchors.
+        "doc_split_by_component": dedup.doc_split_by_component,   # SQL-matched (group-aware leakage-free split, r5)
         "conv_curation_report": _q_conv_curation_report,          # SQL-matched (FUSED five-screen single-pass report, r5)
         "doc_curation_report": documents.doc_curation_report,     # SQL-matched (FUSED six-screen doc report, one scan, r5)
         "doc_screen_corr": documents.doc_screen_corr,             # SQL-matched (exact-moment screen correlation matrix, r5)
@@ -3305,6 +3306,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cc.cluster_id, d.doc_id) AS canonical_id,
                    (coalesce(cc.cluster_id, d.doc_id) = d.doc_id) AS is_kept
             FROM documents d LEFT JOIN cc USING (doc_id)
+        """,
+        # Same components fixpoint; split hash keyed on the FAMILY
+        # canonical id (doc_split_assign's md5 fences verbatim) so a
+        # dup pair can never straddle a split boundary.
+        "doc_split_by_component": f"""
+            {_DUP_CC_WITH},
+            cc AS (SELECT u AS doc_id, min(v) AS cluster_id
+                   FROM reach GROUP BY u),
+            a AS (SELECT d.doc_id,
+                         coalesce(cc.cluster_id, d.doc_id) AS canonical_id
+                  FROM documents d LEFT JOIN cc USING (doc_id)),
+            k AS (SELECT doc_id, canonical_id,
+                         substr(md5(CAST(canonical_id AS VARCHAR)
+                                    || '|split'), 1, 8) AS split_key
+                  FROM a)
+            SELECT doc_id, canonical_id, split_key,
+                   CASE WHEN split_key < '0ccccccc' THEN 'test'
+                        WHEN split_key < '19999999' THEN 'val'
+                        ELSE 'train' END AS split
+            FROM k
         """,
         # Same components fixpoint as dedup_survivors; per-family winner
         # = highest doc_quality quality_x100, ties to the lower doc_id

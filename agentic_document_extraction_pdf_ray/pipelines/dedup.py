@@ -2398,3 +2398,63 @@ def split_leakage_matrix(sf_dir: str,
             .groupby("_one").map_groups(
                 lambda g: finish(g.drop(columns="_one")),
                 batch_format="pandas"))
+
+
+def doc_split_by_component(sf_dir: str, n_buckets: int = 32,
+                           pairs: ray.data.Dataset | None = None
+                           ) -> ray.data.Dataset:
+    """Group-aware (leakage-free) train/val/test assignment — the FIX
+    for what :func:`split_leakage_matrix` measures. Plain hash splits
+    (:func:`..pipelines.documents.doc_split_assign`) route each doc
+    independently, so the two ends of a near-dup pair can land in
+    different splits and the test set silently memorizes the train set.
+    This operator keys the split hash on the doc's duplicate-FAMILY
+    canonical id instead of its own id: every member of a connected
+    component shares one ``split_key``, so a dup pair crossing a split
+    boundary is impossible BY CONSTRUCTION, not merely audited.
+
+    Composition (all previously-tested paths, no new exchange shape):
+    :func:`dedup_survivors` supplies ``canonical_id`` per doc
+    (``pairs=`` respected — the MinHash-LSH candidate stream feeds it
+    at corpus scale, exact n-gram Jaccard remains the verification
+    default), then a pure map applies the repo's split convention
+    (``substr(md5(canonical|'split'),1,8)`` against the
+    ``SPLIT_TEST_MAX`` / ``SPLIT_VAL_MAX`` hex fences — 5 % test,
+    5 % val, 90 % train in expectation over FAMILIES).
+
+    Properties (asserted in tests/test_split_by_component.py):
+    - zero leakage: both ends of every dup pair get the same split;
+    - singleton stability: a doc with no duplicates gets EXACTLY the
+      split :func:`doc_split_assign` gives it (same key string), so
+      adopting the group-aware split only moves docs that have dups;
+    - growth stability inherited from hash splitting: adding new docs
+      never reassigns an existing family (its min-id canonical is
+      stable unless the family itself gains a lower-id member).
+
+    Reference analogue: the dedup/split hygiene class (SURVEY §2.7);
+    the reference dedups checkpoints before evaluation
+    (``/root/reference/src/pipeline/checkpointer.py`` thread dedup) but
+    has no split assigner — this is a training-data-pipeline extension.
+
+    Output per doc: ``doc_id, canonical_id, split_key, split``.
+    """
+    import hashlib
+
+    from .documents import SPLIT_TEST_MAX, SPLIT_VAL_MAX
+
+    surv = dedup_survivors(sf_dir, n_buckets=n_buckets, pairs=pairs)
+
+    def assign(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        canon = batch["canonical_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = np.array([hashlib.md5(f"{c}|split".encode())
+                         .hexdigest()[:8] for c in canon], object)
+        split = np.where(keys < SPLIT_TEST_MAX, "test",
+                         np.where(keys < SPLIT_VAL_MAX, "val", "train"))
+        return pd.DataFrame({
+            "doc_id": ids, "canonical_id": canon,
+            "split_key": keys, "split": split.astype(object)})
+
+    return surv.map_batches(assign, batch_format="pyarrow")

@@ -231,6 +231,9 @@ def run_bench() -> dict:
         "dedup_survivors_best": timed(
             lambda d: dedup.dedup_survivors_best(
                 d, pairs=dedup.minhash_lsh_pairs(d)).count(), sf_dir),
+        "doc_split_by_component": timed(
+            lambda d: dedup.doc_split_by_component(
+                d, pairs=dedup.minhash_lsh_pairs(d)).count(), sf_dir),
         "embedding_pca": timed(
             lambda d: similarity.embedding_pca_project(d).count(), sf_dir),
         "doc_quality_classifier": timed(

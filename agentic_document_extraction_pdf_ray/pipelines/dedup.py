@@ -2363,17 +2363,12 @@ def split_leakage_matrix(sf_dir: str,
     combo per row; ``is_leak`` = the two ends live in different
     splits).
     """
-    import hashlib
-
-    from .documents import SPLIT_TEST_MAX, SPLIT_VAL_MAX
+    from .documents import split_keys_of
 
     pairs = pairs if pairs is not None else ngram_jaccard_pairs(sf_dir)
 
     def split_of(ids: np.ndarray) -> np.ndarray:
-        keys = np.array([hashlib.md5(f"{i}|split".encode())
-                         .hexdigest()[:8] for i in ids], object)
-        return np.where(keys < SPLIT_TEST_MAX, "test",
-                        np.where(keys < SPLIT_VAL_MAX, "val", "train"))
+        return split_keys_of(ids)[1]
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         sa = split_of(batch["doc_a"].to_numpy(np.int64))
@@ -2438,9 +2433,7 @@ def doc_split_by_component(sf_dir: str, n_buckets: int = 32,
 
     Output per doc: ``doc_id, canonical_id, split_key, split``.
     """
-    import hashlib
-
-    from .documents import SPLIT_TEST_MAX, SPLIT_VAL_MAX
+    from .documents import split_keys_of
 
     surv = dedup_survivors(sf_dir, n_buckets=n_buckets, pairs=pairs)
 
@@ -2449,12 +2442,9 @@ def doc_split_by_component(sf_dir: str, n_buckets: int = 32,
             np.int64)
         canon = batch["canonical_id"].to_numpy(
             zero_copy_only=False).astype(np.int64)
-        keys = np.array([hashlib.md5(f"{c}|split".encode())
-                         .hexdigest()[:8] for c in canon], object)
-        split = np.where(keys < SPLIT_TEST_MAX, "test",
-                         np.where(keys < SPLIT_VAL_MAX, "val", "train"))
+        keys, split = split_keys_of(canon)
         return pd.DataFrame({
             "doc_id": ids, "canonical_id": canon,
-            "split_key": keys, "split": split.astype(object)})
+            "split_key": keys, "split": split})
 
     return surv.map_batches(assign, batch_format="pyarrow")

@@ -2997,6 +2997,23 @@ SPLIT_VAL_MAX = "19999999"     # floor(0.10 * 16^8) — both mirrored
                                # verbatim in the oracle SQL
 
 
+def split_keys_of(ids: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """The repo's ONE split rule — ``key = substr(md5(f"{id}|split"), 1,
+    8)`` compared against the ``SPLIT_TEST_MAX`` / ``SPLIT_VAL_MAX``
+    fences. Returns ``(keys, splits)`` (object arrays). Shared by
+    :func:`doc_split_assign` (the assigner),
+    :func:`..pipelines.dedup.split_leakage_matrix` (the audit) and
+    :func:`..pipelines.dedup.doc_split_by_component` (the group-aware
+    assigner) so a salt/fence change can never desynchronize the audit
+    from the assignment it audits."""
+    import hashlib
+    keys = np.array([hashlib.md5(f"{i}|split".encode())
+                     .hexdigest()[:8] for i in ids], object)
+    split = np.where(keys < SPLIT_TEST_MAX, "test",
+                     np.where(keys < SPLIT_VAL_MAX, "val", "train"))
+    return keys, split.astype(object)
+
+
 def doc_split_assign(sf_dir: str) -> ray.data.Dataset:
     """Deterministic train/val/test split assignment — the step every
     training pipeline runs before anything touches the corpus:
@@ -3012,21 +3029,16 @@ def doc_split_assign(sf_dir: str) -> ray.data.Dataset:
 
     NO exchange at any size — a pure map; md5-per-row is the documented
     DuckDB-parity price (:func:`doc_epoch_shuffle`)."""
-    import hashlib
-
     import pandas as pd
 
     def per_batch(batch: pa.Table) -> "pd.DataFrame":
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keys = np.array([hashlib.md5(f"{i}|split".encode())
-                         .hexdigest()[:8] for i in ids], object)
-        split = np.where(keys < SPLIT_TEST_MAX, "test",
-                         np.where(keys < SPLIT_VAL_MAX, "val", "train"))
+        keys, split = split_keys_of(ids)
         return pd.DataFrame({
             "doc_id": ids.astype(np.int64),
             "source": batch["source"].to_numpy(zero_copy_only=False),
             "split_key": keys,
-            "split": split.astype(object)})
+            "split": split})
 
     return (read_documents(sf_dir, ["doc_id", "source"])
             .map_batches(per_batch, batch_format="pyarrow"))
@@ -3204,13 +3216,17 @@ def doc_hapax_risk(sf_dir: str, n_buckets: int = 32,
     a shuffle), ``n_hapax`` (distinct tokens with global df == 1), and
     ``hapax_frac = round(n_hapax / max(n_distinct, 1), 6)``.
 
-    Scale shape: one token-hash exchange of distinct ``(token, doc_id,
-    n_distinct)`` pairs (a token lives in exactly one bucket, so df is
-    exact); hapax hits fold to narrow per-(bucket, doc) partial counts,
-    which meet the map-side ``(doc_id, n_distinct, 0)`` base rows in a
-    doc-bucket exchange — every document appears in the output even
-    with zero hapax tokens, and no exchange row is wider than three
-    ints + one token string.
+    Scale shape: ONE corpus scan (the tokenize+dedup work is the
+    dominant cost, so the base rows ride the same pass as side-tagged
+    rows rather than a second scan — the :func:`..pipelines.dedup
+    .dedup_survivors_best` side-tag pattern); one token-hash exchange
+    of distinct ``(token, doc_id, n_distinct)`` pairs (a token lives in
+    exactly one bucket, so df is exact) that also carries the narrow
+    per-doc ``(doc_id, n_distinct, 0)`` base rows in ``num_partitions``
+    reserved buckets; hapax hits fold to per-(bucket, doc) partials
+    that meet the base rows in the final doc-bucket exchange — every
+    document appears in the output even with zero hapax tokens, and no
+    exchange row is wider than three ints + one token string.
     """
     import pandas as pd
 
@@ -3218,7 +3234,10 @@ def doc_hapax_risk(sf_dir: str, n_buckets: int = 32,
 
     ds = read_documents(sf_dir, columns=["doc_id", "text"])
 
-    def pairs_(batch: pa.Table) -> "pd.DataFrame":
+    def stage1(batch: pa.Table) -> "pd.DataFrame":
+        # one tokenize pass emits BOTH row kinds: token pair rows into
+        # buckets [0, n_buckets) and per-doc base rows into reserved
+        # buckets [n_buckets, n_buckets + num_partitions)
         txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
         toks = pc.split_pattern(txt, " ")
         flat = pc.list_flatten(toks)
@@ -3234,9 +3253,22 @@ def doc_hapax_risk(sf_dir: str, n_buckets: int = 32,
         d["n_distinct"] = nd.reindex(d["doc_id"]).to_numpy(np.int64)
         d["_bucket"] = (hash_str_array(d["token"].to_numpy(object))
                         % np.uint64(n_buckets)).astype(np.int64)
-        return d
+        base = pd.DataFrame({
+            "token": np.full(len(ids), "", object),
+            "doc_id": ids,
+            "n_distinct": nd.reindex(ids, fill_value=0)
+            .to_numpy(np.int64),
+            "_bucket": n_buckets + ids % num_partitions})
+        return pd.concat([d, base], ignore_index=True)
 
-    def hapax_partials(g: "pd.DataFrame") -> "pd.DataFrame":
+    def per_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        if int(g["_bucket"].iloc[0]) >= n_buckets:      # base rows
+            ids = g["doc_id"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "doc_id": ids,
+                "n_distinct": g["n_distinct"].to_numpy(np.int64),
+                "n_hapax": np.zeros(len(ids), np.int64),
+                "dbucket": ids % num_partitions})
         df_ = g.groupby("token", sort=False)["doc_id"].transform("size")
         hap = g[df_ == 1]
         agg = hap.groupby(["doc_id", "n_distinct"], sort=False,
@@ -3247,25 +3279,6 @@ def doc_hapax_risk(sf_dir: str, n_buckets: int = 32,
             "n_hapax": agg["size"].to_numpy(np.int64),
             "dbucket": (agg["doc_id"].to_numpy(np.int64)
                         % num_partitions)})
-
-    def base_rows(batch: pa.Table) -> "pd.DataFrame":
-        txt = pc.utf8_lower(_norm_ws(pc.fill_null(batch["text"], "")))
-        toks = pc.split_pattern(txt, " ")
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(
-            zero_copy_only=False)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        d = pd.DataFrame({"token": flat.to_numpy(zero_copy_only=False),
-                          "doc_id": ids[parents]})
-        nd = (d[d["token"] != ""].drop_duplicates()
-              .groupby("doc_id", sort=False).size()
-              .reindex(ids, fill_value=0))
-        return pd.DataFrame({
-            "doc_id": ids,
-            "n_distinct": nd.to_numpy(np.int64),
-            "n_hapax": np.zeros(len(ids), np.int64),
-            "dbucket": ids % num_partitions})
 
     def fold(g: "pd.DataFrame") -> "pd.DataFrame":
         agg = g.groupby("doc_id", sort=True, as_index=False).agg(
@@ -3279,12 +3292,9 @@ def doc_hapax_risk(sf_dir: str, n_buckets: int = 32,
             "n_hapax": nh,
             "hapax_frac": np.round(nh / np.maximum(nd, 1), 6)})
 
-    hapax = (ds.map_batches(pairs_, batch_format="pyarrow")
-             .groupby("_bucket").map_groups(hapax_partials,
-                                            batch_format="pandas"))
-    base = ds.map_batches(base_rows, batch_format="pyarrow")
-    return (base.union(hapax.select_columns(
-                ["doc_id", "n_distinct", "n_hapax", "dbucket"]))
+    return (ds.map_batches(stage1, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_group,
+                                           batch_format="pandas")
             .groupby("dbucket").map_groups(fold, batch_format="pandas"))
 
 

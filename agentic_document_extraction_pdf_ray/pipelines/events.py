@@ -1388,8 +1388,11 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
     ev = read_events(sf_dir, ["user_id", "ts", "value"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # unit-explicit epoch-µs (the events.py:663 convention): a bare
+        # Series.astype("int64") would silently yield ns under a
+        # pandas/pyarrow combo that converts to datetime64[ns]
         batch = batch.assign(
-            ts_us=batch["ts"].astype("int64"),
+            ts_us=batch["ts"].to_numpy("datetime64[us]").astype(np.int64),
             cents=np.floor(batch["value"] * 100.0 + 0.5).astype(np.int64))
         return (batch.groupby("user_id", as_index=False)
                 .agg(ts_us=("ts_us", "max"), n=("user_id", "size"),
@@ -1414,7 +1417,14 @@ def events_user_rfm(sf_dir: str) -> ray.data.Dataset:
                 .groupby("_bucket")
                 .map_groups(per_bucket, batch_format="pandas")
                 .materialize())
-    gday = np.int64(int(per_user.max("ts_us")) // 86_400_000_000)
+    mx = per_user.max("ts_us") if per_user.count() else None
+    if mx is None:                      # empty corpus → typed empty result
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.int64())
+             for c in ("user_id", "recency_days", "frequency",
+                       "monetary_cents", "r_score", "f_score", "m_score",
+                       "rfm")}))
+    gday = np.int64(int(mx) // 86_400_000_000)
 
     def metrics(batch: pd.DataFrame) -> pd.DataFrame:
         uday = (batch["ts_us"].to_numpy(np.int64)
@@ -1506,7 +1516,10 @@ def events_funnel_latency(sf_dir: str,
             batch["user_id"].to_numpy(np.int64), n_buckets))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(ts_us=g["ts"].astype("int64"))
+        # unit-explicit epoch-µs (see events_user_rfm): ns would make
+        # the //1e6 "seconds" actually milliseconds
+        g = g.assign(
+            ts_us=g["ts"].to_numpy("datetime64[us]").astype(np.int64))
         v = (g[g["event_type"] == "view"]
              .groupby("user_id", as_index=False).agg(t1=("ts_us", "min")))
         c = g[g["event_type"] == "click"].merge(v, on="user_id")
@@ -1541,6 +1554,12 @@ def events_funnel_latency(sf_dir: str,
                         .agg(c=("c", "sum")), batch_format="pandas")
             .to_pandas())
 
+    if hist.empty:                      # empty corpus → typed empty frame
+        return pd.DataFrame({
+            "transition": pd.Series([], dtype=object),
+            "n_users": pd.Series([], dtype=np.int64),
+            "p50_sec": pd.Series([], dtype=np.int64),
+            "mean_sec": pd.Series([], dtype=np.float64)})
     rows = []
     for name, h in hist.groupby("transition"):
         h = h.sort_values("sec")
@@ -1603,7 +1622,15 @@ def events_ab_lift(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
     agg = (parts.groupby("variant", as_index=False)
            .agg(n_users=("n_users", "sum"),
                 n_converted=("n_converted", "sum"))
-           .sort_values("variant").reset_index(drop=True))
+           .sort_values("variant").reset_index(drop=True)
+           if len(parts) else parts)
+    if len(agg) < 2:        # empty corpus / single-variant partition →
+        return pd.DataFrame({   # no lift computable, empty typed frame
+            "variant": pd.Series([], dtype=np.int64),
+            "n_users": pd.Series([], dtype=np.int64),
+            "n_converted": pd.Series([], dtype=np.int64),
+            "conv_rate": pd.Series([], dtype=np.float64),
+            "z_score": pd.Series([], dtype=np.float64)})
     n0, n1 = (int(x) for x in agg["n_users"])
     c0, c1 = (int(x) for x in agg["n_converted"])
     p0, p1 = c0 / n0, c1 / n1
@@ -1652,8 +1679,13 @@ def events_user_gini(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
                          batch_size=131_072)
             .groupby("_bucket").map_groups(per_bucket,
                                            batch_format="pandas")
-            .to_pandas()
-            .groupby("n", as_index=False).agg(f=("f", "sum"))
+            .to_pandas())
+    if hist.empty:                      # empty corpus → typed empty frame
+        return pd.DataFrame({
+            "n_users": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "gini": pd.Series([], dtype=np.float64)})
+    hist = (hist.groupby("n", as_index=False).agg(f=("f", "sum"))
             .sort_values("n").reset_index(drop=True))
     v = hist["n"].to_numpy(np.int64)
     f = hist["f"].to_numpy(np.int64)

@@ -941,11 +941,16 @@ def embedding_norm_outliers(sf_dir: str) -> ray.data.Dataset:
             "sn2": [int((n2.astype(object) ** 2).sum())]})
 
     part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n = int(part["n"].sum())
-    sn = int(part["sn"].sum())
-    sn2 = sum(int(x) for x in part["sn2"])
-    mean = float(sn) / float(n)
-    sigma = float(np.sqrt(float(n * sn2 - sn * sn))) / float(n)
+    # a fully empty dataset never invokes partial(), so part can be a
+    # column-less frame — guard on emptiness before touching columns
+    n = 0 if part.empty else int(part["n"].sum())
+    if n == 0:                  # empty table → flag() emits empty frames
+        mean, sigma = 0.0, 0.0
+    else:
+        sn = int(part["sn"].sum())
+        sn2 = sum(int(x) for x in part["sn2"])
+        mean = float(sn) / float(n)
+        sigma = float(np.sqrt(float(n * sn2 - sn * sn))) / float(n)
     cut = mean + NORM_OUTLIER_SIGMA * sigma
 
     def flag(batch: pa.Table) -> "pd.DataFrame":
@@ -1600,8 +1605,12 @@ def embedding_pq_adc_topk(sf_dir: str, k: int = 5, n_queries: int = 10,
         frames = []
         for i, qid in enumerate(qids):
             order = np.lexsort((ids, dist[i]))[:kk]
+            # drop the inf self-mask rows: in a small batch/corpus they
+            # would otherwise survive into the shortlist and the exact-
+            # cosine re-rank would score self at 1.0 → own top-1
+            order = order[np.isfinite(dist[i][order])]
             frames.append(pd.DataFrame({
-                "query_id": np.full(kk, qid, np.int64),
+                "query_id": np.full(len(order), qid, np.int64),
                 "neighbor_id": ids[order].astype(np.int64),
                 "dist": dist[i][order]}))
         return pd.concat(frames, ignore_index=True)

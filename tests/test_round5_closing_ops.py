@@ -1864,3 +1864,40 @@ class TestEmptyInputRobustness:
                    EV.events_user_type_entropy,
                    EV.events_attribution_last_touch):
             assert fn(sf).count() == 0, fn.__name__
+
+    def test_events_ops_on_empty_reviewed(self, tmp_path):
+        # review findings: these four crashed (unpack / int(None) /
+        # ZeroDivision / KeyError) on a zero-row corpus before the guards
+        from agentic_document_extraction_pdf_ray.pipelines import (
+            events as EV,
+        )
+        sf = _write_events(tmp_path, [])
+        assert EV.events_user_rfm(sf).count() == 0
+        for fn in (EV.events_funnel_latency, EV.events_ab_lift,
+                   EV.events_user_gini):
+            out = fn(sf)
+            assert len(out) == 0, fn.__name__
+            assert list(out.columns), fn.__name__   # typed empty frame
+
+    def test_ab_lift_single_variant(self, tmp_path):
+        # all user_ids share parity -> one variant -> no lift computable
+        import datetime as dt
+        ts = dt.datetime(2024, 1, 1)
+        rows = [(i, ts, "2", "purchase", 1.0) for i in range(4)]
+        sf = _write_events(tmp_path, rows)
+        from agentic_document_extraction_pdf_ray.pipelines import (
+            events as EV,
+        )
+        assert len(EV.events_ab_lift(sf)) == 0
+
+    def test_embedding_norm_outliers_on_empty(self, tmp_path):
+        import pyarrow as pa
+        tbl = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32())})
+        pq.write_table(tbl, f"{tmp_path}/embeddings.parquet")
+        from agentic_document_extraction_pdf_ray.pipelines import (
+            similarity as S,
+        )
+        assert S.embedding_norm_outliers(str(tmp_path)).count() == 0

@@ -561,3 +561,30 @@ class TestEmbeddingMarginMining:
         one = embedding_margin_mining(SF, chunk_rows=10**9)
         many = embedding_margin_mining(SF, chunk_rows=37)
         pd.testing.assert_frame_equal(one, many)
+
+
+class TestPqAdcSelfExclusion:
+    def test_tiny_corpus_never_returns_self(self, ray_session, tmp_path):
+        # review finding: with total candidates <= rerank, the inf
+        # self-mask rows used to survive into the shortlist and the
+        # exact-cosine re-rank scored self at 1.0 -> own top-1
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_pq_adc_topk,
+        )
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(8, 16).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(range(8), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 8, pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        for rerank in (0, 50):
+            out = embedding_pq_adc_topk(str(tmp_path), k=3, n_queries=2,
+                                        m=2, n_codes=4, iters=3,
+                                        rerank=rerank)
+            assert (out["neighbor_id"] != out["query_id"]).all(), rerank
+            assert out.groupby("query_id").size().eq(3).all(), rerank

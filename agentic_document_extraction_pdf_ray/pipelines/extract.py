@@ -1382,6 +1382,41 @@ REFUSAL_MARKERS = ("i cannot", "i can't", "i'm sorry",
                    "as an ai", "i am unable")
 
 
+def refusal_hits(text: pa.Array | pa.ChunkedArray) -> "np.ndarray":
+    """Vectorized ANY-marker refusal flag (lowered substring match over
+    :data:`REFUSAL_MARKERS`) — the ONE kernel shared by
+    :func:`conv_refusal_rate` and :func:`conv_curation_report`, so a
+    marker-handling change can never desynchronize the fused report
+    from the standalone screen."""
+    low = pc.utf8_lower(pc.fill_null(text, ""))
+    hit = None
+    for m in REFUSAL_MARKERS:
+        h = pc.match_substring(low, m)
+        hit = h if hit is None else pc.or_(hit, h)
+    return hit.to_numpy(zero_copy_only=False)
+
+
+def pii_turn_hits(conv: "np.ndarray", turn_idx: "np.ndarray",
+                  text: pa.Array | pa.ChunkedArray) -> "np.ndarray":
+    """Per-turn seeded PII flag (the ``serial(conv_id)·37 + turn_idx``
+    measurable-harness convention + the corpus PII classes) — shared by
+    :func:`conv_pii_leak_rate` and :func:`conv_curation_report`."""
+    import pandas as pd
+
+    from .documents import pii_scrub_batch, pii_seed_suffix
+
+    serial = pd.Series(conv).str.slice(5).astype(np.int64).to_numpy()
+    k = serial * 37 + turn_idx.astype(np.int64)
+    seeded = pc.binary_join_element_wise(
+        pc.fill_null(text, ""),
+        pa.array(pii_seed_suffix(k), pa.string()), "")
+    counts, _red = pii_scrub_batch(seeded)
+    hit = np.zeros(len(conv), dtype=bool)
+    for arr in counts.values():
+        hit |= arr.to_numpy(zero_copy_only=False) > 0
+    return hit
+
+
 def conv_refusal_rate(paths: str | list[str],
                       num_partitions: int = DEFAULT_PARTITIONS
                       ) -> ray.data.Dataset:
@@ -1408,12 +1443,7 @@ def conv_refusal_rate(paths: str | list[str],
     import pandas as pd
 
     def per_block(batch: pa.Table) -> pd.DataFrame:
-        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
-        hit = None
-        for m in REFUSAL_MARKERS:
-            h = pc.match_substring(low, m)
-            hit = h if hit is None else pc.or_(hit, h)
-        hit = hit.to_numpy(zero_copy_only=False)
+        hit = refusal_hits(batch["text"])
         role = batch["role"].to_numpy(zero_copy_only=False)
         asst = role == "assistant"
         df = pd.DataFrame({
@@ -1587,20 +1617,12 @@ def conv_pii_leak_rate(paths: str | list[str],
     text."""
     import pandas as pd
 
-    from .documents import pii_scrub_batch, pii_seed_suffix
-
     def per_block(batch: pa.Table) -> pd.DataFrame:
         conv = batch["conv_id"].to_numpy(zero_copy_only=False)
-        serial = pd.Series(conv).str.slice(5).astype(np.int64).to_numpy()
-        k = serial * 37 + batch["turn_idx"].to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        seeded = pc.binary_join_element_wise(
-            pc.fill_null(batch["text"], ""),
-            pa.array(pii_seed_suffix(k), pa.string()), "")
-        counts, _red = pii_scrub_batch(seeded)
-        hit = np.zeros(len(conv), dtype=bool)
-        for arr in counts.values():
-            hit |= arr.to_numpy(zero_copy_only=False) > 0
+        hit = pii_turn_hits(
+            conv,
+            batch["turn_idx"].to_numpy(zero_copy_only=False),
+            batch["text"])
         asst = batch["role"].to_numpy(zero_copy_only=False) == "assistant"
         df = pd.DataFrame({
             "conv_id": conv,
@@ -1917,7 +1939,7 @@ def conv_curation_report(paths: str | list[str],
     the per-bucket fold is vectorized sums + one mergesort gap scan."""
     import pandas as pd
 
-    from .documents import lang_id_arrays, pii_scrub_batch, pii_seed_suffix
+    from .documents import lang_id_arrays
 
     LANGS = ("en", "de", "es", "fr")
     PCOLS = (["n_user", "n_assistant", "user_chars", "assistant_chars",
@@ -1933,23 +1955,13 @@ def conv_curation_report(paths: str | list[str],
         # verbosity signals
         nch = pc.utf8_length(text).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        # refusal signals (conv_refusal_rate kernel)
-        low = pc.utf8_lower(text)
-        hit = None
-        for m in REFUSAL_MARKERS:
-            h = pc.match_substring(low, m)
-            hit = h if hit is None else pc.or_(hit, h)
-        refusal = hit.to_numpy(zero_copy_only=False)
-        # PII signals (conv_pii_leak_rate kernel, seeded harness)
-        serial = pd.Series(conv).str.slice(5).astype(np.int64).to_numpy()
-        k = serial * 37 + batch["turn_idx"].to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        seeded = pc.binary_join_element_wise(
-            text, pa.array(pii_seed_suffix(k), pa.string()), "")
-        counts, _red = pii_scrub_batch(seeded)
-        pii = np.zeros(len(conv), dtype=bool)
-        for arr in counts.values():
-            pii |= arr.to_numpy(zero_copy_only=False) > 0
+        # refusal + PII signals: the SAME shared kernels the standalone
+        # screens call, so the fused report can't silently diverge
+        refusal = refusal_hits(batch["text"])
+        pii = pii_turn_hits(
+            conv,
+            batch["turn_idx"].to_numpy(zero_copy_only=False),
+            batch["text"])
         # language signals (conv_lang_mismatch kernel)
         _, _, _, _, pred = lang_id_arrays(batch["text"])
         df = pd.DataFrame({

@@ -769,7 +769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
-_CLEAN = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+# NULL-SAFE normalize shared by every text oracle: mirrors the engine's
+# documents._norm_ws (missing text == empty text on both engines)
+_CLEAN = "trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))"
 
 _CSV_FIXTURE = "/tmp/ray_extract_cache/spreadsheet_fixture.csv"
 _TXT_FIXTURE = "/tmp/ray_extract_cache/docpages_fixture.txt"
@@ -921,8 +923,8 @@ def _doc_code_validation_sql() -> str:
     pos_list = ", ".join(f"'{c}'" for c in sorted(VALID_POS_CODES))
     return f"""
         WITH c AS (SELECT doc_id,
-                          regexp_extract_all(text, '\\b[0-9]{{2}}\\b') AS pos_c,
-                          regexp_extract_all(text, '\\b[0-9]{{4}}\\b') AS rev_c
+                          regexp_extract_all(coalesce(text, ''), '\\b[0-9]{{2}}\\b') AS pos_c,
+                          regexp_extract_all(coalesce(text, ''), '\\b[0-9]{{4}}\\b') AS rev_c
                    FROM documents)
         SELECT doc_id,
                CAST(len(pos_c) AS BIGINT) AS n_pos_cand,

@@ -35,8 +35,13 @@ def read_documents(sf_dir: str, columns: list[str] | None = None) -> ray.data.Da
 
 
 def _norm_ws(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """trim(regexp_replace(text, '\\s+', ' ')) — matches the DuckDB oracle."""
-    return pc.utf8_trim_whitespace(pc.replace_substring_regex(col, r"\s+", " "))
+    """trim(regexp_replace(coalesce(text, ''), '\\s+', ' ')) — matches
+    the oracle-side ``_CLEAN`` convention. NULL-SAFE by definition:
+    missing text normalizes to '' on BOTH engines (so downstream md5 /
+    tokenize / length kernels never see a None), the convention a
+    curation pipeline wants for a corpus with missing payloads."""
+    return pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.fill_null(col, ""), r"\s+", " "))
 
 
 def doc_normalize(sf_dir: str) -> ray.data.Dataset:

@@ -46,3 +46,19 @@ def bucket_int_array(values: np.ndarray, n_buckets: int) -> np.ndarray:
     v *= np.uint64(0xFF51AFD7ED558CCD)
     v ^= v >> np.uint64(33)
     return (v % np.uint64(n_buckets)).astype(np.int64)
+
+
+def round_sql(x: "np.ndarray | float", digits: int = 6):
+    """Round HALF AWAY FROM ZERO — DuckDB/ANSI ``round()`` semantics.
+
+    ``np.round`` rounds half to even (banker's), so an integer ratio
+    that lands EXACTLY on a half-ulp at the target precision (e.g.
+    468/512 = 0.9140625 at 6 digits) diverges from the SQL oracle by
+    one ulp. Use this for any round-N column whose value can be an
+    exact binary fraction (ratios of ints with power-of-two
+    denominators); plain float expressions never tie and may keep
+    ``np.round``. Found by the round-5 adversarial transcripts audit
+    (conv_verbosity_ratio)."""
+    s = 10.0 ** digits
+    x = np.asarray(x, np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s

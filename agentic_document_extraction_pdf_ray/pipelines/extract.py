@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import bucket_str_column
+from ..functions.hashing import bucket_str_column, round_sql
 from ..stages.extract import (
     conv_finalize_block, conv_summary_block, extract_turn_batch,
 )
@@ -577,7 +577,7 @@ def conv_tool_stats(paths: str | list[str],
         out["n_tool_calls"] = out["n_tool_calls"].fillna(0).astype("int64")
         out["n_tools"] = out["n_tools"].fillna(0).astype("int64")
         out["top_tool"] = out["top_tool"].fillna("")
-        out["tool_ratio"] = np.round(
+        out["tool_ratio"] = round_sql(
             out["n_tool_calls"].to_numpy(np.float64)
             / out["n_turns"].to_numpy(np.float64), 6)
         out = out.sort_values("conv_id", kind="mergesort")
@@ -633,7 +633,7 @@ def conv_response_latency(paths: str | list[str],
             "n_responses": out["n_responses"].to_numpy(np.int64),
             "sum_latency_us": out["sum_latency_us"].to_numpy(np.int64),
             "max_latency_us": out["max_latency_us"].to_numpy(np.int64),
-            "mean_latency_us": np.round(
+            "mean_latency_us": round_sql(
                 out["sum_latency_us"].to_numpy(np.float64)
                 / out["n_responses"].to_numpy(np.float64), 6)})
 
@@ -1114,7 +1114,7 @@ def conv_echo_rate(paths: str | list[str],
             "turn_idx": g["turn_idx"].to_numpy(np.int64)[idx],
             "n_tri": nt,
             "n_echo": ne,
-            "echo_rate": np.round(ne / np.maximum(nt, 1), 6)})
+            "echo_rate": round_sql(ne / np.maximum(nt, 1), 6)})
 
     return ds.groupby("pkey").map_groups(per_bucket, batch_format="pandas")
 
@@ -1369,7 +1369,7 @@ def conv_lang_mismatch(paths: str | list[str],
             "user_lang": maj,
             "n_assistant": n_asst,
             "n_mismatch": mism,
-            "mismatch_frac": np.round(
+            "mismatch_frac": round_sql(
                 mism / np.maximum(n_asst, 1), 6)})
 
     return (read_transcripts(paths, columns=["conv_id", "role", "text"])
@@ -1464,7 +1464,7 @@ def conv_refusal_rate(paths: str | list[str],
             "conv_id": agg["conv_id"].to_numpy(object),
             "n_assistant": na,
             "n_refusal": nr,
-            "refusal_rate": np.round(nr / np.maximum(na, 1), 6)})
+            "refusal_rate": round_sql(nr / np.maximum(na, 1), 6)})
 
     return (read_transcripts(paths, columns=["conv_id", "role", "text"])
             .map_batches(per_block, batch_format="pyarrow")
@@ -1525,7 +1525,7 @@ def conv_tool_transitions(paths: str | list[str],
             "from_tool": agg["from_tool"].to_numpy(object),
             "to_tool": agg["to_tool"].to_numpy(object),
             "n": agg["n"].to_numpy(np.int64),
-            "prob": np.round(agg["n"].to_numpy(np.float64) / tot, 6)})
+            "prob": round_sql(agg["n"].to_numpy(np.float64) / tot, 6)})
 
     return (read_transcripts(paths, columns=["conv_id", "turn_idx", "tool"])
             .map_batches(per_block, batch_format="pyarrow")
@@ -1578,7 +1578,7 @@ def conv_verbosity_ratio(paths: str | list[str],
         out = pd.DataFrame({"conv_id": agg["conv_id"].to_numpy(object)})
         for c in cols:
             out[c] = agg[c].to_numpy(np.int64)
-        out["verbosity_ratio"] = np.round(
+        out["verbosity_ratio"] = round_sql(
             out["assistant_chars"].to_numpy(np.float64)
             / np.maximum(out["user_chars"].to_numpy(np.int64), 1), 6)
         return out
@@ -1642,7 +1642,7 @@ def conv_pii_leak_rate(paths: str | list[str],
             "conv_id": agg["conv_id"].to_numpy(object),
             "n_assistant": na,
             "n_pii": np_,
-            "pii_rate": np.round(np_ / np.maximum(na, 1), 6)})
+            "pii_rate": round_sql(np_ / np.maximum(na, 1), 6)})
 
     return (read_transcripts(paths,
                              columns=["conv_id", "turn_idx", "role", "text"])
@@ -1904,7 +1904,7 @@ def conv_tool_latency(paths: str | list[str],
             "n": agg["n"].to_numpy(np.int64),
             "sum_us": agg["sum_us"].to_numpy(np.int64),
             "max_us": agg["max_us"].to_numpy(np.int64),
-            "mean_us": np.round(agg["sum_us"].to_numpy(np.float64)
+            "mean_us": round_sql(agg["sum_us"].to_numpy(np.float64)
                                 / agg["n"].to_numpy(np.float64), 6)})
 
     return (ds.groupby("pkey").map_groups(per_bucket,
@@ -2033,19 +2033,19 @@ def conv_curation_report(paths: str | list[str],
             "n_assistant": na,
             "user_chars": agg["user_chars"].to_numpy(np.int64),
             "assistant_chars": agg["assistant_chars"].to_numpy(np.int64),
-            "verbosity_ratio": np.round(
+            "verbosity_ratio": round_sql(
                 agg["assistant_chars"].to_numpy(np.float64)
                 / np.maximum(agg["user_chars"].to_numpy(np.int64), 1), 6),
             "n_refusal": agg["n_refusal"].to_numpy(np.int64),
-            "refusal_rate": np.round(
+            "refusal_rate": round_sql(
                 agg["n_refusal"].to_numpy(np.int64)
                 / np.maximum(na, 1), 6),
             "n_pii": agg["n_pii"].to_numpy(np.int64),
-            "pii_rate": np.round(
+            "pii_rate": round_sql(
                 agg["n_pii"].to_numpy(np.int64) / np.maximum(na, 1), 6),
             "user_lang": maj,
             "n_mismatch": mism,
-            "mismatch_frac": np.round(mism / np.maximum(na, 1), 6),
+            "mismatch_frac": round_sql(mism / np.maximum(na, 1), 6),
             "n_segments": 1 + agg["n_breaks"].to_numpy(np.int64),
             "max_gap_us": agg["max_gap_us"].to_numpy(np.int64)})
 
@@ -2104,7 +2104,7 @@ def conv_role_trigrams(paths: str | list[str],
             "r2": agg["r2"].to_numpy(object),
             "r3": agg["r3"].to_numpy(object),
             "n": n,
-            "frac": np.round(n / n.sum(), 6)})
+            "frac": round_sql(n / n.sum(), 6)})
 
     return (ds.groupby("pkey").map_groups(per_bucket,
                                           batch_format="pandas")

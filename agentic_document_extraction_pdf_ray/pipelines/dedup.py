@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import bucket_int_array, hash_str_array
+from ..functions.hashing import bucket_int_array, hash_str_array, round_sql
 from .documents import _norm_ws, read_documents
 
 # Shingles occurring in more than this many documents are excluded from
@@ -1439,7 +1439,7 @@ def dup_clustering_coeff(sf_dir: str, n_buckets: int = 32,
             "doc_id": s["doc_id"].to_numpy(np.int64),
             "degree": s["d"].to_numpy(np.int64),
             "n_tri": s["t"].to_numpy(np.int64),
-            "clustering": np.round(2.0 * t / (d * (d - 1.0)), 6)})
+            "clustering": round_sql(2.0 * t / (d * (d - 1.0)), 6)})
 
     stream = (tri.map_batches(tri_nodes, batch_format="pandas")
               .union(pairs.map_batches(deg_nodes, batch_format="pandas")))
@@ -1891,7 +1891,7 @@ def source_contamination_matrix(sf_dir: str, n: int = 8, bench_mod: int = 7,
             "n_train": batch["n_train"].astype("int64"),
             "n_contaminated": batch["n_contaminated"].astype("int64"),
             "total_overlap": batch["total_overlap"].astype("int64"),
-            "contamination_rate": np.round(
+            "contamination_rate": round_sql(
                 batch["n_contaminated"].to_numpy(np.float64)
                 / batch["n_train"].to_numpy(np.float64), 6)})
 
@@ -2014,7 +2014,7 @@ def doc_count_cosine_pairs(sf_dir: str, threshold: float = 0.99,
             "doc_a": p["doc_a"].to_numpy(np.int64)[keep],
             "doc_b": p["doc_b"].to_numpy(np.int64)[keep],
             "dot": dot[keep],
-            "cosine": np.round(cos[keep], 6)})
+            "cosine": round_sql(cos[keep], 6)})
 
     return stage2.groupby("_jb2").map_groups(finish, batch_format="pandas")
 
@@ -2160,7 +2160,7 @@ def doc_softdedup_weights(sf_dir: str, n_buckets: int = 32,
             "doc_id": m["doc_id"].to_numpy(np.int64),
             "canonical_id": canon.to_numpy(np.int64),
             "family_size": size.to_numpy(np.int64),
-            "soft_weight": np.round(
+            "soft_weight": round_sql(
                 1.0 / size.to_numpy(np.float64), 6)})
 
     docs = _read_docs(sf_dir, ["doc_id"])
@@ -2271,7 +2271,7 @@ def doc_cdc_dedup_ratio(sf_dir: str) -> ray.data.Dataset:
             "doc_id": batch["doc_id"].to_numpy(np.int64),
             "total_tokens": n,
             "dup_tokens": dup,
-            "dup_ratio": np.round(dup / n.astype(np.float64), 6)})
+            "dup_ratio": round_sql(dup / n.astype(np.float64), 6)})
 
     return grouped_sum_bucketed(
         chunks.map_batches(partial, batch_format="pandas",

@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ..functions.hashing import round_sql
 
 # Marker-word lists for the n-gram/stopword language-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -676,7 +677,7 @@ def doc_lang_entropy(sf_dir: str, n_buckets: int = 32) -> "pd.DataFrame":
               .to_pandas())                     # bounded: one row per lang
 
     nn = merged["n_tokens"].to_numpy(np.float64)
-    merged["entropy"] = np.round(np.log2(nn) - merged["s"].to_numpy() / nn, 6)
+    merged["entropy"] = round_sql(np.log2(nn) - merged["s"].to_numpy() / nn, 6)
     merged["n_tokens"] = merged["n_tokens"].astype("int64")
     return merged[["lang", "n_tokens", "entropy"]]
 
@@ -915,7 +916,7 @@ def source_token_kl(sf_dir: str, n_buckets: int = 32) -> "pd.DataFrame":
 
     ns = merged["n_tokens"].to_numpy(np.float64)
     total = ns.sum()
-    merged["kl"] = np.round(
+    merged["kl"] = round_sql(
         merged["s"].to_numpy() / ns + np.log2(total / ns), 6)
     merged["n_tokens"] = merged["n_tokens"].astype("int64")
     return merged[["source", "n_tokens", "kl"]]
@@ -1060,7 +1061,7 @@ def doc_unigram_logprob(sf_dir: str, n_buckets: int = 32) -> ray.data.Dataset:
         return pd.DataFrame({
             "doc_id": out["doc_id"].to_numpy(np.int64),
             "n_tokens": n,
-            "bits_per_token": np.round(
+            "bits_per_token": round_sql(
                 log2_total - out["s"].to_numpy(np.float64) / n, 6),
         })
 
@@ -1145,7 +1146,7 @@ def lang_weighted_quality(sf_dir: str) -> ray.data.Dataset:
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         w = batch["sum_w"].to_numpy(np.int64)
         wq = batch["sum_wq"].to_numpy(np.int64)
-        batch["wq_mean"] = np.round(
+        batch["wq_mean"] = round_sql(
             wq / np.maximum(w, 1).astype(np.float64), 6)
         return batch
 
@@ -1256,7 +1257,7 @@ def doc_bigram_pmi(sf_dir: str, min_count: int = 5,
         c_ab = b["c"].to_numpy(np.int64)
         c_a = b["c_a"].to_numpy(np.int64)
         c_b = b["c_b"].to_numpy(np.int64)
-        pmi = np.round(np.log2((c_ab / n_bi)
+        pmi = round_sql(np.log2((c_ab / n_bi)
                                / ((c_a / n_uni) * (c_b / n_uni))), 6)
         return pd.DataFrame({"a": b["tok2"].to_numpy(object),
                              "b": b["key"].to_numpy(object),
@@ -1367,7 +1368,7 @@ def lang_source_mi(sf_dir: str) -> "pd.DataFrame":
     ni = cells.groupby("lang")["n"].transform("sum").to_numpy(np.float64)
     nj = cells.groupby("source")["n"].transform("sum").to_numpy(np.float64)
     mi = float(np.sum((n / big_n) * np.log2(big_n * n / (ni * nj))))
-    return pd.DataFrame({"mi_bits": [np.round(mi, 6)],
+    return pd.DataFrame({"mi_bits": [round_sql(mi, 6)],
                          "n_cells": [np.int64(len(cells))],
                          "n_rows": [np.int64(int(big_n))]})
 
@@ -1942,7 +1943,7 @@ def _bm25_score_scan(sf_dir: str, tf_dl, n: int, sum_dl: int,
                 / (tfi + k1 * (1.0 - b + b * dlr))
         keep = tf.sum(axis=1) > 0
         return pd.DataFrame({"doc_id": ids[keep],
-                             "score": np.round(s[keep], 6)})
+                             "score": round_sql(s[keep], 6)})
 
     scored = read_documents(sf_dir).map_batches(score,
                                                 batch_format="pyarrow")
@@ -2234,7 +2235,7 @@ def doc_dsir_weights(sf_dir: str, n_buckets: int = 1024,
         w = np.bincount(p, weights=logratio[b], minlength=n)
         return pa.table({"doc_id": batch["doc_id"],
                          "n_grams": pa.array(n_grams, pa.int64()),
-                         "dsir_logw": pa.array(np.round(w, 6))})
+                         "dsir_logw": pa.array(round_sql(w, 6))})
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         apply_weights, batch_format="pyarrow")
@@ -2296,7 +2297,7 @@ def source_trigram_diversity(sf_dir: str,
               .to_pandas())                # bounded: one row per source
     merged["n_trigrams"] = merged["n_trigrams"].astype("int64")
     merged["n_distinct"] = merged["n_distinct"].astype("int64")
-    merged["ttr"] = np.round(
+    merged["ttr"] = round_sql(
         merged["n_distinct"].to_numpy(np.float64)
         / merged["n_trigrams"].to_numpy(np.float64), 6)
     return merged[["source", "n_trigrams", "n_distinct", "ttr"]]
@@ -2353,8 +2354,8 @@ def lang_temperature_weights(sf_dir: str,
             "n_docs": agg["n_docs"].to_numpy(np.int64),
             "n_tokens": ntok,
             "token_share": share,
-            "temp_prob": np.round(prob, 6),
-            "upsample": np.round(prob / share, 6),
+            "temp_prob": round_sql(prob, 6),
+            "upsample": round_sql(prob / share, 6),
         })
 
     return (read_documents(sf_dir, ["lang", "text"])
@@ -2473,7 +2474,7 @@ def doc_blocklist_filter(sf_dir: str) -> ray.data.Dataset:
         n_flagged = np.bincount(parents[nonempty & hit], minlength=n_rows) \
             .astype(np.int64)
         keep_rows = n_tokens > 0
-        ratio = np.round(n_flagged[keep_rows]
+        ratio = round_sql(n_flagged[keep_rows]
                          / n_tokens[keep_rows].astype(np.float64), 6)
         return pa.table({
             "doc_id": pc.cast(batch["doc_id"], pa.int64())
@@ -2558,7 +2559,7 @@ def source_vocab_overlap(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
         "n_common": common,
         "n_a": n_a,
         "n_b": n_b,
-        "jaccard": np.round(common / (n_a + n_b - common).astype(np.float64),
+        "jaccard": round_sql(common / (n_a + n_b - common).astype(np.float64),
                             6),
     })
     return out.sort_values(["source_a", "source_b"],
@@ -2621,7 +2622,7 @@ def lang_zipf_slope(sf_dir: str, k: int = 20,
         y = np.log(n.astype(np.float64))
         xc, yc = x - x.mean(), y - y.mean()
         rows.append({"lang": lang, "n_terms": np.int64(len(n)),
-                     "slope": np.round((xc @ yc) / (xc @ xc), 6)})
+                     "slope": round_sql((xc @ yc) / (xc @ xc), 6)})
     return pd.DataFrame(rows, columns=["lang", "n_terms", "slope"])
 
 
@@ -2778,7 +2779,7 @@ def lang_confusion_matrix(sf_dir: str) -> "pd.DataFrame":
            .to_pandas())                   # ≤ |langs|² rows
     agg["n"] = agg["n"].astype("int64")
     totals = agg.groupby("lang")["n"].transform("sum")
-    agg["row_share"] = np.round(
+    agg["row_share"] = round_sql(
         agg["n"].to_numpy(np.float64) / totals.to_numpy(np.float64), 6)
     return (agg[["lang", "predicted_lang", "n", "row_share"]]
             .sort_values(["lang", "predicted_lang"], ignore_index=True))
@@ -2944,7 +2945,7 @@ def doc_lm_backoff_score(sf_dir: str, lm_mod: int = 7,
         return pd.DataFrame({
             "doc_id": out["doc_id"].to_numpy(np.int64),
             "n_pairs": out["n_pairs"].to_numpy(np.int64),
-            "log10_score": np.round(out["ls"].to_numpy(np.float64), 6)})
+            "log10_score": round_sql(out["ls"].to_numpy(np.float64), 6)})
 
     return (read_documents(sf_dir, ["doc_id", "text"])
             .map_batches(partials, batch_format="pyarrow")
@@ -2983,7 +2984,7 @@ def doc_compression_ratio(sf_dir: str, lo: float = 0.30,
         n_comp = np.array([len(zlib.compress(b, 6)) for b in raw],
                           np.int64)
         live = n_bytes > 0
-        ratio = np.round(n_comp[live] / n_bytes[live].astype(np.float64),
+        ratio = round_sql(n_comp[live] / n_bytes[live].astype(np.float64),
                          6)
         return pa.table({
             "doc_id": pa.array(ids[live], pa.int64()),
@@ -3189,7 +3190,7 @@ def lang_fertility(sf_dir: str) -> ray.data.Dataset:
         return d.groupby("lang", as_index=False).sum()
 
     def finish(batch: "pd.DataFrame") -> "pd.DataFrame":
-        return batch.assign(fertility=np.round(
+        return batch.assign(fertility=round_sql(
             batch["n_bpe_tokens"].to_numpy(np.int64)
             / batch["n_ws_tokens"].to_numpy(np.int64)
             .astype(np.float64), 6))
@@ -3295,7 +3296,7 @@ def doc_hapax_risk(sf_dir: str, n_buckets: int = 32,
             "doc_id": agg["doc_id"].to_numpy(np.int64),
             "n_distinct": nd,
             "n_hapax": nh,
-            "hapax_frac": np.round(nh / np.maximum(nd, 1), 6)})
+            "hapax_frac": round_sql(nh / np.maximum(nd, 1), 6)})
 
     return (ds.map_batches(stage1, batch_format="pyarrow")
             .groupby("_bucket").map_groups(per_group,
@@ -3397,7 +3398,7 @@ def link_density_batch(batch: pa.Table) -> pa.Table:
     url_chars = pc.subtract(total, stripped_len).to_numpy(
         zero_copy_only=False)
     tot = total.to_numpy(zero_copy_only=False)
-    density = np.round(url_chars / np.maximum(tot, 1), 6)
+    density = round_sql(url_chars / np.maximum(tot, 1), 6)
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_urls": n_urls,
@@ -3436,7 +3437,7 @@ def readability_batch(batch: pa.Table) -> pa.Table:
         zero_copy_only=False).astype(np.int64)
     syll = pc.count_substring_regex(clean, r"[aeiouy]+").to_numpy(
         zero_copy_only=False).astype(np.int64)
-    flesch = np.round(
+    flesch = round_sql(
         206.835
         - 1.015 * (words / np.maximum(sents, 1))
         - 84.6 * (syll / np.maximum(words, 1)), 6)

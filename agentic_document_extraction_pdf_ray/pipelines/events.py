@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
+from ..functions.hashing import round_sql
 
 SESSION_GAP_MIN = 30
 
@@ -941,7 +942,7 @@ def events_anomaly_days(sf_dir: str, min_window: int = 4) -> pd.DataFrame:
         parts.append(pd.DataFrame({
             "event_type": np.repeat(et, keep.sum()),
             "d": d[keep], "n_events": n[keep],
-            "w_days": k[keep], "z": np.round(z[keep], 6)}))
+            "w_days": k[keep], "z": round_sql(z[keep], 6)}))
     if not parts:                       # empty input → typed empty frame
         return pd.DataFrame({"event_type": pd.Series([], dtype=object),
                              "d": pd.Series([], dtype="int64"),
@@ -1347,7 +1348,7 @@ def events_bot_users(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             "user_id": out["user_id"].to_numpy(np.int64),
             "n_gaps": out["n_gaps"].to_numpy(np.int64),
             "sum_gap_us": sg,
-            "cv": np.round(cv, 6),
+            "cv": round_sql(cv, 6),
             "is_regular": cv < BOT_CV_THRESHOLD})
 
     return (read_events(sf_dir, ["user_id", "ts", "event_id"])
@@ -1640,8 +1641,8 @@ def events_ab_lift(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
         "variant": agg["variant"].to_numpy(np.int64),
         "n_users": np.array([n0, n1], np.int64),
         "n_converted": np.array([c0, c1], np.int64),
-        "conv_rate": np.round([p0, p1], 6),
-        "z_score": np.round([z, z], 6)})
+        "conv_rate": round_sql([p0, p1], 6),
+        "z_score": round_sql([z, z], 6)})
 
 
 def events_user_gini(sf_dir: str, n_buckets: int = 64) -> "pd.DataFrame":
@@ -1746,7 +1747,7 @@ def events_user_fano(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             "user_id": u["user_id"].to_numpy(np.int64),
             "n_days": n,
             "n_events": s1,
-            "fano": np.round((n * s2 - s1 * s1).astype(np.float64)
+            "fano": round_sql((n * s2 - s1 * s1).astype(np.float64)
                              / (n * s1).astype(np.float64), 6)})
 
     return (read_events(sf_dir, ["user_id", "ts"])
@@ -1869,7 +1870,7 @@ def events_type_overlap(sf_dir: str, n_buckets: int = 64) -> ray.data.Dataset:
             "n_both": both,
             "n_a": na,
             "n_b": nb,
-            "jaccard": np.round(both / (na + nb - both), 6)})
+            "jaccard": round_sql(both / (na + nb - both), 6)})
 
     ds = read_events(sf_dir, ["user_id", "event_type"])
     return (ds.map_batches(distinct_pairs, batch_format="pandas")
@@ -1925,7 +1926,7 @@ def events_attribution_last_touch(sf_dir: str,
         return pd.DataFrame({
             "attributed_type": agg["attributed_type"].to_numpy(object),
             "n": n,
-            "share": np.round(n / n.sum(), 6)})
+            "share": round_sql(n / n.sum(), 6)})
 
     ds = read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
     return (ds.map_batches(project, batch_format="pandas")
@@ -2071,7 +2072,7 @@ def events_user_type_entropy(sf_dir: str,
         s = gterm(cols[EVENT_TYPES[0]])
         for t in EVENT_TYPES[1:]:
             s = s + gterm(cols[t])
-        ent = np.round(np.log(tf) - s / tf, 6)
+        ent = round_sql(np.log(tf) - s / tf, 6)
         return pd.DataFrame({
             "user_id": w.index.to_numpy(object),
             "n_events": total,
@@ -2111,7 +2112,7 @@ def events_benford(sf_dir: str) -> ray.data.Dataset:
             "event_type": [g["event_type"].iloc[0]] * len(agg),
             "digit": agg["digit"].to_numpy(object),
             "n": agg["n"].to_numpy(np.int64),
-            "frac": np.round(agg["n"].to_numpy(np.int64) / tot, 6)})
+            "frac": round_sql(agg["n"].to_numpy(np.int64) / tot, 6)})
 
     ds = read_events(sf_dir, ["event_type", "value"])
     return (ds.map_batches(partial, batch_format="pandas",

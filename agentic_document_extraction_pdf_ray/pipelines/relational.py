@@ -20,6 +20,7 @@ import pyarrow as pa
 import ray
 import ray.data
 from ray.data.aggregate import Sum
+from ..functions.hashing import round_sql
 
 
 def _cents(x: pd.Series) -> pd.Series:
@@ -1155,7 +1156,7 @@ def orders_monthly_yoy(sf_dir: str) -> ray.data.Dataset:
             "month": j["month"].to_numpy(object),
             "revenue_cents": c,
             "prev_year_cents": p,
-            "yoy_growth": np.round((c - p) / p, 6)})
+            "yoy_growth": round_sql((c - p) / p, 6)})
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_orderdate", "o_totalprice"])

@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+from ..functions.hashing import round_sql
 
 
 def read_embeddings(sf_dir: str) -> ray.data.Dataset:
@@ -720,7 +721,7 @@ def label_centroid_sim(sf_dir: str) -> pd.DataFrame:
             dot = sum(int(x) * int(y) for x, y in zip(va, vb))
             nb = sum(int(x) * int(x) for x in vb)
             cos = float(dot) / (np.sqrt(float(na)) * np.sqrt(float(nb)))
-            rows.append((int(la), int(lb), np.round(cos, 6)))
+            rows.append((int(la), int(lb), round_sql(cos, 6)))
     out = pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"])
     return out.astype({"label_a": np.int64, "label_b": np.int64})
 
@@ -774,7 +775,7 @@ def embedding_semdedup(sf_dir: str, tau: float = 0.97,
             G = q[s:e] @ q[s:e].T                   # exact int64 dots
             nrm = np.sqrt(np.diag(G).astype(np.float64))
             with np.errstate(invalid="ignore", divide="ignore"):
-                cos = np.round(G.astype(np.float64) / np.outer(nrm, nrm), 6)
+                cos = round_sql(G.astype(np.float64) / np.outer(nrm, nrm), 6)
             # zero-norm (zero-quantized) vectors give 0/0 -> NaN; the SQL
             # oracle's 0.0/0.0 is NULL and max() ignores NULLs — mirror
             # that by excluding non-finite entries from the prior max
@@ -894,8 +895,8 @@ def embedding_dim_variance(sf_dir: str) -> "pd.DataFrame":
         rows.append({
             "dim": np.int64(dim), "n": np.int64(n),
             "q_sum": np.int64(sq),
-            "mean_q": np.round(float(sq) / float(n), 6),
-            "var_q": np.round(float(n * sq2 - sq * sq)
+            "mean_q": round_sql(float(sq) / float(n), 6),
+            "var_q": round_sql(float(n * sq2 - sq * sq)
                               / (float(n) * float(n)), 6)})
     return pd.DataFrame(rows,
                         columns=["dim", "n", "q_sum", "mean_q", "var_q"])
@@ -964,7 +965,7 @@ def embedding_norm_outliers(sf_dir: str) -> ray.data.Dataset:
             "vec_id": batch["vec_id"].to_numpy(
                 zero_copy_only=False).astype(np.int64)[keep],
             "n2": n2[keep],
-            "z": np.round((n2[keep].astype(np.float64) - mean) / sigma, 6)})
+            "z": round_sql((n2[keep].astype(np.float64) - mean) / sigma, 6)})
 
     return ds.map_batches(flag, batch_format="pyarrow")
 
@@ -1042,7 +1043,7 @@ def embedding_knn_graph(sf_dir: str, k: int = 5,
                              "rank": pa.array([], pa.int64()),
                              "cos_sim": pa.array([], pa.float64())})
         dots = b_q @ c_q.T                          # exact int64
-        cos = np.round(dots.astype(np.float64)
+        cos = round_sql(dots.astype(np.float64)
                        / np.outer(b_nrm, c_nrm), 6)
         cos[b_ids[:, None] == c_ids[None, :]] = -2.0   # no self edge
         kk = min(k, cos.shape[1] - 1)
@@ -1094,7 +1095,7 @@ def _knn_graph_within_labels(ds: ray.data.Dataset, k: int,
                 continue
             li, lq = ids[live], q[live]
             ln = np.sqrt(n2[live].astype(np.float64))
-            cos = np.round((lq @ lq.T).astype(np.float64)
+            cos = round_sql((lq @ lq.T).astype(np.float64)
                            / np.outer(ln, ln), 6)
             np.fill_diagonal(cos, -2.0)
             kk = min(k, len(live) - 1)
@@ -1200,7 +1201,7 @@ def embedding_pca_project(sf_dir: str, k: int = 2) -> ray.data.Dataset:
         c, m = ray.get(fit_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         emb = _list_col_matrix(batch["embedding"]).astype(np.float64)
-        proj = np.round((emb - m) @ c.T, 6) if emb.size else \
+        proj = round_sql((emb - m) @ c.T, 6) if emb.size else \
             np.zeros((0, len(c)), np.float64)
         cols: dict = {"vec_id": pa.array(ids, pa.int64())}
         for i in range(len(c)):
@@ -1297,7 +1298,7 @@ def embedding_mmr_topk(sf_dir: str, k: int = 10,
     return pd.DataFrame({
         "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
         "vec_id": np.array([v for v, _ in selected], np.int64),
-        "score": np.round([s for _, s in selected], 6),
+        "score": round_sql([s for _, s in selected], 6),
     })
 
 
@@ -1379,7 +1380,7 @@ def embedding_hard_negatives(sf_dir: str, k: int = 5,
         cand_nid: list[np.ndarray] = []
         for ref in chunks:
             c_ids, c_lab, c_q, c_nrm = ray.get(ref)
-            cos = np.round((b_q @ c_q.T).astype(np.float64)
+            cos = round_sql((b_q @ c_q.T).astype(np.float64)
                            / np.outer(b_nrm, c_nrm), 6)
             cos[b_lab[:, None] == c_lab[None, :]] = -2.0  # same label out
             kk = min(k, cos.shape[1])
@@ -1530,7 +1531,7 @@ def embedding_pq_codes(sf_dir: str, m: int = 4, k: int = 16,
         return pa.table({
             "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
             "pq_code": pa.array(code, pa.int64()),
-            "recon_mse": pa.array(np.round(err / d, 6), pa.float64())})
+            "recon_mse": pa.array(round_sql(err / d, 6), pa.float64())})
 
     return read_embeddings(sf_dir).map_batches(encode,
                                                batch_format="pyarrow")
@@ -1723,7 +1724,7 @@ def embedding_margin_mining(sf_dir: str, k: int = 4, top_pairs: int = 50,
               for s in range(0, len(ids), chunk_rows)]
 
     def _cints(b_q, b_nrm, c_q, c_nrm):
-        cos = np.round((b_q @ c_q.T).astype(np.float64)
+        cos = round_sql((b_q @ c_q.T).astype(np.float64)
                        / np.outer(b_nrm, c_nrm), 6)
         return np.rint(cos * 1e6).astype(np.int64)
 
@@ -1803,7 +1804,7 @@ def embedding_margin_mining(sf_dir: str, k: int = 4, top_pairs: int = 50,
             cint = ci[ui, vi]
             num = cint * 2 * b_cu[ui] * c_cu[vi]
             den = b_su[ui] * c_cu[vi] + c_su[vi] * b_cu[ui]
-            marg = np.round(num.astype(np.float64)
+            marg = round_sql(num.astype(np.float64)
                             / den.astype(np.float64), 6)
             rows_u.append(b_ids[ui]); rows_v.append(c_ids[vi])
             rows_c.append(cint); rows_m.append(marg)

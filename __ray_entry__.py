@@ -4325,9 +4325,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM o GROUP BY user_id
         """,
+        # regex-extract (the engine's _K_RE), NOT ->>: a JSON-parser
+        # operator errors on malformed props, the regex degrades to 0
         "events_json_agg": """
             SELECT event_type,
-                   CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(sum(coalesce(TRY_CAST(
+                       regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                       AS BIGINT), 0)) AS BIGINT) AS sum_k,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM events GROUP BY event_type
         """,

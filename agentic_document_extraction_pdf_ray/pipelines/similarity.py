@@ -34,7 +34,27 @@ def read_embeddings(sf_dir: str) -> ray.data.Dataset:
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
     emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    _check_finite(emb, ids)
     return ids, emb
+
+
+def _check_finite(emb: np.ndarray, ids: np.ndarray | None = None) -> None:
+    """Embeddings are a TYPED INTERNAL PRODUCT (non-null, fixed-dim,
+    finite) — a NaN/Inf component or NULL vector is upstream
+    corruption, and silently propagating it through matmuls produces
+    wrong similarities with no error. Fail FAST with an actionable
+    message instead (screen drift explicitly with
+    :func:`embedding_norm_outliers` / :func:`embedding_dim_variance`,
+    or clean at featurize time). One vectorized isfinite pass per
+    batch — O(n·d), negligible next to any similarity kernel."""
+    if not np.isfinite(emb).all():
+        bad = np.where(~np.isfinite(emb).all(axis=1))[0]
+        where = (f" (vec_id {ids[bad[0]]})"
+                 if ids is not None and len(bad) else "")
+        raise ValueError(
+            "non-finite embedding component%s: upstream corruption — "
+            "clean at featurize time or screen with "
+            "embedding_norm_outliers / embedding_dim_variance" % where)
 
 
 def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10) -> pd.DataFrame:
@@ -163,10 +183,18 @@ _EMB_T = pa.list_(pa.float64())
 
 def _list_col_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """list<float64> column → (rows, dim) float64 matrix, via the flat
-    values buffer (no per-row to_pylist)."""
+    values buffer (no per-row to_pylist). A NULL vector makes the flat
+    buffer ragged (reshape error); non-finite components fail fast —
+    see :func:`_check_finite`."""
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = a.flatten().to_numpy(zero_copy_only=False)
-    return flat.reshape(len(a), -1)
+    if a.null_count:
+        raise ValueError(
+            "NULL embedding vector: upstream corruption — embeddings "
+            "are a typed internal product (non-null, fixed-dim, finite)")
+    out = flat.reshape(len(a), -1)
+    _check_finite(out)
+    return out
 
 
 def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.45,

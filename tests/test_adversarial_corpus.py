@@ -75,3 +75,40 @@ def test_query_matches_oracle_on_adversarial_corpus(name, adv_dir, duck):
     assert len(got) == len(want), name
     assert sorted(got.columns) == sorted(want.columns), name
     assert _value_hash(got) == _value_hash(want), name
+
+
+class TestEmbeddingContractFailFast:
+    """Embeddings are a typed internal product: NULL / non-finite
+    vectors must raise a CLEAR error, never flow through matmuls as
+    silently-wrong similarities."""
+
+    def _write(self, tmp_path, vecs):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        t = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32())})
+        pq.write_table(t, f"{tmp_path}/embeddings.parquet")
+        return str(tmp_path)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_nan_component_raises(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            ann_topk, embedding_norm_outliers,
+        )
+        sf = self._write(tmp_path, [[1.0, 2.0], [float("nan"), 4.0],
+                                    [5.0, 6.0]])
+        with pytest.raises(Exception, match="non-finite|corruption"):
+            ann_topk(sf, k=1, n_queries=1)
+        with pytest.raises(Exception, match="non-finite|corruption"):
+            embedding_norm_outliers(sf).count()
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_null_vector_raises(self, tmp_path):
+        from agentic_document_extraction_pdf_ray.pipelines.similarity import (
+            embedding_norm_outliers,
+        )
+        sf = self._write(tmp_path, [[1.0, 2.0], None, [5.0, 6.0]])
+        with pytest.raises(Exception, match="NULL embedding|corruption|ragged|reshape"):
+            embedding_norm_outliers(sf).count()
